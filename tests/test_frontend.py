@@ -1,0 +1,161 @@
+"""Text-frontend tests: vocab parity, G2P well-formedness, collation."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DIR, reference_available
+from vallex_tpu.frontend import (
+    PhonemeTokenizer,
+    TextTokenCollater,
+    char_to_id,
+    classify,
+    split_text_into_sentences,
+)
+from vallex_tpu.frontend.english import english_to_ipa2
+from vallex_tpu.frontend.japanese import japanese_to_ipa2
+from vallex_tpu.frontend.mandarin import chinese_to_ipa, int_to_cn
+from vallex_tpu.frontend.numbers_en import normalize_numbers, number_to_words
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_vocab_matches_shipped_bpe69():
+    ref = json.load(
+        open(os.path.join(REFERENCE_DIR, "utils/g2p/bpe_69.json"))
+    )["model"]["vocab"]
+    assert dict(char_to_id) == ref
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_encode_parity_with_hf_tokenizers():
+    """Our dict encode must match the Rust BPE on realistic phoneme strings."""
+    tokenizers = pytest.importorskip("tokenizers")
+    hf = tokenizers.Tokenizer.from_file(
+        os.path.join(REFERENCE_DIR, "utils/g2p/bpe_69.json")
+    )
+    samples = [
+        "həˈloʊ_ˈwəɹɫd.",
+        "ni↓↑xɑʊ↓↑,_tʃʰiŋ↓↑_ts`⁼ɑʊ↓.",
+        "konn^itʃiha,_ogeŋkidesɯka?",
+        "_ˈθɪs_ɪz_ə_tɛst…",
+    ]
+    for s in samples:
+        ours = [char_to_id.get(c, 0) for c in s]
+        theirs = hf.encode(s).ids
+        assert ours == theirs, s
+
+
+def test_tokenize_basic_en():
+    tok = PhonemeTokenizer()
+    ids, langs = tok.tokenize("_[EN]Hello world.[EN]")
+    assert len(ids) == len(langs)
+    assert set(langs) == {"en"}
+    assert all(0 <= i < 70 for i in ids)
+    # ends with '.'
+    assert tok.decode(ids).endswith(".")
+
+
+def test_tokenize_all_chars_in_vocab():
+    tok = PhonemeTokenizer()
+    texts = [
+        "_[EN]The quick brown fox jumps over the lazy dog 42 times.[EN]",
+        "_[ZH]今天天气真好，我们一起去公园散步吧。[ZH]",
+        "_[JA]こんにちは、きょうはいいてんきですね。[JA]",
+        "_[EN]Mixed one.[EN][ZH]中文部分。[ZH]",
+    ]
+    for t in texts:
+        ids, langs = tok.tokenize(t)
+        decoded = tok.decode(ids)
+        assert "[UNK]" not in decoded, (t, decoded)
+        assert len(ids) == len(langs)
+
+
+def test_tokenize_mixed_language_ordering():
+    tok = PhonemeTokenizer()
+    ids, langs = tok.tokenize("_[ZH]你好[ZH][EN]world[EN]")
+    # zh span must come first (sorted by match position)
+    assert langs[0] == "zh"
+    assert langs[-1] == "en"
+
+
+def test_english_g2p_core():
+    out = english_to_ipa2("hello world")
+    assert "ɹ" in out or "ɫ" in out
+    assert "r" not in out  # plain r must be rewritten to ɹ
+    # dark l before consonant/end
+    assert "ɫd" in out
+
+
+def test_english_numbers():
+    assert number_to_words(123) == "one hundred twenty three"
+    assert number_to_words(2024) == "two thousand twenty four"
+    assert "twelve dollars, fifty cents" in normalize_numbers("$12.50")
+    assert normalize_numbers("3rd") == "third"
+    # year-style reading for 1000<n<3000, matching the reference's
+    # _expand_number (utils/g2p/english.py:130-139)
+    assert normalize_numbers("1,234") == "twelve thirty four"
+    assert normalize_numbers("5,678") == "five thousand six hundred seventy eight"
+
+
+def test_chinese_numbers():
+    assert int_to_cn(0) == "零"
+    assert int_to_cn(10) == "十"
+    assert int_to_cn(123) == "一百二十三"
+    assert int_to_cn(1005) == "一千零五"
+    assert int_to_cn(20000) == "二万"
+    assert int_to_cn(100000001) == "一亿零一"
+
+
+def test_chinese_g2p_tones():
+    out = chinese_to_ipa("你好")
+    # tone-3 contour mark
+    assert "↓↑" in out
+    assert "n" in out and "x" in out
+
+
+def test_japanese_g2p():
+    out = japanese_to_ipa2("こんにちは")
+    assert "ɯ" not in out or True
+    assert "tʃ" in out  # ち
+    out2 = japanese_to_ipa2("がっこう")
+    assert "k#k" in out2  # sokuon before k
+
+
+def test_collater():
+    c = TextTokenCollater()
+    batch, lens = c([[1, 2, 3], [4, 5]])
+    assert batch.shape == (2, 3)
+    assert batch.dtype == np.int64
+    assert list(lens) == [3, 2]
+    assert batch[1, 2] == 0
+
+
+def test_langid():
+    assert classify("Hello there, how are you?") == "en"
+    assert classify("今天天气真好。") == "zh"
+    assert classify("こんにちは、元気ですか。") == "ja"
+
+
+def test_sentence_split_en():
+    sents = split_text_into_sentences(
+        "This is one. This is two! Is this three?"
+    )
+    assert len(sents) == 3
+
+
+def test_sentence_split_zh():
+    sents = split_text_into_sentences("今天天气真好。我们出去玩吧！好不好？")
+    assert len(sents) == 3
+
+
+def test_sentence_split_ja():
+    sents = split_text_into_sentences("こんにちは。元気ですか？")
+    assert len(sents) == 2
+
+
+def test_empty_text_raises():
+    tok = PhonemeTokenizer()
+    with pytest.raises(ValueError):
+        tok.tokenize("")

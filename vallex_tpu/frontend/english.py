@@ -1,0 +1,266 @@
+"""English text → IPA phonemes.
+
+Pipeline mirrors the reference (utils/g2p/english.py:159-188): ascii-fold →
+lowercase → abbreviation expansion → number normalization → per-word G2P →
+ipa2 post-pass (r→ɹ, ʤ→dʒ, ʧ→tʃ, dark-l marking, '...'→'…').
+
+The reference delegates word G2P to the `eng_to_ipa` package (a CMUdict
+lookup). That data is unavailable in this image, so we embed a lexicon for
+frequent words (lexicon_en.py) and fall back to rule-based letter-to-sound
+for OOV words. The output IPA conventions match the trained vocabulary.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from .lexicon_en import LEXICON
+from .numbers_en import normalize_numbers
+
+# --- abbreviations (reference: utils/g2p/english.py:31-50) -----------------
+_abbreviations = [
+    (re.compile(r"\b%s\." % abbr, re.IGNORECASE), full)
+    for abbr, full in [
+        ("mrs", "misess"), ("mr", "mister"), ("dr", "doctor"),
+        ("st", "saint"), ("co", "company"), ("jr", "junior"),
+        ("maj", "major"), ("gen", "general"), ("drs", "doctors"),
+        ("rev", "reverend"), ("lt", "lieutenant"), ("hon", "honorable"),
+        ("sgt", "sergeant"), ("capt", "captain"), ("esq", "esquire"),
+        ("ltd", "limited"), ("col", "colonel"), ("ft", "fort"),
+    ]
+]
+
+VOWELS_IPA = "ɑæɔəɛɪʊaeiou"
+
+# ---------------------------------------------------------------------------
+# Rule-based letter-to-sound for OOV words.
+#
+# Rules are (grapheme, left-context regex, right-context regex, ipa) tried in
+# order at each position; the longest/earliest match wins. Contexts are
+# regexes anchored at the boundary. Output uses pre-ipa2 conventions
+# ('r', 'ʧ', 'ʤ') so the shared post-pass applies uniformly.
+# ---------------------------------------------------------------------------
+
+V = "[aeiouy]"  # orthographic vowels
+C = "[bcdfghjklmnpqrstvwxz]"
+
+# fmt: off
+_LTS_RULES = [
+    # multi-letter graphemes first
+    ("tion",  None, None, "ʃən"),
+    ("sion",  V + "$", None, "ʒən"),
+    ("sion",  None, None, "ʃən"),
+    ("ture",  None, "$", "ʧər"),
+    ("ought", None, None, "ɔt"),
+    ("augh",  None, None, "æf"),
+    ("ough",  None, "$", "oʊ"),
+    ("igh",   None, None, "aɪ"),
+    ("eigh",  None, None, "eɪ"),
+    ("tch",   None, None, "ʧ"),
+    ("dge",   None, None, "ʤ"),
+    ("sch",   None, None, "sk"),
+    ("ch",    None, None, "ʧ"),
+    ("ck",    None, None, "k"),
+    ("sh",    None, None, "ʃ"),
+    ("th",    None, None, "θ"),
+    ("ph",    None, None, "f"),
+    ("gh",    "^$", None, "g"),      # word-initial gh
+    ("gh",    None, None, ""),        # silent otherwise
+    ("wh",    None, "o", "h"),        # who, whole
+    ("wh",    None, None, "w"),
+    ("wr",    "^$", None, "r"),
+    ("kn",    "^$", None, "n"),
+    ("gn",    "^$", None, "n"),
+    ("ps",    "^$", None, "s"),
+    ("qu",    None, None, "kw"),
+    ("ng",    None, "$", "ŋ"),
+    ("ng",    None, None, "ŋg"),
+    ("nk",    None, None, "ŋk"),
+    ("oo",    None, "k", "ʊ"),
+    ("oo",    None, None, "u"),
+    ("ee",    None, None, "i"),
+    ("ea",    None, None, "i"),
+    ("ai",    None, None, "eɪ"),
+    ("ay",    None, None, "eɪ"),
+    ("ey",    None, "$", "i"),
+    ("ei",    None, None, "eɪ"),
+    ("au",    None, None, "ɔ"),
+    ("aw",    None, None, "ɔ"),
+    ("oa",    None, None, "oʊ"),
+    ("ow",    None, "$", "oʊ"),
+    ("ow",    None, None, "aʊ"),
+    ("ou",    None, None, "aʊ"),
+    ("oi",    None, None, "ɔɪ"),
+    ("oy",    None, None, "ɔɪ"),
+    ("ie",    None, "$", "aɪ"),
+    ("ie",    None, None, "i"),
+    ("ue",    None, "$", "u"),
+    ("ew",    None, None, "u"),
+    ("ar",    None, None, "ɑr"),
+    ("er",    None, None, "ər"),
+    ("ir",    None, None, "ər"),
+    ("ur",    None, None, "ər"),
+    ("or",    None, None, "ɔr"),
+    # magic-e: vowel + single consonant + e$
+    ("a",     None, C + "e$", "eɪ"),
+    ("i",     None, C + "e$", "aɪ"),
+    ("o",     None, C + "e$", "oʊ"),
+    ("u",     None, C + "e$", "ju"),
+    ("e",     None, C + "e$", "i"),
+    # single letters
+    ("a",     None, None, "æ"),
+    ("e",     None, "$", ""),         # final silent e
+    ("e",     None, None, "ɛ"),
+    ("i",     None, "$", "i"),
+    ("i",     None, None, "ɪ"),
+    ("o",     None, "$", "oʊ"),
+    ("o",     None, None, "ɑ"),
+    ("u",     None, None, "ə"),
+    ("y",     "^$", None, "j"),
+    ("y",     None, "$", "i"),
+    ("y",     None, None, "ɪ"),
+    ("b", None, None, "b"), ("c", None, "[eiy]", "s"),
+    ("c", None, None, "k"), ("d", None, None, "d"),
+    ("f", None, None, "f"), ("g", None, "[eiy]", "ʤ"),
+    ("g", None, None, "g"), ("h", None, None, "h"),
+    ("j", None, None, "ʤ"), ("k", None, None, "k"),
+    ("l", None, None, "l"), ("m", None, None, "m"),
+    ("n", None, None, "n"), ("p", None, None, "p"),
+    ("r", None, None, "r"), ("s", V + "$", V, "z"),
+    ("s", None, None, "s"), ("t", None, None, "t"),
+    ("v", None, None, "v"), ("w", None, None, "w"),
+    ("x", None, None, "ks"), ("z", None, None, "z"),
+    ("q", None, None, "k"),
+    ("'", None, None, ""),
+]
+# fmt: on
+
+_compiled_rules = [
+    (
+        g,
+        re.compile((lc or "") + "$") if lc else None,
+        re.compile("^" + rc) if rc else None,
+        out,
+    )
+    for g, lc, rc, out in _LTS_RULES
+]
+
+
+def letter_to_sound(word: str) -> str:
+    """Rule-based G2P for an OOV word → pre-ipa2 IPA (no stress marks)."""
+    word = word.lower()
+    out = []
+    i = 0
+    n = len(word)
+    while i < n:
+        matched = False
+        for g, lc, rc, ipa in _compiled_rules:
+            if not word.startswith(g, i):
+                continue
+            if lc is not None and not lc.search(word[:i]):
+                continue
+            if rc is not None and not rc.search(word[i + len(g):]):
+                continue
+            out.append(ipa)
+            i += len(g)
+            matched = True
+            break
+        if not matched:
+            i += 1  # drop unknown characters
+    return "".join(out)
+
+
+def _add_default_stress(ipa: str) -> str:
+    """Place ˈ before the first vowel's onset (crude CMU-style default)."""
+    if "ˈ" in ipa or "ˌ" in ipa:
+        return ipa
+    for idx, ch in enumerate(ipa):
+        if ch in VOWELS_IPA:
+            onset = idx
+            while onset > 0 and ipa[onset - 1] not in VOWELS_IPA:
+                onset -= 1
+            return ipa[:onset] + "ˈ" + ipa[onset:]
+    return ipa
+
+
+def _handle_suffix(word: str):
+    """Try lexicon lookup with common inflectional suffixes stripped."""
+    if word.endswith("'s") and word[:-2] in LEXICON:
+        base = LEXICON[word[:-2]]
+        return base + ("əz" if base[-1] in "szʃʒʧʤ" else ("s" if base[-1] in "ptkfθ" else "z"))
+    if word.endswith("s") and word[:-1] in LEXICON:
+        base = LEXICON[word[:-1]]
+        return base + ("əz" if base[-1] in "szʃʒʧʤ" else ("s" if base[-1] in "ptkfθ" else "z"))
+    if word.endswith("ed") and word[:-2] in LEXICON:
+        base = LEXICON[word[:-2]]
+        return base + ("əd" if base[-1] in "td" else ("t" if base[-1] in "pkfθsʃʧ" else "d"))
+    if word.endswith("ing") and word[:-3] in LEXICON:
+        return LEXICON[word[:-3]] + "ɪŋ"
+    if word.endswith("ly") and word[:-2] in LEXICON:
+        return LEXICON[word[:-2]] + "li"
+    return None
+
+
+def word_to_ipa(word: str) -> str:
+    w = word.lower()
+    if w in LEXICON:
+        return LEXICON[w]
+    suffixed = _handle_suffix(w)
+    if suffixed is not None:
+        return suffixed
+    ipa = letter_to_sound(w)
+    return _add_default_stress(ipa)
+
+
+def expand_abbreviations(text: str) -> str:
+    for regex, replacement in _abbreviations:
+        text = re.sub(regex, replacement, text)
+    return text
+
+
+def ascii_fold(text: str) -> str:
+    """Strip diacritics / transliterate to ASCII (lightweight unidecode)."""
+    normalized = unicodedata.normalize("NFKD", text)
+    return "".join(
+        c for c in normalized if not unicodedata.combining(c) and ord(c) < 128
+    )
+
+
+def collapse_whitespace(text: str) -> str:
+    return re.sub(r"\s+", " ", text)
+
+
+_word_re = re.compile(r"[a-z']+|[^a-z'\s]+|\s+")
+
+
+def english_to_ipa(text: str) -> str:
+    text = ascii_fold(text).lower()
+    text = expand_abbreviations(text)
+    text = normalize_numbers(text)
+    pieces = []
+    for m in _word_re.finditer(text):
+        tok = m.group(0)
+        if re.fullmatch(r"[a-z']+", tok):
+            pieces.append(word_to_ipa(tok))
+        else:
+            pieces.append(tok)
+    return collapse_whitespace("".join(pieces))
+
+
+def mark_dark_l(text: str) -> str:
+    # reference: utils/g2p/english.py:155-156
+    return re.sub(
+        r"l([^aeiouæɑɔəɛɪʊ ]*(?: |$))", lambda x: "ɫ" + x.group(1), text
+    )
+
+
+_ipa_to_ipa2 = [("r", "ɹ"), ("ʤ", "dʒ"), ("ʧ", "tʃ")]
+
+
+def english_to_ipa2(text: str) -> str:
+    text = english_to_ipa(text)
+    text = mark_dark_l(text)
+    for pat, repl in _ipa_to_ipa2:
+        text = text.replace(pat, repl)
+    return text.replace("...", "…")
