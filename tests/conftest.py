@@ -6,12 +6,19 @@ dry-runs the multichip path (see __graft_entry__.py).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session environment pre-sets JAX_PLATFORMS=axon (the real TPU tunnel)
+# and something at interpreter startup pins jax_platforms="axon,cpu",
+# ignoring the env var — so force the config directly after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

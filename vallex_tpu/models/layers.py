@@ -1,0 +1,341 @@
+"""Core NN building blocks as parameter pytrees + pure apply functions.
+
+Design: parameters are plain nested dicts of jnp arrays; every module is an
+`init_*` function (returns params) plus a pure `*_apply` function. Transformer
+layer stacks are stored with a leading layer axis so the whole stack runs as
+one `lax.scan` — one compiled layer body instead of 12 unrolled ones.
+
+Numerical conventions match the torch reference so converted checkpoints are
+bit-compatible in fp32:
+- linear kernels are stored as [in, out] (transposed from torch's [out, in]);
+- attention is pre-norm, fused-QKV, softmax(QKᵀ/√hd + mask)V
+  (reference: modules/activation.py:142-167);
+- LayerNorm eps 1e-5; AdaptiveLayerNorm projects a stage embedding to
+  (scale, shift) applied to a plain LayerNorm's output
+  (reference: modules/transformer.py:83-108);
+- FFN is Linear→ReLU→Linear (reference: modules/transformer.py:371-373).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match torch defaults so random-weight scales are comparable)
+# ---------------------------------------------------------------------------
+
+def _xavier_uniform(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[-2], shape[-1]
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -a, a)
+
+
+def _kaiming_uniform_linear(key, shape, dtype=jnp.float32):
+    # torch nn.Linear default init (kaiming_uniform with a=√5) expressed on
+    # an [in, out] kernel: uniform(±1/√fan_in) where fan_in = shape[0]
+    bound = 1.0 / math.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool = True) -> Params:
+    kw, kb = jax.random.split(key)
+    p = {"w": _kaiming_uniform_linear(kw, (d_in, d_out))}
+    if bias:
+        bound = 1.0 / math.sqrt(d_in)
+        p["b"] = jax.random.uniform(kb, (d_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def init_embedding(key, vocab: int, dim: int) -> Params:
+    # torch nn.Embedding default: N(0, 1)
+    return {"weight": jax.random.normal(key, (vocab, dim), jnp.float32)}
+
+
+def embedding_apply(p: Params, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    w = p["weight"]
+    if dtype is not None:
+        w = w.astype(dtype)
+    return jnp.take(w, ids, axis=0)
+
+
+def init_layer_norm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def layer_norm_apply(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    # fp32 statistics regardless of compute dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def init_adaptive_layer_norm(key, dim: int) -> Params:
+    p = init_linear(key, dim, 2 * dim)
+    p.update(init_layer_norm(dim))
+    return p
+
+
+def adaptive_layer_norm_apply(
+    p: Params, x: jnp.ndarray, stage_emb: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    """AdaLN: (W·e) ⊙ LN(x) + (b·e)  (reference: modules/transformer.py:94-107)."""
+    wb = jnp.dot(stage_emb, p["w"]) + p["b"]  # [2D]
+    dim = x.shape[-1]
+    weight, bias = wb[..., :dim], wb[..., dim:]
+    normed = layer_norm_apply({"scale": p["scale"], "bias": p["bias"]}, x, eps)
+    return (weight.astype(x.dtype) * normed + bias.astype(x.dtype)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Sinusoidal positional embedding (reference: modules/embedding.py:50-97)
+# ---------------------------------------------------------------------------
+
+def make_sine_pe(max_len: int, dim: int) -> jnp.ndarray:
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * -(math.log(10000.0) / dim)
+    )
+    pe = jnp.zeros((max_len, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe
+
+
+def sine_pe_apply(
+    pe_table: jnp.ndarray,
+    alpha: jnp.ndarray,
+    x: jnp.ndarray,
+    offset: int | jnp.ndarray = 0,
+) -> jnp.ndarray:
+    """x + alpha · PE[offset : offset+T]. x: [..., T, D]."""
+    T = x.shape[-2]
+    pe = jax.lax.dynamic_slice_in_dim(pe_table, offset, T, axis=0)
+    return x + (alpha * pe).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def init_mha(key, dim: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    # torch MultiheadAttention: in_proj xavier_uniform, biases zero,
+    # out_proj is a Linear (kaiming) with zero bias init via constant_
+    return {
+        "in_proj_w": _xavier_uniform(k1, (dim, 3 * dim)),
+        "in_proj_b": jnp.zeros((3 * dim,)),
+        "out_w": _kaiming_uniform_linear(k3, (dim, dim)),
+        "out_b": jnp.zeros((dim,)),
+    }
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B, T, D] → [B, H, T, hd]"""
+    B, T, D = x.shape
+    return x.reshape(B, T, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, hd] → [B, T, D]"""
+    B, H, T, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """softmax(qkᵀ/√hd + mask)·v with fp32 softmax accumulation.
+
+    q,k,v: [B, H, T, hd]; mask: additive fp32, broadcastable to [B, H, Tq, Tk]
+    (use -inf/-1e9 for masked positions).
+    """
+    hd = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(hd))
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def mha_qkv(p: Params, x: jnp.ndarray, num_heads: int):
+    """Fused QKV projection → per-head q, k, v."""
+    qkv = jnp.dot(x, p["in_proj_w"].astype(x.dtype)) + p["in_proj_b"].astype(
+        x.dtype
+    )
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return (
+        split_heads(q, num_heads),
+        split_heads(k, num_heads),
+        split_heads(v, num_heads),
+    )
+
+
+def mha_out(p: Params, attn: jnp.ndarray) -> jnp.ndarray:
+    y = merge_heads(attn)
+    return jnp.dot(y, p["out_w"].astype(y.dtype)) + p["out_b"].astype(y.dtype)
+
+
+def mha_apply(
+    p: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    q, k, v = mha_qkv(p, x, num_heads)
+    return mha_out(p, attention_core(q, k, v, mask))
+
+
+# ---------------------------------------------------------------------------
+# Transformer encoder layer (pre-norm; reference: modules/transformer.py:295-302)
+# ---------------------------------------------------------------------------
+
+def init_encoder_layer(key, dim: int, ffn_dim: int, adaptive: bool) -> Params:
+    ks = jax.random.split(key, 5)
+    norm_init = (
+        partial(init_adaptive_layer_norm, dim=dim)
+        if adaptive
+        else lambda key: init_layer_norm(dim)
+    )
+    return {
+        "self_attn": init_mha(ks[0], dim),
+        "linear1": init_linear(ks[1], dim, ffn_dim),
+        "linear2": init_linear(ks[2], ffn_dim, dim),
+        "norm1": norm_init(key=ks[3]) if adaptive else init_layer_norm(dim),
+        "norm2": norm_init(key=ks[4]) if adaptive else init_layer_norm(dim),
+    }
+
+
+def _norm(p_norm, x, stage_emb):
+    if stage_emb is None:
+        return layer_norm_apply(p_norm, x)
+    return adaptive_layer_norm_apply(p_norm, x, stage_emb)
+
+
+def encoder_layer_apply(
+    p: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    stage_emb: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    h = _norm(p["norm1"], x, stage_emb)
+    x = x + mha_apply(p["self_attn"], h, num_heads, mask)
+    h = _norm(p["norm2"], x, stage_emb)
+    h = linear_apply(p["linear1"], h)
+    h = jax.nn.relu(h)
+    h = linear_apply(p["linear2"], h)
+    return x + h
+
+
+def init_encoder_stack(
+    key, num_layers: int, dim: int, ffn_dim: int, adaptive: bool
+) -> Params:
+    """Stack of layers with a leading layer axis on every leaf (for scan)."""
+    keys = jax.random.split(key, num_layers + 1)
+    layers = [
+        init_encoder_layer(keys[i], dim, ffn_dim, adaptive)
+        for i in range(num_layers)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    final_norm = (
+        init_adaptive_layer_norm(keys[-1], dim)
+        if adaptive
+        else init_layer_norm(dim)
+    )
+    return {"layers": stacked, "norm": final_norm}
+
+
+def encoder_stack_apply(
+    p: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    stage_emb: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Run the full stack via lax.scan over the layer axis + final norm."""
+
+    def body(carry, layer_p):
+        return (
+            encoder_layer_apply(layer_p, carry, num_heads, mask, stage_emb),
+            None,
+        )
+
+    x, _ = jax.lax.scan(body, x, p["layers"])
+    return _norm(p["norm"], x, stage_emb)
+
+
+# ---------------------------------------------------------------------------
+# Attention with an externally-managed KV cache (for AR decode)
+# ---------------------------------------------------------------------------
+
+def encoder_layer_prefill(
+    p: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray],
+):
+    """Like encoder_layer_apply but also returns this layer's K,V ([B,H,T,hd])."""
+    h = layer_norm_apply(p["norm1"], x)
+    q, k, v = mha_qkv(p["self_attn"], h, num_heads)
+    attn = attention_core(q, k, v, mask)
+    x = x + mha_out(p["self_attn"], attn)
+    h = layer_norm_apply(p["norm2"], x)
+    x = x + linear_apply(p["linear2"], jax.nn.relu(linear_apply(p["linear1"], h)))
+    return x, k, v
+
+
+def encoder_layer_decode_step(
+    p: Params,
+    x: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    pos: jnp.ndarray,
+    num_heads: int,
+    kv_mask: jnp.ndarray,
+):
+    """Single-query decode step against a static-size KV cache.
+
+    x: [B, 1, D]; cache_k/v: [B, H, Tmax, hd]; pos: scalar index where this
+    step's K,V are written; kv_mask: additive [B, 1, 1, Tmax] (or broadcast)
+    masking positions > pos. Returns (x_out, new_cache_k, new_cache_v).
+    """
+    h = layer_norm_apply(p["norm1"], x)
+    q, k, v = mha_qkv(p["self_attn"], h, num_heads)  # [B,H,1,hd]
+    cache_k = jax.lax.dynamic_update_slice_in_dim(
+        cache_k, k.astype(cache_k.dtype), pos, axis=2
+    )
+    cache_v = jax.lax.dynamic_update_slice_in_dim(
+        cache_v, v.astype(cache_v.dtype), pos, axis=2
+    )
+    attn = attention_core(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), kv_mask)
+    x = x + mha_out(p["self_attn"], attn)
+    h = layer_norm_apply(p["norm2"], x)
+    x = x + linear_apply(p["linear2"], jax.nn.relu(linear_apply(p["linear1"], h)))
+    return x, cache_k, cache_v
