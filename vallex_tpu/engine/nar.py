@@ -1,0 +1,148 @@
+"""NAR engine: codebooks 1..7 in 7 full-sequence passes, as one jitted scan.
+
+TPU-native replacement for the reference's NAR loop
+(models/vallex.py:604-686, prefix_mode=1 path):
+- the acoustic-prompt region's embeddings for codebooks 1..7 are summed into
+  the running embedding once up front (659-662);
+- each stage s runs the 12-layer AdaLN decoder conditioned on stage
+  embedding s, argmax-decodes codebook s+1 over the generated suffix
+  (664-679), and adds the sampled embedding into the running sum (683).
+
+The 7 stages run inside a single lax.scan (stage embeddings, predict heads
+and audio-embedding tables are indexed by the scan counter), so the whole
+NAR phase is one XLA program per bucket shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, ModelConfig
+from ..models import layers as L
+from ..models import vallex as V
+from .ar import _bucket
+
+Params = Dict[str, Any]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "s_text", "t_audio", "compute_dtype")
+)
+def nar_generate(
+    params: Params,
+    cfg: ModelConfig,
+    text_ids: jnp.ndarray,  # [1, s_text]
+    lang_ids: jnp.ndarray,  # [1, s_text]
+    x_len: jnp.ndarray,  # [] valid text length
+    codes_in: jnp.ndarray,  # [1, t_audio, 8]; rows <prompt_len carry the full
+    #                          prompt, rows prompt_len..t_len-1 carry AR cb0
+    t_len: jnp.ndarray,  # [] valid audio frames (prompt + generated)
+    prompt_len: jnp.ndarray,  # [] prompt frames
+    *,
+    s_text: int,
+    t_audio: int,
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """→ codes [1, t_audio, 8] (valid region [prompt_len, t_len))."""
+    dtype = jnp.dtype(compute_dtype)
+    H = cfg.num_heads
+    pe = L.make_sine_pe(cfg.max_position, cfg.d_model)
+    emb_tables = params["nar_audio_embeddings"]["weight"]  # [8, 1025, D]
+
+    x = V.text_input(params, cfg, text_ids, lang_ids, "nar", pe, dtype)
+
+    rows = jnp.arange(t_audio)[None, :]  # audio position per slot
+    in_prompt = (rows < prompt_len)[..., None]  # [1, TA, 1]
+    in_suffix = jnp.logical_and(rows >= prompt_len, rows < t_len)[..., None]
+
+    # running embedding: codebook-0 over everything…
+    y_emb = jnp.take(emb_tables[0], codes_in[..., 0], axis=0).astype(dtype)
+    # …plus prompt codebooks 1..7 on the prompt region
+    for j in range(1, cfg.num_quantizers):
+        ej = jnp.take(emb_tables[j], codes_in[..., j], axis=0).astype(dtype)
+        y_emb = y_emb + jnp.where(in_prompt, ej, 0)
+
+    # key-padding mask: valid text cols + valid audio slots
+    cols = jnp.arange(s_text + t_audio)
+    ok = jnp.where(
+        cols < s_text, cols < x_len, (cols - s_text) < t_len
+    )
+    mask = jnp.where(ok, 0.0, V.NEG_INF).astype(jnp.float32)[
+        None, None, None, :
+    ]
+
+    nar_alpha = params["nar_audio_position"]["alpha"]
+
+    def stage_body(y_emb, stage_idx):
+        y_pos = L.sine_pe_apply(pe, nar_alpha, y_emb)
+        xy = jnp.concatenate([x, y_pos], axis=1)
+        h = V.nar_forward_stage(params, cfg, xy, stage_idx, mask)
+        h_audio = h[:, s_text:]
+        logits = V.nar_logits(params, h_audio, stage_idx)  # [1, TA, 1024]
+        samples = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # accumulate embedding of this stage's samples on the suffix
+        # (embedding table stage_idx+1; reference: models/vallex.py:683).
+        # The reference skips the accumulate after the last stage; adding it
+        # is harmless (y_emb is not used again) and keeps the scan uniform.
+        es = jnp.take(emb_tables[stage_idx + 1], samples, axis=0).astype(dtype)
+        y_emb = y_emb + jnp.where(in_suffix, es, 0)
+        return y_emb, samples
+
+    _, stage_codes = jax.lax.scan(
+        stage_body, y_emb, jnp.arange(cfg.num_quantizers - 1)
+    )  # [7, 1, TA]
+
+    cb0 = codes_in[..., 0].astype(jnp.int32)[None]  # [1, 1, TA]
+    all_codes = jnp.concatenate([cb0, stage_codes], axis=0)  # [8, 1, TA]
+    out = jnp.transpose(all_codes, (1, 2, 0))  # [1, TA, 8]
+    # prompt region keeps the original prompt codes
+    return jnp.where(in_prompt, codes_in.astype(jnp.int32), out)
+
+
+class NAREngine:
+    """Host-side wrapper: bucketing, padding, trimming."""
+
+    def __init__(self, params: Params, cfg: ModelConfig, ecfg: EngineConfig):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+
+    def generate(
+        self,
+        text_ids: np.ndarray,  # [S]
+        lang_ids: np.ndarray,  # [S]
+        ar_codes: np.ndarray,  # [T_gen] codebook-0 from the AR stage
+        prompt_codes: Optional[np.ndarray] = None,  # [Tp, 8]
+    ) -> np.ndarray:
+        """→ generated codes [T_gen, 8] (prompt region stripped)."""
+        e = self.ecfg
+        S = len(text_ids)
+        s_text = _bucket(S, e.text_buckets)
+        Tp = 0 if prompt_codes is None else len(prompt_codes)
+        T = Tp + len(ar_codes)
+        t_audio = _bucket(T, e.audio_buckets)
+
+        text_pad = np.zeros((1, s_text), np.int32)
+        text_pad[0, :S] = text_ids
+        lang_pad = np.zeros((1, s_text), np.int32)
+        lang_pad[0, :S] = lang_ids
+        codes_in = np.zeros((1, t_audio, self.cfg.num_quantizers), np.int32)
+        if Tp:
+            codes_in[0, :Tp] = prompt_codes
+        codes_in[0, Tp:T, 0] = ar_codes
+
+        out = nar_generate(
+            self.params, self.cfg,
+            jnp.asarray(text_pad), jnp.asarray(lang_pad),
+            jnp.asarray(S, jnp.int32),
+            jnp.asarray(codes_in),
+            jnp.asarray(T, jnp.int32), jnp.asarray(Tp, jnp.int32),
+            s_text=s_text, t_audio=t_audio,
+            compute_dtype=e.compute_dtype,
+        )
+        return np.asarray(out[0, Tp:T])

@@ -1,0 +1,77 @@
+"""On-device sampling: top-k/top-p filtering + categorical draw + logprobs.
+
+Mirrors the reference semantics (models/vallex.py:791-853): temperature
+scaling, top-k filter (disabled when top_k <= 0), nucleus filter (disabled
+when top_p >= 1), then a categorical sample with the chosen token's logprob
+from the *filtered* distribution. Everything is branch-free jnp so it lives
+inside the jitted decode loop — no host round-trips per step.
+
+RNG convention: `jax.random.categorical` (Gumbel argmax). Token sequences
+are reproducible under a fixed JAX seed; parity with torch.multinomial is
+distributional, not bitwise (documented in SURVEY.md §6). With top_k == 1
+sampling degenerates to argmax and matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def top_k_filter(logits: jnp.ndarray, top_k: jnp.ndarray) -> jnp.ndarray:
+    """Keep the top_k highest logits per row; top_k <= 0 disables.
+
+    Branch-free: computes the k-th threshold via sort (V≈1025, negligible
+    next to the transformer step).
+    """
+    v = logits.shape[-1]
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]  # descending
+    k = jnp.clip(top_k, 1, v)
+    thresh = jax.lax.dynamic_slice_in_dim(sorted_logits, k - 1, 1, axis=-1)
+    filtered = jnp.where(logits < thresh, NEG_INF, logits)
+    return jnp.where(top_k > 0, filtered, logits)
+
+
+def top_p_filter(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
+    """Nucleus filtering; top_p >= 1 disables.
+
+    Matches the reference's shift-right semantics: the first token whose
+    cumulative probability crosses top_p is kept
+    (models/vallex.py:811-832).
+    """
+    sort_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    remove = cum > top_p
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1
+    )
+    # scatter back to vocabulary order
+    inv = jnp.argsort(sort_idx, axis=-1)
+    remove_vocab = jnp.take_along_axis(remove, inv, axis=-1)
+    filtered = jnp.where(remove_vocab, NEG_INF, logits)
+    return jnp.where(top_p < 1.0, filtered, logits)
+
+
+def topk_sampling(
+    rng: jax.Array,
+    logits: jnp.ndarray,  # [B, V] fp32
+    top_k: jnp.ndarray,
+    top_p: jnp.ndarray,
+    temperature: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (tokens [B], logprobs [B]). top_k == 1 is exact argmax."""
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    logits = top_k_filter(logits, top_k)
+    logits = top_p_filter(logits, top_p)
+    greedy = jnp.argmax(logits, axis=-1)
+    sampled = jax.random.categorical(rng, logits, axis=-1)
+    tokens = jnp.where(top_k == 1, greedy, sampled)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    chosen = jnp.take_along_axis(logprobs, tokens[..., None], axis=-1)[..., 0]
+    return tokens, chosen
