@@ -1,0 +1,63 @@
+"""Vocos vocoder tests: ISTFT exact reconstruction + pipeline shapes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vallex_tpu.codec import vocos as VC
+
+
+def _stft_centered(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """Centered STFT with periodic Hann (torch.stft conventions)."""
+    win = np.hanning(n_fft + 1)[:-1]
+    x = np.pad(x, (n_fft // 2, n_fft // 2), mode="reflect")
+    T = 1 + (len(x) - n_fft) // hop
+    frames = np.stack([x[t * hop : t * hop + n_fft] * win for t in range(T)])
+    return np.fft.rfft(frames, axis=-1)
+
+
+def test_istft_perfect_reconstruction():
+    """hop = n_fft/4 with Hann satisfies COLA ⇒ istft(stft(x)) == x."""
+    rng = np.random.RandomState(0)
+    n_fft, hop = VC.N_FFT, VC.HOP
+    x = rng.randn(hop * 40).astype(np.float64)
+    spec = _stft_centered(x, n_fft, hop)  # [T, F]
+    wave = np.asarray(
+        VC.istft(jnp.asarray(spec[None]), n_fft, hop), np.float64
+    )[0]
+    assert wave.shape[0] == (spec.shape[0] - 1) * hop
+    # interior must reconstruct exactly (edges lose the reflect padding)
+    core = slice(n_fft, wave.shape[0] - n_fft)
+    np.testing.assert_allclose(wave[core], x[: wave.shape[0]][core], atol=1e-6)
+
+
+def test_vocos_decode_shapes():
+    params = VC.init_vocos(jax.random.PRNGKey(0))
+    T = 30
+    codes = np.random.RandomState(1).randint(0, 1024, size=(1, T, 8))
+    wave = VC.vocos_decode(params, jnp.asarray(codes), bandwidth_id=2)
+    assert wave.shape == (1, (T - 1) * VC.HOP)
+    assert np.isfinite(np.asarray(wave)).all()
+
+
+def test_codes_to_features_is_codebook_sum():
+    params = VC.init_vocos(jax.random.PRNGKey(0))
+    codes = np.zeros((1, 4, 8), np.int32)
+    codes[0, 0] = [1, 2, 3, 4, 5, 6, 7, 8]
+    feats = np.asarray(VC.codes_to_features(params, jnp.asarray(codes)))
+    cb = np.asarray(params["codebook_weights"])
+    expected = sum(cb[q, codes[0, 0, q]] for q in range(8))
+    np.testing.assert_allclose(feats[0, 0], expected, rtol=1e-5)
+
+
+def test_bandwidth_conditioning_changes_output():
+    params = VC.init_vocos(jax.random.PRNGKey(2))
+    # make the AdaLN tables differ per bandwidth so conditioning is visible
+    params["norm"]["scale"] = (
+        np.asarray(params["norm"]["scale"])
+        * np.arange(1, 5, dtype=np.float32)[:, None]
+    )
+    codes = np.random.RandomState(3).randint(0, 1024, size=(1, 12, 8))
+    w2 = np.asarray(VC.vocos_decode(params, jnp.asarray(codes), 2))
+    w0 = np.asarray(VC.vocos_decode(params, jnp.asarray(codes), 0))
+    assert not np.allclose(w2, w0)

@@ -1,0 +1,282 @@
+"""Vocos vocoder (EnCodec-codes → 24 kHz waveform) in JAX.
+
+Re-implements the `charactr/vocos-encodec-24khz` architecture used by the
+reference for waveform synthesis (utils/generation.py:89,147-151):
+
+  codes → features: sum of the EnCodec quantizer's codebook vectors per
+      frame (the quantizer "decode" path) → [B, T, 128]
+  backbone: embed Conv1d(128→512, k7) + AdaLayerNorm conditioned on a
+      bandwidth id (0..3; 6 kbps ⇒ id 2), then 8 ConvNeXt blocks
+      (depthwise k7 conv → AdaLayerNorm → pointwise 512→1536 → GELU →
+      pointwise 1536→512 → layer-scale γ → residual), final LayerNorm
+  head: Linear(512 → n_fft+2) → (log-magnitude, phase) → complex STFT →
+      inverse STFT (n_fft=1280, hop=320, Hann window, centered) → waveform
+
+Everything is channels-last [B, T, C] (TPU-friendly; convs lower to MXU
+matmuls over the channel dims). The inverse STFT is jnp.fft.irfft +
+overlap-add via a strided scatter — an exact match of torch.istft
+(center mode) including the window-envelope normalization.
+
+Weights load from a converted torch/safetensors checkpoint when available
+(utils/checkpoint-style flat npz); random init otherwise.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+# charactr/vocos-encodec-24khz hyperparameters
+INPUT_CHANNELS = 128
+DIM = 512
+INTERMEDIATE_DIM = 1536
+NUM_LAYERS = 8
+N_FFT = 1280
+HOP = 320
+NUM_BANDWIDTHS = 4
+NUM_CODEBOOKS = 8
+CODEBOOK_SIZE = 1024
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std=0.02):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape)
+
+
+def init_vocos(key) -> Params:
+    ks = jax.random.split(key, NUM_LAYERS + 8)
+    blocks = []
+    for i in range(NUM_LAYERS):
+        k1, k2, k3 = jax.random.split(ks[i], 3)
+        blocks.append(
+            {
+                "dwconv": {
+                    "w": _trunc_normal(k1, (7, 1, DIM)),  # [K, 1, C] depthwise
+                    "b": jnp.zeros((DIM,)),
+                },
+                "norm": {  # AdaLayerNorm: per-bandwidth scale/shift tables
+                    "scale": jnp.ones((NUM_BANDWIDTHS, DIM)),
+                    "shift": jnp.zeros((NUM_BANDWIDTHS, DIM)),
+                },
+                "pwconv1": {
+                    "w": _trunc_normal(k2, (DIM, INTERMEDIATE_DIM)),
+                    "b": jnp.zeros((INTERMEDIATE_DIM,)),
+                },
+                "pwconv2": {
+                    "w": _trunc_normal(k3, (INTERMEDIATE_DIM, DIM)),
+                    "b": jnp.zeros((DIM,)),
+                },
+                "gamma": jnp.full((DIM,), 1e-6),
+            }
+        )
+    blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return {
+        "codebook_weights": jax.random.normal(
+            ks[NUM_LAYERS], (NUM_CODEBOOKS, CODEBOOK_SIZE, INPUT_CHANNELS)
+        ),
+        "embed": {
+            "w": _trunc_normal(ks[NUM_LAYERS + 1], (7, INPUT_CHANNELS, DIM)),
+            "b": jnp.zeros((DIM,)),
+        },
+        "norm": {  # post-embed AdaLayerNorm
+            "scale": jnp.ones((NUM_BANDWIDTHS, DIM)),
+            "shift": jnp.zeros((NUM_BANDWIDTHS, DIM)),
+        },
+        "blocks": blocks,
+        "final_norm": {"scale": jnp.ones((DIM,)), "bias": jnp.zeros((DIM,))},
+        "head": {
+            "w": _trunc_normal(ks[NUM_LAYERS + 2], (DIM, N_FFT + 2)),
+            "b": jnp.zeros((N_FFT + 2,)),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def codes_to_features(params: Params, codes: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, 8] int codes → [B, T, 128] features (codebook-vector sum).
+
+    Matches EnCodec's RVQ decode (the reference calls
+    vocos.codes_to_features, utils/generation.py:148-149).
+    """
+    cb = params["codebook_weights"]  # [8, 1024, 128]
+    feats = jnp.zeros(codes.shape[:2] + (INPUT_CHANNELS,), cb.dtype)
+    for q in range(NUM_CODEBOOKS):
+        feats = feats + jnp.take(cb[q], codes[..., q], axis=0)
+    return feats
+
+
+def _conv1d_same(x: jnp.ndarray, w: jnp.ndarray, b, groups: int = 1):
+    """x [B,T,Cin], w [K,Cin/groups,Cout] → [B,T,Cout], SAME padding."""
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1,),
+        padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    return y + b
+
+
+def _ada_layer_norm(p, x, bandwidth_id, eps=1e-6):
+    scale = p["scale"][bandwidth_id]
+    shift = p["shift"][bandwidth_id]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + shift
+
+
+def _layer_norm(p, x, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def backbone_apply(
+    params: Params, feats: jnp.ndarray, bandwidth_id: jnp.ndarray
+) -> jnp.ndarray:
+    """[B, T, 128] → [B, T, 512]."""
+    x = _conv1d_same(feats, params["embed"]["w"], params["embed"]["b"])
+    x = _ada_layer_norm(params["norm"], x, bandwidth_id)
+
+    def block_body(x, bp):
+        res = x
+        h = _conv1d_same(x, bp["dwconv"]["w"], bp["dwconv"]["b"], groups=DIM)
+        h = _ada_layer_norm(bp["norm"], h, bandwidth_id)
+        h = jnp.dot(h, bp["pwconv1"]["w"]) + bp["pwconv1"]["b"]
+        h = jax.nn.gelu(h, approximate=False)
+        h = jnp.dot(h, bp["pwconv2"]["w"]) + bp["pwconv2"]["b"]
+        return res + bp["gamma"] * h, None
+
+    x, _ = jax.lax.scan(block_body, x, params["blocks"])
+    return _layer_norm(params["final_norm"], x)
+
+
+def istft(spec: jnp.ndarray, n_fft: int = N_FFT, hop: int = HOP) -> jnp.ndarray:
+    """Inverse STFT, centered, Hann window — matches torch.istft.
+
+    spec: complex [B, T, n_fft//2 + 1] → wave [B, (T-1)*hop].
+    """
+    B, T, _ = spec.shape
+    win = jnp.hanning(n_fft + 1)[:-1]  # periodic Hann (torch default)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win  # [B, T, n_fft]
+
+    out_len = n_fft + hop * (T - 1)
+    # overlap-add via segment scatter
+    idx = (jnp.arange(T)[:, None] * hop + jnp.arange(n_fft)[None, :]).reshape(-1)
+    wave = jax.vmap(
+        lambda fr: jnp.zeros((out_len,)).at[idx].add(fr.reshape(-1))
+    )(frames)
+    env = jnp.zeros((out_len,)).at[idx].add(
+        jnp.broadcast_to(win**2, (T, n_fft)).reshape(-1)
+    )
+    wave = wave / jnp.maximum(env, 1e-11)
+    # center trim n_fft//2 from both ends
+    return wave[:, n_fft // 2 : out_len - n_fft // 2]
+
+
+def head_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, 512] → waveform [B, (T-1)*hop] via log-mag/phase ISTFT."""
+    h = jnp.dot(x, params["head"]["w"]) + params["head"]["b"]
+    mag, phase = jnp.split(h, 2, axis=-1)
+    mag = jnp.exp(jnp.clip(mag, max=1e2))
+    spec = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    return istft(spec)
+
+
+def vocos_decode(
+    params: Params, codes: jnp.ndarray, bandwidth_id: int = 2
+) -> jnp.ndarray:
+    """[B, T, 8] EnCodec codes → [B, samples] waveform @24 kHz."""
+    feats = codes_to_features(params, codes)
+    x = backbone_apply(params, feats, jnp.asarray(bandwidth_id))
+    return head_apply(params, x)
+
+
+# ---------------------------------------------------------------------------
+# Torch weight conversion (charactr/vocos-encodec-24khz pytorch_model.bin)
+# ---------------------------------------------------------------------------
+
+def convert_vocos_state_dict(sd: Dict[str, Any]) -> Params:
+    """Convert the HF Vocos torch state dict (numpy-ified) to our pytree.
+
+    Torch layouts: Conv1d weight [Cout, Cin, K] → [K, Cin, Cout]; depthwise
+    conv [C, 1, K] → [K, 1, C]; Linear [out, in] → [in, out]; AdaLayerNorm
+    scale/shift are embedding tables [num_bw, C].
+    """
+    import numpy as np
+
+    def conv_w(a):
+        return np.ascontiguousarray(np.transpose(np.asarray(a, np.float32), (2, 1, 0)))
+
+    def lin_w(a):
+        return np.ascontiguousarray(np.asarray(a, np.float32).T)
+
+    g = lambda k: np.asarray(sd[k], np.float32)  # noqa: E731
+
+    blocks = []
+    for i in range(NUM_LAYERS):
+        p = f"backbone.convnext.{i}"
+        blocks.append(
+            {
+                "dwconv": {
+                    "w": conv_w(g(f"{p}.dwconv.weight")),
+                    "b": g(f"{p}.dwconv.bias"),
+                },
+                "norm": {
+                    "scale": g(f"{p}.norm.scale.weight"),
+                    "shift": g(f"{p}.norm.shift.weight"),
+                },
+                "pwconv1": {
+                    "w": lin_w(g(f"{p}.pwconv1.weight")),
+                    "b": g(f"{p}.pwconv1.bias"),
+                },
+                "pwconv2": {
+                    "w": lin_w(g(f"{p}.pwconv2.weight")),
+                    "b": g(f"{p}.pwconv2.bias"),
+                },
+                "gamma": g(f"{p}.gamma"),
+            }
+        )
+    import numpy as np
+
+    blocks = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+
+    # EnCodec quantizer codebooks stored under feature_extractor
+    cb = np.stack(
+        [
+            g(f"feature_extractor.encodec.quantizer.vq.layers.{q}._codebook.embed")
+            for q in range(NUM_CODEBOOKS)
+        ]
+    )
+
+    return {
+        "codebook_weights": cb,
+        "embed": {
+            "w": conv_w(g("backbone.embed.weight")),
+            "b": g("backbone.embed.bias"),
+        },
+        "norm": {
+            "scale": g("backbone.norm.scale.weight"),
+            "shift": g("backbone.norm.shift.weight"),
+        },
+        "blocks": blocks,
+        "final_norm": {
+            "scale": g("backbone.final_layer_norm.weight"),
+            "bias": g("backbone.final_layer_norm.bias"),
+        },
+        "head": {
+            "w": lin_w(g("head.out.weight")),
+            "b": g("head.out.bias"),
+        },
+    }
