@@ -1,0 +1,97 @@
+"""Public API tests: preload, preset compatibility, end-to-end synthesis."""
+
+import numpy as np
+import pytest
+
+from vallex_tpu import api
+from vallex_tpu.config import EngineConfig, ModelConfig
+
+TINY = ModelConfig(d_model=64, num_heads=4, num_layers=2, ffn_dim=256)
+ECFG = EngineConfig(
+    text_buckets=(64, 128),
+    audio_buckets=(128, 256, 512),
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    ckpt = tmp_path_factory.mktemp("empty_ckpts")
+    return api.preload_models(
+        str(ckpt), random_weights=True, cfg=TINY, ecfg=ECFG
+    )
+
+
+def test_preload_requires_checkpoint_by_default(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        api.preload_models(str(tmp_path))
+
+
+def test_preset_npz_format_loads(bundle):
+    """All 41 shipped preset voices must load in the reference npz format."""
+    import os
+
+    presets = os.listdir(api.PROMPT_SEARCH_DIRS[-1])
+    assert len(presets) == 41
+    audio, text, lang = api._load_prompt("paimon")
+    assert audio.ndim == 2 and audio.shape[1] == 8
+    assert text.ndim == 1 and len(text) > 0
+    assert lang in ("en", "zh", "ja")
+
+
+def test_generate_audio_end_to_end(bundle):
+    wave = api.generate_audio("Hi there.", prompt=None, language="en", top_k=1)
+    assert wave.ndim == 1
+    assert len(wave) > 0
+    assert np.isfinite(wave).all()
+
+
+def test_generate_audio_with_preset_prompt(bundle):
+    wave = api.generate_audio(
+        "Hello.", prompt="paimon", language="en", top_k=1
+    )
+    assert wave.ndim == 1 and len(wave) > 0
+
+
+def test_generate_audio_accent_control(bundle):
+    w1 = api.generate_audio("Hello.", language="en", accent="中文", top_k=1)
+    w2 = api.generate_audio("Hello.", language="en", accent="no-accent", top_k=1)
+    # accent changes the language embedding → different tokens/waveform
+    assert (len(w1) != len(w2)) or not np.allclose(w1, w2)
+
+
+def test_long_text_fixed_prompt(bundle):
+    wave = api.generate_audio_from_long_text(
+        "One sentence here. Another one there.",
+        prompt="paimon",
+        mode="fixed-prompt",
+    )
+    assert wave.ndim == 1 and len(wave) > 0
+
+
+def test_make_prompt_roundtrip(bundle, tmp_path):
+    from vallex_tpu.utils.audio import save_wav
+
+    wav = (0.1 * np.sin(np.arange(24000) * 0.05)).astype(np.float32)
+    p = str(tmp_path / "clip.wav")
+    save_wav(p, wav)
+    out = api.make_prompt(
+        "testvoice", p, transcript="A test clip.", out_dir=str(tmp_path)
+    )
+    data = np.load(out)
+    assert data["audio_tokens"].shape[2] == 8
+    assert data["audio_tokens"].shape[1] == 75  # 1 s → 75 frames
+    assert int(data["lang_code"]) == 2  # en
+    # and it can be used as a prompt by path
+    wave = api.generate_audio("Testing.", prompt=out, top_k=1)
+    assert len(wave) > 0
+
+
+def test_make_prompt_rejects_long_audio(bundle, tmp_path):
+    from vallex_tpu.utils.audio import save_wav
+
+    wav = np.zeros(24000 * 16, np.float32)
+    p = str(tmp_path / "long.wav")
+    save_wav(p, wav)
+    with pytest.raises(ValueError, match="15 seconds"):
+        api.make_prompt("x", p, transcript="hi", out_dir=str(tmp_path))

@@ -1,0 +1,390 @@
+"""Public synthesis API — the reference's L5 surface, TPU-native.
+
+Mirrors utils/generation.py and utils/prompt_making.py:
+  preload_models()                     (generation.py:50-89)
+  generate_audio(text, prompt, language, accent)      (generation.py:91-152)
+  generate_audio_from_long_text(..., mode)            (generation.py:154-276)
+  make_prompt(name, audio_prompt_path, transcript)    (prompt_making.py:57-84)
+
+Voice prompts use the reference's exact `.npz` format (keys `audio_tokens`
+(1,T,8) int64, `text_tokens` (1,S) int64, `lang_code` int32), so the 41
+shipped preset voices load unchanged.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+from .config import (
+    NUM_QUANTIZERS,
+    SAMPLE_RATE,
+    EngineConfig,
+    ModelConfig,
+    code2lang,
+    lang2code,
+    lang2token,
+    langdropdown2token,
+    model_language_id,
+    token2lang,
+)
+from .engine import AREngine, NAREngine
+from .frontend import PhonemeTokenizer, get_text_token_collater
+from .frontend.langid import classify
+from .frontend.sentence import split_text_into_sentences
+
+logger = logging.getLogger(__name__)
+
+_ASSET_DIR = os.path.join(os.path.dirname(__file__), "assets")
+
+# preset search paths, first hit wins (reference: generation.py:103-110)
+PROMPT_SEARCH_DIRS = [
+    "./presets",
+    "./customs",
+    os.path.join(_ASSET_DIR, "presets"),
+]
+if os.environ.get("VALLEX_PRESETS_DIR"):
+    PROMPT_SEARCH_DIRS.insert(0, os.environ["VALLEX_PRESETS_DIR"])
+
+
+@dataclass
+class ModelBundle:
+    params: Dict[str, Any]
+    cfg: ModelConfig
+    ecfg: EngineConfig
+    ar: AREngine
+    nar: NAREngine
+    vocos_params: Optional[Dict[str, Any]] = None
+    encodec_params: Optional[Dict[str, Any]] = None
+    tokenizer: PhonemeTokenizer = field(default_factory=PhonemeTokenizer)
+    collater: Any = field(default_factory=get_text_token_collater)
+    random_weights: bool = False
+
+
+_bundle: Optional[ModelBundle] = None
+
+
+def preload_models(
+    checkpoint_dir: str = "./checkpoints",
+    *,
+    random_weights: bool = False,
+    cfg: Optional[ModelConfig] = None,
+    ecfg: Optional[EngineConfig] = None,
+    seed: int = 0,
+) -> ModelBundle:
+    """Build/load the model stack.
+
+    Load order: native npz (`vallex-jax.npz`) → shipped torch checkpoint
+    (`vallex-checkpoint.pt`, converted on the fly) → random init (only when
+    random_weights=True — useful for benchmarks and structural testing).
+    """
+    global _bundle
+    import jax
+
+    cfg = cfg or ModelConfig()
+    ecfg = ecfg or EngineConfig()
+
+    native = os.path.join(checkpoint_dir, "vallex-jax.npz")
+    torch_ckpt = os.path.join(checkpoint_dir, "vallex-checkpoint.pt")
+    vocos_native = os.path.join(checkpoint_dir, "vocos-jax.npz")
+    encodec_native = os.path.join(checkpoint_dir, "encodec-jax.npz")
+
+    from .utils import checkpoint as CK
+
+    if os.path.exists(native):
+        params = CK.load_native(native)
+        rand = False
+    elif os.path.exists(torch_ckpt):
+        logger.info("converting torch checkpoint %s", torch_ckpt)
+        params = CK.load_torch_checkpoint(torch_ckpt, cfg)
+        CK.save_native(native, params)
+        rand = False
+    elif random_weights:
+        logger.warning("no checkpoint found — using RANDOM weights")
+        from .models.vallex import init_vallex
+
+        params = init_vallex(jax.random.PRNGKey(seed), cfg)
+        rand = True
+    else:
+        raise FileNotFoundError(
+            f"No checkpoint in {checkpoint_dir}. Place the reference's "
+            "vallex-checkpoint.pt there (see README) or pass "
+            "random_weights=True for a structure-only run."
+        )
+
+    import jax.numpy as jnp
+
+    if ecfg.compute_dtype == "bfloat16":
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    params = jax.device_put(params)
+
+    from .codec import vocos as VC
+
+    if os.path.exists(vocos_native):
+        vocos_params = jax.device_put(CK.load_native(vocos_native))
+    elif rand:
+        vocos_params = jax.device_put(VC.init_vocos(jax.random.PRNGKey(1)))
+    else:
+        vocos_params = None
+
+    encodec_params = None
+    if os.path.exists(encodec_native):
+        encodec_params = jax.device_put(CK.load_native(encodec_native))
+    elif rand:
+        from .codec import encodec as EC
+
+        encodec_params = jax.device_put(EC.init_encodec(jax.random.PRNGKey(2)))
+
+    _bundle = ModelBundle(
+        params=params,
+        cfg=cfg,
+        ecfg=ecfg,
+        ar=AREngine(params, cfg, ecfg),
+        nar=NAREngine(params, cfg, ecfg),
+        vocos_params=vocos_params,
+        encodec_params=encodec_params,
+        random_weights=rand,
+    )
+    return _bundle
+
+
+def _require_bundle() -> ModelBundle:
+    if _bundle is None:
+        raise RuntimeError("call preload_models() first")
+    return _bundle
+
+
+def _find_prompt(prompt: str) -> str:
+    if os.path.exists(prompt):
+        return prompt
+    for d in PROMPT_SEARCH_DIRS:
+        p = os.path.join(d, prompt + ".npz")
+        if os.path.exists(p):
+            return p
+    raise ValueError(f"Cannot find prompt {prompt}")
+
+
+def _load_prompt(prompt: Optional[str]):
+    """→ (audio_tokens [T,8] int32, text_tokens [S] int32, lang code str)."""
+    if prompt is None:
+        return (
+            np.zeros((0, NUM_QUANTIZERS), np.int32),
+            np.zeros((0,), np.int32),
+            None,
+        )
+    data = np.load(_find_prompt(prompt))
+    audio = np.asarray(data["audio_tokens"], np.int32).reshape(
+        -1, NUM_QUANTIZERS
+    )
+    text = np.asarray(data["text_tokens"], np.int32).reshape(-1)
+    lang_pr = code2lang[int(data["lang_code"])]
+    return audio, text, lang_pr
+
+
+def _synthesize_tokens(
+    bundle: ModelBundle,
+    text: str,
+    audio_prompt: np.ndarray,  # [Tp, 8]
+    text_prompt: np.ndarray,  # [Sp]
+    lang_pr: Optional[str],
+    language: str = "auto",
+    accent: str = "no-accent",
+    best_of: Optional[int] = None,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Text (+ prompts) → [T, 8] EnCodec codes (reference:
+    generation.py:96-146)."""
+    text = text.replace("\n", "").strip(" ")
+    if language == "auto":
+        language = classify(text)
+    lang_token = lang2token[language]
+    lang = token2lang[lang_token]
+    text = lang_token + text + lang_token
+    if lang_pr is None:
+        lang_pr = lang if lang != "mix" else "en"
+
+    phone_tokens, langs = bundle.tokenizer.tokenize(text=f"_{text}".strip())
+    text_ids, _ = bundle.collater([phone_tokens])
+    text_ids = np.concatenate([text_prompt[None], text_ids], axis=1)[0]
+    enroll = len(text_prompt)
+
+    # per-position language ids (accent override: generation.py:137-138)
+    if accent == "no-accent":
+        text_langs = [model_language_id[l] for l in langs]
+    else:
+        accent_lang = token2lang[langdropdown2token[accent]]
+        text_langs = [model_language_id[accent_lang]] * len(langs)
+    lang_ids = np.concatenate(
+        [
+            np.full(enroll, model_language_id[lang_pr], np.int32),
+            np.asarray(text_langs, np.int32),
+        ]
+    )
+
+    gen_cb0, _ = bundle.ar.generate(
+        text_ids.astype(np.int32),
+        lang_ids,
+        audio_prompt[:, 0] if len(audio_prompt) else None,
+        best_of=best_of,
+        temperature=temperature,
+        top_k=top_k,
+        seed=seed,
+    )
+    codes = bundle.nar.generate(
+        text_ids.astype(np.int32),
+        lang_ids,
+        gen_cb0,
+        audio_prompt if len(audio_prompt) else None,
+    )
+    return codes
+
+
+def codes_to_wave(bundle: ModelBundle, codes: np.ndarray) -> np.ndarray:
+    """[T, 8] codes → waveform via the JAX Vocos vocoder."""
+    if bundle.vocos_params is None:
+        raise RuntimeError(
+            "Vocos weights unavailable (convert charactr/vocos-encodec-24khz "
+            "to checkpoints/vocos-jax.npz)"
+        )
+    import jax.numpy as jnp
+
+    from .codec.vocos import vocos_decode_bucketed
+
+    wave = vocos_decode_bucketed(
+        bundle.vocos_params, codes[None], bandwidth_id=2
+    )
+    return np.asarray(wave[0])
+
+
+def generate_audio(
+    text: str,
+    prompt: Optional[str] = None,
+    language: str = "auto",
+    accent: str = "no-accent",
+    *,
+    best_of: Optional[int] = None,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Synthesize one utterance → float waveform @ 24 kHz
+    (reference: generation.py:91-152)."""
+    bundle = _require_bundle()
+    audio_prompt, text_prompt, lang_pr = _load_prompt(prompt)
+    codes = _synthesize_tokens(
+        bundle, text, audio_prompt, text_prompt, lang_pr,
+        language, accent, best_of, temperature, top_k, seed,
+    )
+    return codes_to_wave(bundle, codes)
+
+
+def generate_audio_from_long_text(
+    text: str,
+    prompt: Optional[str] = None,
+    language: str = "auto",
+    accent: str = "no-accent",
+    mode: str = "sliding-window",
+    *,
+    seed: int = 0,
+) -> np.ndarray:
+    """Long-text synthesis by sentence (reference: generation.py:154-276).
+
+    mode='fixed-prompt': every sentence reuses the original prompt.
+    mode='sliding-window': with p=0.5 per sentence, the prompt is replaced
+    by the previous sentence's generated codes + text (generation.py:264-269).
+    """
+    bundle = _require_bundle()
+    if prompt is None:
+        mode = "sliding-window"
+    sentences = split_text_into_sentences(text)
+    audio_prompt, text_prompt, lang_pr = _load_prompt(prompt)
+
+    rng = np.random.RandomState(seed)
+    all_codes: List[np.ndarray] = []
+    cur_audio, cur_text, cur_lang = audio_prompt, text_prompt, lang_pr
+    for i, sent in enumerate(sentences):
+        logger.info("synthesize sentence %d/%d", i + 1, len(sentences))
+        codes = _synthesize_tokens(
+            bundle, sent, cur_audio, cur_text, cur_lang,
+            language, accent, seed=seed + i,
+        )
+        all_codes.append(codes)
+        if mode == "sliding-window" and rng.rand() < 0.5:
+            # swap prompt to this sentence's output
+            lang_token = lang2token[
+                classify(sent) if language == "auto" else language
+            ]
+            s_text = lang_token + sent.replace("\n", "").strip(" ") + lang_token
+            phone_tokens, _ = bundle.tokenizer.tokenize(f"_{s_text}".strip())
+            cur_text = np.asarray(phone_tokens, np.int32)
+            cur_audio = codes[-225:] if len(codes) > 225 else codes
+            cur_lang = classify(sent) if language == "auto" else language
+        elif mode == "sliding-window":
+            cur_audio, cur_text, cur_lang = audio_prompt, text_prompt, lang_pr
+    codes = np.concatenate(all_codes, axis=0)
+    return codes_to_wave(bundle, codes)
+
+
+# ---------------------------------------------------------------------------
+# Prompt making (reference: utils/prompt_making.py)
+# ---------------------------------------------------------------------------
+
+def make_prompt(
+    name: str,
+    audio_prompt_path: str,
+    transcript: Optional[str] = None,
+    *,
+    out_dir: str = "./customs",
+) -> str:
+    """Enrollment clip → .npz voice prompt (reference: prompt_making.py:57-84).
+
+    Without a transcript, Whisper transcription is attempted via local HF
+    weights; if unavailable, a transcript is required (this image has no
+    network access for model downloads).
+    """
+    bundle = _require_bundle()
+    if bundle.encodec_params is None:
+        raise RuntimeError(
+            "EnCodec weights unavailable (convert encodec_24khz to "
+            "checkpoints/encodec-jax.npz)"
+        )
+    from .utils.audio import load_wav
+
+    wav, sr = load_wav(audio_prompt_path, target_sr=SAMPLE_RATE)
+    if len(wav) / SAMPLE_RATE > 15:
+        raise ValueError("Prompt too long, expect length below 15 seconds")
+
+    if transcript is None:
+        from .utils.whisper_transcribe import transcribe
+
+        transcript, lang = transcribe(audio_prompt_path)
+        text = f"{lang2token[lang]}{transcript}{lang2token[lang]}"
+    else:
+        lang = classify(transcript)
+        lang_token = lang2token[lang]
+        text = lang_token + transcript.replace("\n", "") + lang_token
+
+    import jax.numpy as jnp
+
+    from .codec.encodec import encode
+
+    codes = np.asarray(encode(bundle.encodec_params, jnp.asarray(wav[None])))
+
+    phone_tokens, langs = bundle.tokenizer.tokenize(text=f"_{text}".strip())
+    text_ids, _ = bundle.collater([phone_tokens])
+
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"{name}.npz")
+    np.savez(
+        out,
+        audio_tokens=codes.astype(np.int64),
+        text_tokens=text_ids.astype(np.int64),
+        lang_code=np.int32(lang2code[lang]),
+    )
+    return out

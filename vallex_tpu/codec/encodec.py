@@ -142,7 +142,6 @@ def init_encodec(key) -> Params:
                 "res_conv1": _conv_init(next(keys), 3, ch, ch // 2),
                 "res_conv2": _conv_init(next(keys), 1, ch // 2, ch),
                 "down": _conv_init(next(keys), 2 * r, ch, 2 * ch),
-                "ratio": r,
             }
         )
         ch *= 2
@@ -158,7 +157,6 @@ def init_encodec(key) -> Params:
                 "up": _conv_init(next(keys), 2 * r, ch, ch // 2),
                 "res_conv1": _conv_init(next(keys), 3, ch // 2, ch // 4),
                 "res_conv2": _conv_init(next(keys), 1, ch // 4, ch // 2),
-                "ratio": r,
             }
         )
         ch //= 2
@@ -179,7 +177,7 @@ def encode_latent(params: Params, wav: jnp.ndarray) -> jnp.ndarray:
     enc = params["encoder"]
     x = wav[..., None]  # [B, S, 1]
     x = _causal_conv(x, enc["init"]["w"], enc["init"]["b"])
-    for st in enc["stages"]:
+    for st, ratio in zip(enc["stages"], reversed(RATIOS)):
         res = x
         h = _elu(x)
         h = _causal_conv(h, st["res_conv1"]["w"], st["res_conv1"]["b"])
@@ -187,7 +185,7 @@ def encode_latent(params: Params, wav: jnp.ndarray) -> jnp.ndarray:
         h = _causal_conv(h, st["res_conv2"]["w"], st["res_conv2"]["b"])
         x = res + h
         x = _elu(x)
-        x = _causal_conv(x, st["down"]["w"], st["down"]["b"], stride=st["ratio"])
+        x = _causal_conv(x, st["down"]["w"], st["down"]["b"], stride=ratio)
     x = _lstm_apply(enc["lstm"], x)
     x = _elu(x)
     return _causal_conv(x, enc["final"]["w"], enc["final"]["b"])
@@ -223,9 +221,9 @@ def decode_wave(params: Params, latents: jnp.ndarray) -> jnp.ndarray:
     dec = params["decoder"]
     x = _causal_conv(latents, dec["init"]["w"], dec["init"]["b"])
     x = _lstm_apply(dec["lstm"], x)
-    for st in dec["stages"]:
+    for st, ratio in zip(dec["stages"], RATIOS):
         x = _elu(x)
-        x = _causal_conv_transpose(x, st["up"]["w"], st["up"]["b"], st["ratio"])
+        x = _causal_conv_transpose(x, st["up"]["w"], st["up"]["b"], ratio)
         res = x
         h = _elu(x)
         h = _causal_conv(h, st["res_conv1"]["w"], st["res_conv1"]["b"])
@@ -308,7 +306,6 @@ def convert_encodec_state_dict(sd: Dict[str, Any]) -> Params:
                 "res_conv1": conv(f"encoder.model.{i}.block.1"),
                 "res_conv2": conv(f"encoder.model.{i}.block.3"),
                 "down": conv(f"encoder.model.{i + 2}"),
-                "ratio": r,
             }
         )
         i += 3
@@ -324,7 +321,6 @@ def convert_encodec_state_dict(sd: Dict[str, Any]) -> Params:
                 "up": convtr(f"decoder.model.{i}"),
                 "res_conv1": conv(f"decoder.model.{i + 1}.block.1"),
                 "res_conv2": conv(f"decoder.model.{i + 1}.block.3"),
-                "ratio": r,
             }
         )
         i += 3

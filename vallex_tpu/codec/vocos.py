@@ -14,8 +14,9 @@ reference for waveform synthesis (utils/generation.py:89,147-151):
 
 Everything is channels-last [B, T, C] (TPU-friendly; convs lower to MXU
 matmuls over the channel dims). The inverse STFT is jnp.fft.irfft +
-overlap-add via a strided scatter — an exact match of torch.istft
-(center mode) including the window-envelope normalization.
+scatter-free overlap-add (statically shifted hop-strips; TPU scatters
+serialize) — an exact match of torch.istft (center mode) including the
+window-envelope normalization.
 
 Weights load from a converted torch/safetensors checkpoint when available
 (utils/checkpoint-style flat npz); random init otherwise.
@@ -168,18 +169,25 @@ def istft(spec: jnp.ndarray, n_fft: int = N_FFT, hop: int = HOP) -> jnp.ndarray:
     spec: complex [B, T, n_fft//2 + 1] → wave [B, (T-1)*hop].
     """
     B, T, _ = spec.shape
+    assert n_fft % hop == 0, "overlap-add assumes hop | n_fft"
+    R = n_fft // hop  # overlapping frames per hop (4 for Vocos)
     win = jnp.hanning(n_fft + 1)[:-1]  # periodic Hann (torch default)
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win  # [B, T, n_fft]
 
     out_len = n_fft + hop * (T - 1)
-    # overlap-add via segment scatter
-    idx = (jnp.arange(T)[:, None] * hop + jnp.arange(n_fft)[None, :]).reshape(-1)
-    wave = jax.vmap(
-        lambda fr: jnp.zeros((out_len,)).at[idx].add(fr.reshape(-1))
-    )(frames)
-    env = jnp.zeros((out_len,)).at[idx].add(
-        jnp.broadcast_to(win**2, (T, n_fft)).reshape(-1)
-    )
+    # scatter-free overlap-add: split each frame into R hop-sized strips and
+    # sum the R statically-shifted strip tracks (TPU scatters serialize)
+    strips = frames.reshape(B, T, R, hop)
+    out_blocks = jnp.zeros((B, T + R - 1, hop), frames.dtype)
+    env_strips = (win**2).reshape(R, hop)
+    env_blocks = jnp.zeros((T + R - 1, hop))
+    for j in range(R):
+        out_blocks = out_blocks.at[:, j : j + T].add(strips[:, :, j])
+        env_blocks = env_blocks.at[j : j + T].add(
+            jnp.broadcast_to(env_strips[j], (T, hop))
+        )
+    wave = out_blocks.reshape(B, out_len)
+    env = env_blocks.reshape(out_len)
     wave = wave / jnp.maximum(env, 1e-11)
     # center trim n_fft//2 from both ends
     return wave[:, n_fft // 2 : out_len - n_fft // 2]
@@ -201,6 +209,42 @@ def vocos_decode(
     feats = codes_to_features(params, codes)
     x = backbone_apply(params, feats, jnp.asarray(bandwidth_id))
     return head_apply(params, x)
+
+
+# Frame-count buckets for the jitted decode path (recompile per bucket, not
+# per utterance length).
+DECODE_BUCKETS = (256, 512, 1024, 2048)
+
+_decode_jit = None
+
+
+def vocos_decode_bucketed(
+    params: Params, codes, bandwidth_id: int = 2
+) -> "jnp.ndarray":
+    """Jit-compiled decode with zero-padded frame buckets.
+
+    Zero-padding matches the conv stack's own zero boundary handling, so
+    frames away from the junction are bit-identical to an unpadded run; only
+    the final ~2 hops of overlap-add see the padded frames.
+    """
+    global _decode_jit
+    import functools
+
+    import numpy as np
+
+    if _decode_jit is None:
+        _decode_jit = jax.jit(
+            vocos_decode, static_argnames=("bandwidth_id",)
+        )
+    codes = np.asarray(codes)
+    B, T, Q = codes.shape
+    bucket = next((b for b in DECODE_BUCKETS if T <= b), None)
+    if bucket is None:
+        bucket = T  # beyond the largest bucket: compile exact size
+    padded = np.zeros((B, bucket, Q), codes.dtype)
+    padded[:, :T] = codes
+    wave = _decode_jit(params, jnp.asarray(padded), bandwidth_id=bandwidth_id)
+    return wave[:, : (T - 1) * HOP]
 
 
 # ---------------------------------------------------------------------------

@@ -124,9 +124,9 @@ class EngineConfig:
 
     # Static sequence-length buckets to avoid XLA recompiles.
     # Text (phoneme) buckets cover prompt-text + synthesis-text lengths.
-    text_buckets: Tuple[int, ...] = (64, 128, 256)
+    text_buckets: Tuple[int, ...] = (128, 256)
     # Total audio-frame buckets (prompt frames + generated frames + BOS).
-    audio_buckets: Tuple[int, ...] = (512, 1024, 2048)
+    audio_buckets: Tuple[int, ...] = (512, 1024, 1792)
     best_of: int = 1
     length_penalty: float = 1.0
     top_k: int = -100
@@ -138,6 +138,9 @@ class EngineConfig:
     # Hard cap mirroring the reference's `y_len > 16 * x_len` stop
     # (models/vallex.py:575-577).
     max_len_ratio: int = 16
+    # Use the Pallas fused decode-attention kernel (auto-disabled on CPU).
+    # Requires text buckets to be multiples of 128.
+    use_pallas_decode: bool = True
 
 
 DEFAULT_MODEL_CONFIG = ModelConfig()
