@@ -1,0 +1,68 @@
+"""Benchmark: end-to-end synthesis RTF on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full pipeline (text frontend → AR Pallas decode → 7-stage NAR →
+Vocos vocoder → waveform) at the shipped model size (2×150M params, d=1024)
+on a ~11 s utterance with a preset voice prompt. Weights are random when the
+converted checkpoint is absent (this image has no network egress) — the
+compute graph, shapes and step counts are identical to real-weight serving,
+so RTF is representative.
+
+vs_baseline is measured against the driver's north-star target
+RTF ≤ 0.05 (≥20× real-time, BASELINE.json): vs_baseline = 0.05 / RTF.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import numpy as np
+
+    from vallex_tpu import api
+    from vallex_tpu.config import SAMPLE_RATE, EngineConfig
+
+    ecfg = EngineConfig(text_buckets=(256,), audio_buckets=(1024,))
+    api.preload_models(
+        "./checkpoints", random_weights=True, ecfg=ecfg
+    )
+
+    text = (
+        "The quick brown fox jumps over the lazy dog while the curious "
+        "cat watches from a sunny window sill nearby."
+    )
+
+    # warm-up: compile every program in the pipeline
+    wave = api.generate_audio(text, prompt="paimon", top_k=1, seed=0)
+
+    times = []
+    dur = None
+    for seed in (1, 2, 3):
+        t0 = time.time()
+        wave = api.generate_audio(text, prompt="paimon", top_k=1, seed=seed)
+        times.append(time.time() - t0)
+        dur = len(wave) / SAMPLE_RATE
+
+    wall = min(times)
+    rtf = wall / dur
+    result = {
+        "metric": "rtf",
+        "value": round(rtf, 4),
+        "unit": "wall-sec per audio-sec (full pipeline, 1 chip)",
+        "vs_baseline": round(0.05 / rtf, 3),
+        "detail": {
+            "audio_seconds": round(dur, 2),
+            "wall_seconds": round(wall, 3),
+            "xrt": round(dur / wall, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

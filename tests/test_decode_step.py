@@ -1,0 +1,92 @@
+"""Megakernel (fused 12-layer decode step) vs plain layer math (interpret)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vallex_tpu.models import layers as L
+
+
+@pytest.mark.parametrize("x_len,pos", [(100, 3), (128, 200)])
+def test_megakernel_matches_layer_math(x_len, pos, monkeypatch):
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
+    import importlib
+
+    from vallex_tpu.ops import decode_step as DS
+
+    importlib.reload(DS)
+
+    rng = jax.random.PRNGKey(0)
+    NL, B, H, D, F = 3, 1, 4, 256, 512
+    hd = D // H
+    C, s_text = 512, 128
+    N = B * H * hd
+
+    layers = [
+        L.init_encoder_layer(k, D, F, adaptive=False)
+        for k in jax.random.split(rng, NL)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    kx, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(kx, (B, 1, D), jnp.float32)
+    cache_k = jax.random.normal(kk, (NL, B, H, C, hd), jnp.float32)
+    cache_v = jax.random.normal(kv, (NL, B, H, C, hd), jnp.float32)
+    slot = s_text + pos
+
+    # reference: per-layer XLA decode step
+    kv_mask = jnp.where(
+        jnp.logical_or(
+            jnp.arange(C)[None, None, None, :] < x_len,
+            jnp.logical_and(
+                jnp.arange(C)[None, None, None, :] >= s_text,
+                jnp.arange(C)[None, None, None, :] <= slot,
+            ),
+        ),
+        0.0,
+        -1e9,
+    )
+    h_ref = x
+    cks, cvs = list(cache_k), list(cache_v)
+    for i in range(NL):
+        lp = jax.tree.map(lambda a, i=i: a[i], stacked)
+        h_ref, cks[i], cvs[i] = L.encoder_layer_decode_step(
+            lp, h_ref, cks[i], cvs[i], slot, H, kv_mask
+        )
+
+    # megakernel
+    from vallex_tpu.ops.decode_attention import pack_cache
+
+    lw = DS.pack_layer_weights(stacked, dtype=jnp.float32)
+    ck_packed = jnp.stack([pack_cache(cache_k[i]) for i in range(NL)])
+    cv_packed = jnp.stack([pack_cache(cache_v[i]) for i in range(NL)])
+    h_out, ck2, cv2 = DS.decode_step(
+        x[:, 0], lw, ck_packed, cv_packed,
+        jnp.asarray(x_len), jnp.asarray(pos),
+        s_text=s_text, num_heads=H,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(h_out), np.asarray(h_ref[:, 0]), atol=2e-3
+    )
+    for i in range(NL):
+        np.testing.assert_allclose(
+            np.asarray(ck2[i]),
+            np.asarray(pack_cache(cks[i])),
+            atol=2e-3,
+            err_msg=f"cache_k layer {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(cv2[i]),
+            np.asarray(pack_cache(cvs[i])),
+            atol=2e-3,
+            err_msg=f"cache_v layer {i}",
+        )
+
+    importlib.reload(DS)

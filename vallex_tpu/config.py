@@ -138,9 +138,12 @@ class EngineConfig:
     # Hard cap mirroring the reference's `y_len > 16 * x_len` stop
     # (models/vallex.py:575-577).
     max_len_ratio: int = 16
-    # Use the Pallas fused decode-attention kernel (auto-disabled on CPU).
-    # Requires text buckets to be multiples of 128.
-    use_pallas_decode: bool = True
+    # AR decode implementation: "megakernel" (one fused pallas_call for all
+    # layers — fastest), "pallas" (per-layer fused attention kernel), "xla"
+    # (pure XLA scan — the only mode that runs on CPU), or "auto"
+    # (megakernel on TPU, xla elsewhere). Pallas modes need text buckets to
+    # be multiples of 128.
+    decode_mode: str = "auto"
 
 
 DEFAULT_MODEL_CONFIG = ModelConfig()
