@@ -25,7 +25,7 @@ def test_megakernel_matches_layer_math(x_len, pos, monkeypatch):
     rng = jax.random.PRNGKey(0)
     NL, B, H, D, F = 3, 1, 4, 256, 512
     hd = D // H
-    C, s_text = 512, 128
+    C, s_text = 640, 128  # C - s_text must be a multiple of ABLK (512)
     N = B * H * hd
 
     layers = [
@@ -33,6 +33,13 @@ def test_megakernel_matches_layer_math(x_len, pos, monkeypatch):
         for k in jax.random.split(rng, NL)
     ]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    final_norm = L.init_layer_norm(D)
+    final_norm = {
+        "scale": jax.random.normal(jax.random.PRNGKey(7), (D,)) * 0.1 + 1.0,
+        "bias": jax.random.normal(jax.random.PRNGKey(8), (D,)) * 0.1,
+    }
+    V = 1025
+    wpred = jax.random.normal(jax.random.PRNGKey(9), (D, V)) * 0.05
 
     kx, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
     x = jax.random.normal(kx, (B, 1, D), jnp.float32)
@@ -60,20 +67,27 @@ def test_megakernel_matches_layer_math(x_len, pos, monkeypatch):
             lp, h_ref, cks[i], cvs[i], slot, H, kv_mask
         )
 
+    # reference logits: final norm + prediction head
+    logits_ref = jnp.dot(
+        L.layer_norm_apply(final_norm, h_ref[:, 0]), wpred
+    )
+
     # megakernel
     from vallex_tpu.ops.decode_attention import pack_cache
 
-    lw = DS.pack_layer_weights(stacked, dtype=jnp.float32)
+    lw = DS.pack_layer_weights(
+        stacked, dtype=jnp.float32, final_norm=final_norm, predict_w=wpred
+    )
     ck_packed = jnp.stack([pack_cache(cache_k[i]) for i in range(NL)])
     cv_packed = jnp.stack([pack_cache(cache_v[i]) for i in range(NL)])
-    h_out, ck2, cv2 = DS.decode_step(
+    logits_pad, ck2, cv2 = DS.decode_step(
         x[:, 0], lw, ck_packed, cv_packed,
         jnp.asarray(x_len), jnp.asarray(pos),
         s_text=s_text, num_heads=H,
     )
-
+    assert logits_pad.shape[-1] == 1152  # 1025 padded to lane multiple
     np.testing.assert_allclose(
-        np.asarray(h_out), np.asarray(h_ref[:, 0]), atol=2e-3
+        np.asarray(logits_pad[:, :V]), np.asarray(logits_ref), atol=2e-3
     )
     for i in range(NL):
         np.testing.assert_allclose(

@@ -33,6 +33,7 @@ from .config import (
     token2lang,
 )
 from .engine import AREngine, NAREngine
+from .engine.pipeline import SynthesisPipeline
 from .frontend import PhonemeTokenizer, get_text_token_collater
 from .frontend.langid import classify
 from .frontend.sentence import split_text_into_sentences
@@ -58,6 +59,7 @@ class ModelBundle:
     ecfg: EngineConfig
     ar: AREngine
     nar: NAREngine
+    pipeline: Optional[SynthesisPipeline] = None
     vocos_params: Optional[Dict[str, Any]] = None
     encodec_params: Optional[Dict[str, Any]] = None
     tokenizer: PhonemeTokenizer = field(default_factory=PhonemeTokenizer)
@@ -145,6 +147,7 @@ def preload_models(
         ecfg=ecfg,
         ar=AREngine(params, cfg, ecfg),
         nar=NAREngine(params, cfg, ecfg),
+        pipeline=SynthesisPipeline(params, cfg, ecfg, vocos_params),
         vocos_params=vocos_params,
         encodec_params=encodec_params,
         random_weights=rand,
@@ -185,21 +188,16 @@ def _load_prompt(prompt: Optional[str]):
     return audio, text, lang_pr
 
 
-def _synthesize_tokens(
+def _prepare_text(
     bundle: ModelBundle,
     text: str,
-    audio_prompt: np.ndarray,  # [Tp, 8]
     text_prompt: np.ndarray,  # [Sp]
     lang_pr: Optional[str],
     language: str = "auto",
     accent: str = "no-accent",
-    best_of: Optional[int] = None,
-    temperature: Optional[float] = None,
-    top_k: Optional[int] = None,
-    seed: int = 0,
-) -> np.ndarray:
-    """Text (+ prompts) → [T, 8] EnCodec codes (reference:
-    generation.py:96-146)."""
+):
+    """Text + prompt text → (text_ids [S], per-position lang_ids [S])
+    following the reference prologue (generation.py:96-138)."""
     text = text.replace("\n", "").strip(" ")
     if language == "auto":
         language = classify(text)
@@ -226,21 +224,36 @@ def _synthesize_tokens(
             np.asarray(text_langs, np.int32),
         ]
     )
+    return text_ids.astype(np.int32), lang_ids
 
-    gen_cb0, _ = bundle.ar.generate(
-        text_ids.astype(np.int32),
+
+def _synthesize_tokens(
+    bundle: ModelBundle,
+    text: str,
+    audio_prompt: np.ndarray,  # [Tp, 8]
+    text_prompt: np.ndarray,  # [Sp]
+    lang_pr: Optional[str],
+    language: str = "auto",
+    accent: str = "no-accent",
+    best_of: Optional[int] = None,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Text (+ prompts) → [T, 8] EnCodec codes (reference:
+    generation.py:96-146)."""
+    text_ids, lang_ids = _prepare_text(
+        bundle, text, text_prompt, lang_pr, language, accent
+    )
+    codes, _ = bundle.pipeline.synthesize(
+        text_ids,
         lang_ids,
-        audio_prompt[:, 0] if len(audio_prompt) else None,
+        audio_prompt if len(audio_prompt) else None,
         best_of=best_of,
         temperature=temperature,
         top_k=top_k,
         seed=seed,
-    )
-    codes = bundle.nar.generate(
-        text_ids.astype(np.int32),
-        lang_ids,
-        gen_cb0,
-        audio_prompt if len(audio_prompt) else None,
+        return_wave=False,
     )
     return codes
 
@@ -277,11 +290,18 @@ def generate_audio(
     (reference: generation.py:91-152)."""
     bundle = _require_bundle()
     audio_prompt, text_prompt, lang_pr = _load_prompt(prompt)
-    codes = _synthesize_tokens(
-        bundle, text, audio_prompt, text_prompt, lang_pr,
-        language, accent, best_of, temperature, top_k, seed,
+    text_ids, lang_ids = _prepare_text(
+        bundle, text, text_prompt, lang_pr, language, accent
     )
-    return codes_to_wave(bundle, codes)
+    codes, wave = bundle.pipeline.synthesize(
+        text_ids, lang_ids,
+        audio_prompt if len(audio_prompt) else None,
+        best_of=best_of, temperature=temperature, top_k=top_k, seed=seed,
+        return_wave=bundle.vocos_params is not None,
+    )
+    if wave is None:
+        return codes_to_wave(bundle, codes)
+    return wave
 
 
 def generate_audio_from_long_text(

@@ -172,7 +172,26 @@ def istft(spec: jnp.ndarray, n_fft: int = N_FFT, hop: int = HOP) -> jnp.ndarray:
     assert n_fft % hop == 0, "overlap-add assumes hop | n_fft"
     R = n_fft // hop  # overlapping frames per hop (4 for Vocos)
     win = jnp.hanning(n_fft + 1)[:-1]  # periodic Hann (torch default)
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win  # [B, T, n_fft]
+    # irfft as an explicit DFT matmul: XLA's TPU FFT lowering costs ~50 ms
+    # for this shape; the equivalent [T,F]x[F,n_fft] matmuls are sub-ms on
+    # the MXU and exact in fp32.
+    #   x[n] = 1/N * sum_k w_k (Re X_k cos(2πkn/N) - Im X_k sin(2πkn/N)),
+    #   w_k = 2 except w_0 = w_{N/2} = 1  (Hermitian one-sided spectrum)
+    F_bins = n_fft // 2 + 1
+    k = jnp.arange(F_bins, dtype=jnp.float32)[:, None]
+    n = jnp.arange(n_fft, dtype=jnp.float32)[None, :]
+    wk = jnp.where((k == 0) | (k == n_fft // 2), 1.0, 2.0) / n_fft
+    ang = 2.0 * jnp.pi * k * n / n_fft
+    c_re = wk * jnp.cos(ang)  # [F, n_fft]
+    c_im = -wk * jnp.sin(ang)
+    frames = (
+        jnp.einsum("btf,fn->btn", jnp.real(spec).astype(jnp.float32), c_re,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        + jnp.einsum("btf,fn->btn", jnp.imag(spec).astype(jnp.float32), c_im,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    ) * win  # [B, T, n_fft]
 
     out_len = n_fft + hop * (T - 1)
     # scatter-free overlap-add: split each frame into R hop-sized strips and

@@ -126,7 +126,7 @@ class EngineConfig:
     # Text (phoneme) buckets cover prompt-text + synthesis-text lengths.
     text_buckets: Tuple[int, ...] = (128, 256)
     # Total audio-frame buckets (prompt frames + generated frames + BOS).
-    audio_buckets: Tuple[int, ...] = (512, 1024, 1792)
+    audio_buckets: Tuple[int, ...] = (512, 1024, 2048)
     best_of: int = 1
     length_penalty: float = 1.0
     top_k: int = -100

@@ -1,0 +1,178 @@
+"""Device-resident synthesis pipeline: AR → NAR → Vocos without host syncs.
+
+Through the remote-execution tunnel every host round-trip costs ~30 ms; the
+naive flow (AR result to numpy → build NAR inputs → NAR result to numpy →
+Vocos) pays three of them per utterance. Here every phase handoff stays on
+device — the NAR input assembly and the prompt-region shift before the
+vocoder are jitted — and the host syncs exactly once, at the end, to trim
+the waveform to the generated length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, ModelConfig
+from .ar import ARResult, _bucket, ar_generate
+from .nar import nar_generate
+
+Params = Dict[str, Any]
+
+
+@functools.partial(jax.jit, static_argnames=("t_audio", "eos"))
+def _assemble_nar_input(
+    ar_tokens: jnp.ndarray,  # [B, t_audio] best-beam buffer (BOS+prompt+gen)
+    best: jnp.ndarray,  # []
+    prompt_codes_pad: jnp.ndarray,  # [1, t_audio, 8] prompt rows filled
+    *,
+    t_audio: int,
+    eos: int,
+):
+    """→ codes_in [1, t_audio, 8]: cb0 from the AR buffer (BOS stripped),
+    cb1..7 from the prompt rows."""
+    y = ar_tokens[best]  # [t_audio]
+    cb0 = jnp.concatenate([y[1:], jnp.full((1,), eos, y.dtype)])
+    return prompt_codes_pad.at[..., 0].set(cb0[None])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _shift_out_prompt(
+    codes: jnp.ndarray, prompt_len: jnp.ndarray, gen_len: jnp.ndarray
+):
+    """Roll the prompt region out so row 0 is the first generated frame, and
+    zero the rows beyond gen_len — rolled padding would otherwise feed
+    arbitrary codebook sums into the vocoder (with random test weights the
+    exp(log-mag) head overflows and the NaNs bleed back through the ISTFT
+    overlap-add into the valid tail)."""
+    shifted = jnp.roll(codes, -prompt_len, axis=1)
+    rows = jnp.arange(shifted.shape[1])[None, :, None]
+    return jnp.where(rows < gen_len, shifted, 0)
+
+
+class SynthesisPipeline:
+    """AR + NAR (+ optional Vocos) with device-resident phase handoff."""
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: ModelConfig,
+        ecfg: EngineConfig,
+        vocos_params: Optional[Params] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.vocos_params = vocos_params
+        from ..codec.vocos import vocos_decode
+
+        # one jit instance — re-wrapping per call would recompile every time
+        self._vocos_jit = jax.jit(
+            vocos_decode, static_argnames=("bandwidth_id",)
+        )
+        mode = getattr(ecfg, "decode_mode", "auto")
+        if mode == "auto":
+            mode = (
+                "megakernel" if jax.default_backend() not in ("cpu",) else "xla"
+            )
+        self.decode_mode = mode
+
+    def synthesize(
+        self,
+        text_ids: np.ndarray,  # [S]
+        lang_ids: np.ndarray,  # [S]
+        prompt_codes: Optional[np.ndarray] = None,  # [Tp, 8]
+        *,
+        best_of: Optional[int] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        temperature: Optional[float] = None,
+        seed: int = 0,
+        return_wave: bool = True,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """→ (codes [T_gen, 8], wave or None)."""
+        e = self.ecfg
+        cfg = self.cfg
+        best_of = best_of or e.best_of
+        top_k = e.top_k if top_k is None else top_k
+        top_p = e.top_p if top_p is None else top_p
+        temperature = e.temperature if temperature is None else temperature
+
+        S = len(text_ids)
+        s_text = _bucket(S, e.text_buckets)
+        prompt = (
+            np.zeros((0, cfg.num_quantizers), np.int32)
+            if prompt_codes is None
+            else np.asarray(prompt_codes, np.int32)
+        )
+        Tp = len(prompt)
+        p_audio = _bucket(Tp + 1, e.audio_buckets)
+        t_audio = _bucket(
+            min(Tp + 1 + 16 * S + 1, e.audio_buckets[-1]), e.audio_buckets
+        )
+        p_audio = min(p_audio, t_audio)
+
+        text_pad = np.zeros((1, s_text), np.int32)
+        text_pad[0, :S] = text_ids
+        lang_pad = np.zeros((1, s_text), np.int32)
+        lang_pad[0, :S] = lang_ids
+        prompt_pad = np.zeros((1, p_audio - 1), np.int32)
+        prompt_pad[0, :Tp] = prompt[:, 0]
+        prompt_codes_pad = np.zeros((1, t_audio, cfg.num_quantizers), np.int32)
+        prompt_codes_pad[0, :Tp] = prompt
+
+        # --- AR (device) ---------------------------------------------------
+        res: ARResult = ar_generate(
+            self.params, cfg,
+            jnp.asarray(text_pad), jnp.asarray(lang_pad),
+            jnp.asarray(S, jnp.int32),
+            jnp.asarray(prompt_pad), jnp.asarray(Tp, jnp.int32),
+            jax.random.PRNGKey(seed),
+            jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
+            jnp.asarray(temperature, jnp.float32),
+            s_text=s_text, p_audio=p_audio, t_audio=t_audio,
+            beams=best_of, compute_dtype=e.compute_dtype,
+            length_penalty=e.length_penalty,
+            decode_mode=self.decode_mode,
+            plain_sampling=bool((top_k <= 0 or top_k == 1) and top_p >= 1.0),
+        )
+
+        # --- NAR (device handoff) -------------------------------------------
+        codes_in = _assemble_nar_input(
+            res.tokens, res.best_beam, jnp.asarray(prompt_codes_pad),
+            t_audio=t_audio, eos=cfg.eos_id,
+        )
+        prompt_len_dev = jnp.asarray(Tp, jnp.int32)
+        t_len = prompt_len_dev + res.gen_len.astype(jnp.int32)
+        codes = nar_generate(
+            self.params, cfg,
+            jnp.asarray(text_pad), jnp.asarray(lang_pad),
+            jnp.asarray(S, jnp.int32),
+            codes_in, t_len, prompt_len_dev,
+            s_text=s_text, t_audio=t_audio,
+            compute_dtype=e.compute_dtype,
+        )
+        gen_codes = _shift_out_prompt(
+            codes, prompt_len_dev, res.gen_len.astype(jnp.int32)
+        )
+
+        # --- Vocos (device) -------------------------------------------------
+        wave_dev = None
+        if return_wave and self.vocos_params is not None:
+            wave_dev = self._vocos_jit(
+                self.vocos_params, gen_codes, bandwidth_id=2
+            )
+
+        # --- single host sync -------------------------------------------------
+        gen_len = int(res.gen_len)
+        codes_np = np.asarray(gen_codes[0, :gen_len])
+        if wave_dev is not None:
+            from ..codec.vocos import HOP
+
+            wave = np.asarray(wave_dev[0, : max(gen_len - 1, 0) * HOP])
+            return codes_np, wave
+        return codes_np, None

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 128  # cache slots per DMA block
+ABLK = 512  # audio cache slots per DMA block (big: fewer sem waits)
 
 
 def _kernel(
@@ -53,10 +53,13 @@ def _kernel(
     ln1b_ref,  # [1, 1, D]
     ln2s_ref,  # [1, 1, D]
     ln2b_ref,  # [1, 1, D]
+    fns_ref,  # [1, D] final-norm scale
+    fnb_ref,  # [1, D] final-norm bias
+    wpred_ref,  # [D, VP] prediction head (vocab padded to a lane multiple)
     cache_k_hbm,  # [NL, C, N] HBM
     cache_v_hbm,  # [NL, C, N] HBM
     # outputs
-    h_out_ref,  # [B, D] VMEM — final hidden (pre final-norm)
+    logits_ref,  # [B, VP] VMEM — next-token logits (padded vocab)
     newk_ref,  # [1, B, N] VMEM block of [NL, B, N]
     newv_ref,  # [1, B, N]
     # scratch
@@ -112,35 +115,65 @@ def _kernel(
     group_id = jax.lax.broadcasted_iota(jnp.int32, (N, G), 1)
     sel = (lane_group == group_id).astype(jnp.float32)
 
-    audio_block0 = s_text // BLK
-    n_text = pl.cdiv(x_len, BLK)
-    n_audio = pos // BLK + 1
-    total = n_text + n_audio
+    # Valid cache rows form two runs: [0, x_len) text and [s_text, slot)
+    # audio. The text run is ONE static DMA of s_text rows (padding rows are
+    # masked); audio uses ABLK-row blocks — big blocks keep semaphore waits
+    # at ~3 per layer instead of ~10.
+    n_audio = pos // ABLK + 1
+    total = 1 + n_audio  # ordinal 0 = text, 1.. = audio blocks
 
-    def block_of(i):
-        return jnp.where(i < n_text, i, audio_block0 + (i - n_text))
+    def text_dma(buf_slot):
+        return (
+            pltpu.make_async_copy(
+                cache_k_hbm.at[layer, pl.ds(0, s_text), :],
+                kbuf.at[buf_slot, pl.ds(0, s_text), :],
+                sems.at[buf_slot, 0],
+            ),
+            pltpu.make_async_copy(
+                cache_v_hbm.at[layer, pl.ds(0, s_text), :],
+                vbuf.at[buf_slot, pl.ds(0, s_text), :],
+                sems.at[buf_slot, 1],
+            ),
+        )
+
+    def audio_dma(i, buf_slot):
+        start = s_text + pl.multiple_of((i - 1) * ABLK, ABLK)
+        return (
+            pltpu.make_async_copy(
+                cache_k_hbm.at[layer, pl.ds(start, ABLK), :],
+                kbuf.at[buf_slot], sems.at[buf_slot, 0],
+            ),
+            pltpu.make_async_copy(
+                cache_v_hbm.at[layer, pl.ds(start, ABLK), :],
+                vbuf.at[buf_slot], sems.at[buf_slot, 1],
+            ),
+        )
 
     def start_dma(i, buf_slot):
-        start = pl.multiple_of(block_of(i) * BLK, BLK)
-        pltpu.make_async_copy(
-            cache_k_hbm.at[layer, pl.ds(start, BLK), :],
-            kbuf.at[buf_slot], sems.at[buf_slot, 0],
-        ).start()
-        pltpu.make_async_copy(
-            cache_v_hbm.at[layer, pl.ds(start, BLK), :],
-            vbuf.at[buf_slot], sems.at[buf_slot, 1],
-        ).start()
+        @pl.when(i == 0)
+        def _():
+            a, b = text_dma(buf_slot)
+            a.start()
+            b.start()
+
+        @pl.when(i != 0)
+        def _():
+            a, b = audio_dma(i, buf_slot)
+            a.start()
+            b.start()
 
     def wait_dma(i, buf_slot):
-        start = pl.multiple_of(block_of(i) * BLK, BLK)
-        pltpu.make_async_copy(
-            cache_k_hbm.at[layer, pl.ds(start, BLK), :],
-            kbuf.at[buf_slot], sems.at[buf_slot, 0],
-        ).wait()
-        pltpu.make_async_copy(
-            cache_v_hbm.at[layer, pl.ds(start, BLK), :],
-            vbuf.at[buf_slot], sems.at[buf_slot, 1],
-        ).wait()
+        @pl.when(i == 0)
+        def _():
+            a, b = text_dma(buf_slot)
+            a.wait()
+            b.wait()
+
+        @pl.when(i != 0)
+        def _():
+            a, b = audio_dma(i, buf_slot)
+            a.wait()
+            b.wait()
 
     start_dma(0, 0)
     qf = q[0]  # [N] f32
@@ -154,18 +187,30 @@ def _kernel(
             start_dma(i + 1, jax.lax.rem(i + 1, 2))
 
         wait_dma(i, buf_slot)
-        kb = kbuf[buf_slot].astype(jnp.float32)  # [BLK, N]
-        vb = vbuf[buf_slot].astype(jnp.float32)
+        # cache-row index of each buffer row (text rows beyond the copied
+        # s_text hold stale data; audio rows offset by block)
+        base = jnp.where(i == 0, 0, s_text + (i - 1) * ABLK)
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, (ABLK, 1), 0)
+        # (scalar-conditioned select over bool vectors doesn't legalize in
+        # Mosaic; broadcasted logical ops do)
+        is_text = i == 0
+        ok = jnp.logical_or(
+            jnp.logical_and(
+                is_text, jnp.logical_and(rows < x_len, rows < s_text)
+            ),
+            jnp.logical_and(
+                jnp.logical_not(is_text),
+                jnp.logical_and(rows >= s_text, rows < slot),
+            ),
+        )
+        # zero stale/invalid rows — uninitialized VMEM can hold NaN bit
+        # patterns, and 0·NaN would poison the p·V accumulation
+        kb = jnp.where(ok, kbuf[buf_slot].astype(jnp.float32), 0.0)
+        vb = jnp.where(ok, vbuf[buf_slot].astype(jnp.float32), 0.0)
 
         s = jax.lax.dot(
             kb * qf[None, :], sel, preferred_element_type=jnp.float32
-        ) * scale  # [BLK, G]
-
-        b = block_of(i)
-        rows = b * BLK + jax.lax.broadcasted_iota(jnp.int32, (BLK, 1), 0)
-        ok = jnp.logical_or(
-            rows < x_len, jnp.logical_and(rows >= s_text, rows < slot)
-        )
+        ) * scale  # [ABLK, G]
         s = jnp.where(ok, s, -1e30)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=0, keepdims=True))
@@ -228,9 +273,18 @@ def _kernel(
 
     h_acc[...] = h
 
+    # final norm + prediction head fused into the last layer's step
     @pl.when(layer == num_layers - 1)
     def _():
-        h_out_ref[...] = h.astype(h_out_ref.dtype)
+        hf = ln(
+            h,
+            fns_ref[0].astype(jnp.float32),
+            fnb_ref[0].astype(jnp.float32),
+        )
+        logits_ref[...] = jax.lax.dot(
+            hf.astype(wpred_ref.dtype), wpred_ref[...],
+            preferred_element_type=jnp.float32,
+        ).astype(logits_ref.dtype)
 
 
 @functools.partial(
@@ -247,11 +301,13 @@ def decode_step(
     s_text: int,
     num_heads: int,
 ):
-    """→ (h [B, D] pre-final-norm, cache_k', cache_v')."""
+    """→ (logits [B, VP] fp32 (vocab lane-padded), cache_k', cache_v')."""
     B, D = x.shape
     NL, C, N = cache_k.shape
     F = layer_weights["w1"].shape[-1]
-    assert C % BLK == 0 and s_text % BLK == 0
+    VP = layer_weights["wpred"].shape[-1]
+    assert s_text <= ABLK and (C - s_text) % ABLK == 0, (C, s_text)
+    assert s_text % 128 == 0
 
     lw = layer_weights
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -271,32 +327,37 @@ def decode_step(
             pl.BlockSpec((1, 1, D), lambda l, *_: (l, 0, 0)),
             pl.BlockSpec((1, 1, D), lambda l, *_: (l, 0, 0)),
             pl.BlockSpec((1, 1, D), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, D), lambda l, *_: (0, 0)),
+            pl.BlockSpec((1, D), lambda l, *_: (0, 0)),
+            pl.BlockSpec((D, VP), lambda l, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=(
-            pl.BlockSpec((B, D), lambda l, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (B, VP), lambda l, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((1, B, N), lambda l, *_: (l, 0, 0)),
             pl.BlockSpec((1, B, N), lambda l, *_: (l, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.float32),
-            pltpu.VMEM((2, BLK, N), cache_k.dtype),
-            pltpu.VMEM((2, BLK, N), cache_v.dtype),
+            pltpu.VMEM((2, ABLK, N), cache_k.dtype),
+            pltpu.VMEM((2, ABLK, N), cache_v.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
-    h, newk, newv = pl.pallas_call(
+    logits, newk, newv = pl.pallas_call(
         functools.partial(_kernel, s_text=s_text, num_heads=num_heads),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, D), x.dtype),
+            jax.ShapeDtypeStruct((B, VP), jnp.float32),
             jax.ShapeDtypeStruct((NL, B, N), cache_k.dtype),
             jax.ShapeDtypeStruct((NL, B, N), cache_v.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
     )(
         x_len.astype(jnp.int32)[None],
@@ -305,6 +366,7 @@ def decode_step(
         lw["wqkv"], lw["bqkv"], lw["wout"], lw["bout"],
         lw["w1"], lw["b1"], lw["w2"], lw["b2"],
         lw["ln1s"], lw["ln1b"], lw["ln2s"], lw["ln2b"],
+        lw["fns"], lw["fnb"], lw["wpred"],
         cache_k, cache_v,
     )
     slot = s_text + audio_pos.astype(jnp.int32)
@@ -314,11 +376,21 @@ def decode_step(
     cv = jax.lax.dynamic_update_slice(
         cache_v, newv.astype(cache_v.dtype), (0, slot, 0)
     )
-    return h, ck, cv
+    return logits, ck, cv
 
 
-def pack_layer_weights(layers: dict, dtype=jnp.bfloat16) -> dict:
-    """Engine param stack → the megakernel's flat stacked-weight dict."""
+VOCAB_PAD = 128  # pad the prediction vocab to a lane multiple
+
+
+def pack_layer_weights(
+    layers: dict, dtype=jnp.bfloat16, final_norm=None, predict_w=None
+) -> dict:
+    """Engine param stack → the megakernel's flat stacked-weight dict.
+
+    final_norm: {'scale','bias'} of the stack's last LayerNorm;
+    predict_w: [D, V] prediction head (V lane-padded with -inf-safe zeros;
+    the engine masks logits beyond the true vocab).
+    """
     sa = layers["self_attn"]
 
     def vec(a):  # [NL, dim] → [NL, 1, dim] so blocks equal trailing dims
@@ -337,4 +409,15 @@ def pack_layer_weights(layers: dict, dtype=jnp.bfloat16) -> dict:
         "ln1b": vec(layers["norm1"]["bias"]),
         "ln2s": vec(layers["norm2"]["scale"]),
         "ln2b": vec(layers["norm2"]["bias"]),
+        "fns": final_norm["scale"][None, :].astype(dtype),
+        "fnb": final_norm["bias"][None, :].astype(dtype),
+        "wpred": _pad_vocab(predict_w).astype(dtype),
     }
+
+
+def _pad_vocab(w):
+    D, V = w.shape
+    VP = -(-V // VOCAB_PAD) * VOCAB_PAD
+    if VP == V:
+        return w
+    return jnp.concatenate([w, jnp.zeros((D, VP - V), w.dtype)], axis=1)
