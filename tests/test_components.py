@@ -1,0 +1,211 @@
+"""Tests for the auxiliary components: VALL-F, debug TTS, data pipeline,
+ScaledAdam/schedules, scaling toolkit, model factory, continual, visualizer."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vallex_tpu.config import EngineConfig, ModelConfig
+
+TINY = ModelConfig(d_model=64, num_heads=4, num_layers=2, ffn_dim=128)
+
+
+def test_model_factory_dispatch():
+    from vallex_tpu.models import get_model, transformer_tts, vallex, vallf
+
+    assert get_model("VALL-E")[1] is vallex
+    assert get_model("VALL-F")[1] is vallf
+    assert get_model("Transformer")[1] is transformer_tts
+    with pytest.raises(ValueError):
+        get_model("nope")
+
+
+def test_vallf_end_to_end():
+    from vallex_tpu.models.vallf import (
+        init_vallf, vallf_ar_generate, vallf_nar_generate,
+    )
+
+    params = init_vallf(jax.random.PRNGKey(0), TINY)
+    S, TA = 12, 64
+    text = jnp.asarray(np.random.RandomState(0).randint(5, 99, (1, S)))
+    prompt = jnp.asarray(np.random.RandomState(1).randint(0, 1024, (1, 8)))
+    y, gen_len = vallf_ar_generate(
+        params, TINY, text, jnp.asarray(S), prompt, jnp.asarray(8),
+        jax.random.PRNGKey(1), jnp.asarray(1.0), jnp.asarray(True),
+        t_audio=TA,
+    )
+    assert y.shape == (1, TA)
+    n = int(gen_len)
+    assert 0 < n <= TA
+
+    cb0 = jnp.concatenate(
+        [y[:, 1:], jnp.full((1, 1), TINY.eos_id, y.dtype)], axis=1
+    )
+    codes_in = jnp.zeros((1, TA, 8), jnp.int32).at[..., 0].set(cb0)
+    codes = vallf_nar_generate(
+        params, TINY, text, jnp.asarray(S), codes_in,
+        jnp.asarray(8 + n), jnp.asarray(8), t_audio=TA,
+    )
+    assert codes.shape == (1, TA, 8)
+    assert (np.asarray(codes[..., 1:]) < 1024).all()
+
+
+def test_transformer_tts_forward_and_inference():
+    from vallex_tpu.models.transformer_tts import (
+        forward, inference, init_transformer_tts,
+    )
+
+    params = init_transformer_tts(jax.random.PRNGKey(0), TINY)
+    B, S, T = 2, 10, 20
+    rng = np.random.RandomState(0)
+    loss, metrics = forward(
+        params, TINY,
+        jnp.asarray(rng.randint(5, 99, (B, S))),
+        jnp.asarray([S, S - 2]),
+        jnp.asarray(rng.randn(B, T, 100), jnp.float32),
+        jnp.asarray([T, T - 5]),
+    )
+    assert np.isfinite(float(loss))
+    assert float(metrics["mel_mse"]) > 0
+
+    mels, n = inference(
+        params, TINY, jnp.asarray(rng.randint(5, 99, (1, S))),
+        jnp.asarray(S), max_frames=16,
+    )
+    assert mels.shape == (1, 16, 100)
+    assert 0 < int(n) <= 16
+
+
+def test_dynamic_batch_sampler_budget():
+    from vallex_tpu.data.dataset import DynamicBatchSampler
+
+    lens = {i: (i % 10) + 1 for i in range(50)}
+    sampler = DynamicBatchSampler(
+        range(50), lambda i: lens[i], num_buckets=5,
+        max_size=10, max_tokens=20, shuffle=False,
+    )
+    batches = list(sampler)
+    seen = [i for b in batches for i in b]
+    assert sorted(seen) == list(range(50))
+    for b in batches:
+        maxlen = max(lens[i] for i in b)
+        assert maxlen * len(b) <= 20 or len(b) == 1
+
+
+def test_dataset_h5_roundtrip(tmp_path):
+    import h5py
+
+    from vallex_tpu.data.dataset import AudioDataset, collate
+
+    h5p = str(tmp_path / "audio.hdf5")
+    ann = str(tmp_path / "ann.txt")
+    rng = np.random.RandomState(0)
+    with h5py.File(h5p, "w") as f:
+        for i in range(3):
+            g = f.create_group(f"utt{i}")
+            g.create_dataset("audio", data=rng.randint(0, 1024, (8, 30 + i)))
+    with open(ann, "w") as f:
+        for i in range(3):
+            f.write(f"utt{i}|{(30 + i) / 75:.2f}|en|hello world number {i}\n")
+
+    ds = AudioDataset(h5p, ann)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["audio_features"].shape == (8, 30)
+    assert item["text_tokens_lens"] > 0
+
+    batch = collate([ds[0], ds[2]], text_buckets=(64,), audio_buckets=(64,))
+    assert batch["codes"].shape == (2, 64, 8)
+    assert batch["text_ids"].shape == (2, 64)
+    assert list(batch["audio_lens"]) == [30, 32]
+
+
+def test_scaled_adam_converges_and_scales():
+    from vallex_tpu.train.scaled_adam import scaled_adam
+
+    opt = scaled_adam(learning_rate=0.1)
+    params = {"w": jnp.asarray([1.0, -2.0, 3.0])}
+    state = opt.init(params)
+
+    def loss(p):
+        return jnp.sum((p["w"] - 0.5) ** 2)
+
+    for _ in range(60):
+        g = jax.grad(loss)(params)
+        updates, state = opt.update(g, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    assert float(loss(params)) < 0.3
+
+
+def test_schedules_shape():
+    from vallex_tpu.train.scaled_adam import eden_schedule, noam_schedule
+
+    eden = eden_schedule(base_lr=0.05)
+    assert float(eden(jnp.asarray(0))) < 0.05  # warmup ramp
+    assert float(eden(jnp.asarray(500))) > float(eden(jnp.asarray(50000)))
+    noam = noam_schedule(1.0, d_model=64, warmup=100)
+    assert float(noam(jnp.asarray(10))) < float(noam(jnp.asarray(100)))
+    assert float(noam(jnp.asarray(100))) > float(noam(jnp.asarray(10000)))
+
+
+def test_scaling_toolkit():
+    from vallex_tpu.models.scaling import (
+        balanced_double_swish, basic_norm_apply, double_swish,
+        init_basic_norm, init_scaled_linear, scaled_linear_apply,
+    )
+
+    x = jnp.linspace(-3, 3, 64).reshape(1, 64)
+    y = double_swish(x)
+    # double_swish(0) == 0, positive for large x, small negative dip
+    assert abs(float(y[0, 32])) < 0.15
+    assert float(y[0, -1]) > 2.0
+
+    p = init_basic_norm()
+    z = basic_norm_apply(p, x)
+    assert np.isfinite(np.asarray(z)).all()
+    # RMS after norm ≈ 1 (up to the eps term)
+    assert 0.5 < float(jnp.sqrt(jnp.mean(z**2))) <= 1.01
+
+    sl = init_scaled_linear(jax.random.PRNGKey(0), 64, 32)
+    out = scaled_linear_apply(sl, x)
+    assert out.shape == (1, 32)
+
+    # balancer is identity in the forward pass, with finite grads
+    g = jax.grad(lambda v: jnp.sum(balanced_double_swish(v)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_visualizer_writes_pngs(tmp_path):
+    from vallex_tpu.utils.visualizer import visualize
+
+    rng = np.random.RandomState(0)
+    visualize(
+        (rng.randn(2, 10, 8), rng.randn(2, 12, 8)),
+        {
+            "codes": rng.randint(0, 1024, (2, 12, 8)),
+            "utt_ids": ["a", "b"],
+        },
+        str(tmp_path),
+        limit=1,
+    )
+    import os
+
+    files = os.listdir(tmp_path)
+    assert "a_encoder.png" in files and "a_codes.png" in files
+
+
+def test_continual_api(tmp_path):
+    from vallex_tpu import api
+
+    ecfg = EngineConfig(
+        text_buckets=(64,), audio_buckets=(128,), compute_dtype="float32"
+    )
+    api.preload_models(
+        str(tmp_path), random_weights=True, cfg=TINY, ecfg=ecfg
+    )
+    codes = np.random.RandomState(0).randint(0, 1024, (60, 8))
+    out = api.continual("A continuation test.", codes)
+    assert out.shape == (30, 8)  # prefix = T//2 = 30 stripped
+    # codebook 0 preserved from the input
+    np.testing.assert_array_equal(out[:, 0], codes[30:, 0])

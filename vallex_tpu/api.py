@@ -408,3 +408,46 @@ def make_prompt(
         lang_code=np.int32(lang2code[lang]),
     )
     return out
+
+
+def continual(
+    text: str,
+    audio_codes: np.ndarray,  # [T, 8] full EnCodec codes of the utterance
+    language: str = "auto",
+) -> np.ndarray:
+    """Acoustic continuation: keep codebook 0, re-render codebooks 1..7 of
+    the suffix conditioned on a prefix of min(T/2, 225) frames
+    (reference: models/vallex.py:688-787 — which skips language embeddings).
+    Returns codes [T - prefix, 8] for the suffix.
+    """
+    bundle = _require_bundle()
+    text_ids, lang_ids = _prepare_text(
+        bundle, text, np.zeros((0,), np.int32), None, language, "no-accent"
+    )
+    from .engine.ar import _bucket
+    from .engine.nar import nar_generate
+
+    import jax.numpy as jnp
+
+    T = len(audio_codes)
+    prefix_len = min(T // 2, 3 * 75)
+    e = bundle.ecfg
+    s_text = _bucket(len(text_ids), e.text_buckets)
+    t_audio = _bucket(T, e.audio_buckets)
+
+    text_pad = np.zeros((1, s_text), np.int32)
+    text_pad[0, : len(text_ids)] = text_ids
+    codes_in = np.zeros((1, t_audio, NUM_QUANTIZERS), np.int32)
+    codes_in[0, :T] = audio_codes
+
+    out = nar_generate(
+        bundle.params, bundle.cfg,
+        jnp.asarray(text_pad), jnp.asarray(text_pad * 0),
+        jnp.asarray(len(text_ids), jnp.int32),
+        jnp.asarray(codes_in),
+        jnp.asarray(T, jnp.int32), jnp.asarray(prefix_len, jnp.int32),
+        s_text=s_text, t_audio=t_audio,
+        compute_dtype=e.compute_dtype,
+        add_lang=False,
+    )
+    return np.asarray(out[0, prefix_len:T])

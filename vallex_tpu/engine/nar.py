@@ -31,7 +31,8 @@ Params = Dict[str, Any]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "s_text", "t_audio", "compute_dtype")
+    jax.jit,
+    static_argnames=("cfg", "s_text", "t_audio", "compute_dtype", "add_lang"),
 )
 def nar_generate(
     params: Params,
@@ -47,6 +48,7 @@ def nar_generate(
     s_text: int,
     t_audio: int,
     compute_dtype: str = "float32",
+    add_lang: bool = True,
 ) -> jnp.ndarray:
     """→ codes [1, t_audio, 8] (valid region [prompt_len, t_len))."""
     dtype = jnp.dtype(compute_dtype)
@@ -54,7 +56,9 @@ def nar_generate(
     pe = L.make_sine_pe(cfg.max_position, cfg.d_model)
     emb_tables = params["nar_audio_embeddings"]["weight"]  # [8, 1025, D]
 
-    x = V.text_input(params, cfg, text_ids, lang_ids, "nar", pe, dtype)
+    x = V.text_input(
+        params, cfg, text_ids, lang_ids, "nar", pe, dtype, add_lang
+    )
 
     rows = jnp.arange(t_audio)[None, :]  # audio position per slot
     in_prompt = (rows < prompt_len)[..., None]  # [1, TA, 1]

@@ -339,3 +339,111 @@ def encoder_layer_decode_step(
     h = layer_norm_apply(p["norm2"], x)
     x = x + linear_apply(p["linear2"], jax.nn.relu(linear_apply(p["linear1"], h)))
     return x, cache_k, cache_v
+
+
+# ---------------------------------------------------------------------------
+# Transformer decoder layer (self-attn + cross-attn + FFN, pre-norm;
+# reference: modules/transformer.py:476-668) — used by VALL-F and the
+# seq2seq debug TTS.
+# ---------------------------------------------------------------------------
+
+def init_decoder_layer(key, dim: int, ffn_dim: int, adaptive: bool) -> Params:
+    ks = jax.random.split(key, 6)
+    if adaptive:
+        norms = {
+            f"norm{i}": init_adaptive_layer_norm(ks[i + 2], dim)
+            for i in range(3)
+        }
+    else:
+        norms = {f"norm{i}": init_layer_norm(dim) for i in range(3)}
+    return {
+        "self_attn": init_mha(ks[0], dim),
+        "cross_attn": init_mha(ks[1], dim),
+        "linear1": init_linear(ks[2], dim, ffn_dim),
+        "linear2": init_linear(ks[3], ffn_dim, dim),
+        **norms,
+    }
+
+
+def cross_mha_apply(
+    p: Params,
+    q_in: jnp.ndarray,  # [B, Tq, D]
+    kv_in: jnp.ndarray,  # [B, Tk, D]
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Cross attention with the packed in-proj layout (q from W[:, :D],
+    k/v from W[:, D:], matching torch's _in_projection_packed;
+    reference: modules/activation.py:12-65)."""
+    D = q_in.shape[-1]
+    w = p["in_proj_w"].astype(q_in.dtype)
+    b = p["in_proj_b"].astype(q_in.dtype)
+    q = jnp.dot(q_in, w[:, :D]) + b[:D]
+    kv = jnp.dot(kv_in, w[:, D:]) + b[D:]
+    k, v = jnp.split(kv, 2, axis=-1)
+    out = attention_core(
+        split_heads(q, num_heads),
+        split_heads(k, num_heads),
+        split_heads(v, num_heads),
+        mask,
+    )
+    return mha_out(p, out)
+
+
+def decoder_layer_apply(
+    p: Params,
+    x: jnp.ndarray,  # [B, T, D] target sequence
+    memory: jnp.ndarray,  # [B, S, D] encoder output
+    num_heads: int,
+    self_mask: Optional[jnp.ndarray] = None,
+    cross_mask: Optional[jnp.ndarray] = None,
+    stage_emb: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    h = _norm(p["norm0"], x, stage_emb)
+    x = x + mha_apply(p["self_attn"], h, num_heads, self_mask)
+    h = _norm(p["norm1"], x, stage_emb)
+    x = x + cross_mha_apply(p["cross_attn"], h, memory, num_heads, cross_mask)
+    h = _norm(p["norm2"], x, stage_emb)
+    h = linear_apply(p["linear1"], h)
+    h = jax.nn.relu(h)
+    h = linear_apply(p["linear2"], h)
+    return x + h
+
+
+def init_decoder_stack(
+    key, num_layers: int, dim: int, ffn_dim: int, adaptive: bool
+) -> Params:
+    keys = jax.random.split(key, num_layers + 1)
+    layers = [
+        init_decoder_layer(keys[i], dim, ffn_dim, adaptive)
+        for i in range(num_layers)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    final_norm = (
+        init_adaptive_layer_norm(keys[-1], dim)
+        if adaptive
+        else init_layer_norm(dim)
+    )
+    return {"layers": stacked, "norm": final_norm}
+
+
+def decoder_stack_apply(
+    p: Params,
+    x: jnp.ndarray,
+    memory: jnp.ndarray,
+    num_heads: int,
+    self_mask: Optional[jnp.ndarray] = None,
+    cross_mask: Optional[jnp.ndarray] = None,
+    stage_emb: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    def body(carry, layer_p):
+        return (
+            decoder_layer_apply(
+                layer_p, carry, memory, num_heads,
+                self_mask, cross_mask, stage_emb,
+            ),
+            None,
+        )
+
+    x, _ = jax.lax.scan(body, x, p["layers"])
+    return _norm(p["norm"], x, stage_emb)

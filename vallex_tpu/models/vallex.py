@@ -105,13 +105,17 @@ def text_input(
     stack: str,  # "ar" | "nar"
     pe_table: jnp.ndarray,
     dtype=jnp.float32,
+    add_lang: bool = True,
 ) -> jnp.ndarray:
-    """Token emb + per-position language emb + sinusoidal PE → [B, S, D]."""
-    emb = L.embedding_apply(params[f"{stack}_text_embedding"], text_ids, dtype)
-    lang = L.embedding_apply(
-        params[f"{stack}_language_embedding"], lang_ids, dtype
-    )
-    x = emb + lang
+    """Token emb + per-position language emb + sinusoidal PE → [B, S, D].
+
+    add_lang=False reproduces `continual`'s prologue, which skips the
+    language embeddings (reference: models/vallex.py:729-731)."""
+    x = L.embedding_apply(params[f"{stack}_text_embedding"], text_ids, dtype)
+    if add_lang:
+        x = x + L.embedding_apply(
+            params[f"{stack}_language_embedding"], lang_ids, dtype
+        )
     # NAR text PE alpha is frozen at 1.0 in the reference (alpha=False) but
     # still a stored parameter; use whatever the checkpoint holds.
     alpha = params[f"{stack}_text_position"]["alpha"]
