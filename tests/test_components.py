@@ -209,3 +209,67 @@ def test_continual_api(tmp_path):
     assert out.shape == (30, 8)  # prefix = T//2 = 30 stripped
     # codebook 0 preserved from the input
     np.testing.assert_array_equal(out[:, 0], codes[30:, 0])
+
+
+def test_symbol_table_roundtrip(tmp_path):
+    from vallex_tpu.utils.symbol_table import SymbolTable
+
+    t = SymbolTable()
+    assert t.add("a") == 1
+    assert t.add("b") == 2
+    assert t.add("a") == 1
+    assert t["a"] == 1 and t[2] == "b"
+    assert "a" in t and 3 not in t
+    p = str(tmp_path / "syms.txt")
+    t.to_file(p)
+    t2 = SymbolTable.from_file(p)
+    assert t == t2
+    t3 = SymbolTable()
+    t3.add("c", 5)
+    merged = t.merge(t3)
+    assert merged["c"] == 5 and merged["a"] == 1
+
+
+def test_cli_list_presets(capsys):
+    from vallex_tpu.cli import main
+
+    assert main(["list-presets"]) == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert len(out) == 41
+    assert "paimon" in out
+
+
+def test_cli_synthesize(tmp_path):
+    import sys
+
+    from vallex_tpu import api
+    from vallex_tpu.cli import main
+    from vallex_tpu.config import EngineConfig, ModelConfig
+
+    # preload a tiny bundle so the CLI reuses it... CLI calls preload itself;
+    # patch preload to a tiny config for test speed
+    orig = api.preload_models
+
+    def tiny_preload(checkpoint_dir, **kw):
+        return orig(
+            checkpoint_dir, random_weights=True,
+            cfg=ModelConfig(d_model=64, num_heads=4, num_layers=2, ffn_dim=128),
+            ecfg=EngineConfig(
+                text_buckets=(64,), audio_buckets=(128,),
+                compute_dtype="float32",
+            ),
+        )
+
+    api.preload_models = tiny_preload
+    try:
+        out = str(tmp_path / "o.wav")
+        rc = main([
+            "synthesize", "Hi.", "--random-weights", "--top-k", "1",
+            "--checkpoints", str(tmp_path), "-o", out,
+        ])
+        assert rc == 0
+        import os
+
+        assert os.path.exists(out)
+    finally:
+        api.preload_models = orig

@@ -23,11 +23,20 @@ class PhonemeTokenizer:
     def tokenize(self, text: str) -> Tuple[List[int], List[str]]:
         phonemes, langs = cje_cleaners(text)
         phonemes = phonemes.replace(" ", "_")
-        tokens = [char_to_id.get(ch, UNK_ID) for ch in phonemes]
+        tokens = self.encode(phonemes)
         assert len(tokens) == len(langs)
         if not tokens:
             raise ValueError("Empty text is given")
         return tokens, langs
+
+    def encode(self, phonemes: str) -> List[int]:
+        """Char→id encode; uses the native C++ tokenizer when built."""
+        from .. import native
+
+        ids = native.tokenize(phonemes)
+        if ids is not None:
+            return ids.tolist()
+        return [char_to_id.get(ch, UNK_ID) for ch in phonemes]
 
     def decode(self, ids: Sequence[int]) -> str:
         return "".join(id_to_char.get(int(i), "[UNK]") for i in ids)

@@ -17,7 +17,22 @@ from scipy.signal import resample_poly
 
 
 def load_wav(path: str, target_sr: int = 24000) -> Tuple[np.ndarray, int]:
-    """→ (mono float32 waveform in [-1, 1] at target_sr, target_sr)."""
+    """→ (mono float32 waveform in [-1, 1] at target_sr, target_sr).
+
+    Uses the native C++ decoder+resampler when built (vallex_tpu.native);
+    otherwise the stdlib/scipy path below."""
+    from .. import native
+
+    lib_out = native.load_wav(path)
+    if lib_out is not None:
+        data, sr = lib_out
+        if sr != target_sr:
+            res = native.resample(data, sr, target_sr)
+            if res is not None:
+                return res, target_sr
+        else:
+            return data, target_sr
+
     with wave.open(path, "rb") as f:
         sr = f.getframerate()
         n_ch = f.getnchannels()

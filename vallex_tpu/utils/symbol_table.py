@@ -1,0 +1,129 @@
+"""SymbolTable: string↔id mapping with merge/serialization.
+
+Equivalent of the reference's k2-style table (utils/symbol_table.py:30-287),
+used by the text collater and available for custom vocabularies.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Generic, List, Optional, TypeVar, Union
+
+Symbol = TypeVar("Symbol")
+
+
+@dataclass
+class SymbolTable(Generic[Symbol]):
+    _id2sym: Dict[int, Symbol] = field(default_factory=dict)
+    _sym2id: Dict[Symbol, int] = field(default_factory=dict)
+    _next_available_id: int = 1
+    eps: Symbol = "<eps>"
+
+    def __post_init__(self):
+        for idx, sym in self._id2sym.items():
+            assert self._sym2id[sym] == idx
+            assert idx >= 0
+        for sym, idx in self._sym2id.items():
+            assert idx >= 0
+            assert self._id2sym[idx] == sym
+        if 0 not in self._id2sym:
+            self._id2sym[0] = self.eps
+            self._sym2id[self.eps] = 0
+        self._next_available_id = max(self._id2sym, default=0) + 1
+
+    @staticmethod
+    def from_str(s: str) -> "SymbolTable":
+        id2sym: Dict[int, str] = {}
+        sym2id: Dict[str, int] = {}
+        for line in s.split("\n"):
+            fields = line.split()
+            if not fields:
+                continue
+            assert len(fields) == 2, f"Expect a line with 2 fields: {line!r}"
+            sym, idx = fields[0], int(fields[1])
+            assert sym not in sym2id, f"Duplicated symbol {sym}"
+            assert idx not in id2sym, f"Duplicated id {idx}"
+            id2sym[idx] = sym
+            sym2id[sym] = idx
+        eps = id2sym.get(0, "<eps>")
+        return SymbolTable(_id2sym=id2sym, _sym2id=sym2id, eps=eps)
+
+    @staticmethod
+    def from_file(filename: str) -> "SymbolTable":
+        with open(filename, encoding="utf-8") as f:
+            return SymbolTable.from_str(f.read().strip())
+
+    def to_str(self) -> str:
+        return "\n".join(
+            f"{sym} {idx}" for idx, sym in sorted(self._id2sym.items())
+        )
+
+    def to_file(self, filename: str) -> None:
+        with open(filename, "w", encoding="utf-8") as f:
+            for idx, symbol in sorted(self._id2sym.items()):
+                print(symbol, idx, file=f)
+
+    def add(self, symbol: Symbol, index: Optional[int] = None) -> int:
+        if symbol in self._sym2id:
+            return self._sym2id[symbol]
+        if index is not None:
+            assert index not in self._id2sym, f"id {index} taken"
+            idx = index
+        else:
+            idx = self._next_available_id
+        self._id2sym[idx] = symbol
+        self._sym2id[symbol] = idx
+        self._next_available_id = max(self._next_available_id, idx + 1)
+        return idx
+
+    def get(self, k: Union[int, Symbol]) -> Union[Symbol, int]:
+        if isinstance(k, int):
+            return self._id2sym[k]
+        return self._sym2id[k]
+
+    def merge(self, other: "SymbolTable") -> "SymbolTable":
+        self._check_compatible(other)
+        id2sym = dict(self._id2sym)
+        sym2id = dict(self._sym2id)
+        for idx, sym in other._id2sym.items():
+            id2sym.setdefault(idx, sym)
+        for sym, idx in other._sym2id.items():
+            sym2id.setdefault(sym, idx)
+        return SymbolTable(_id2sym=id2sym, _sym2id=sym2id, eps=self.eps)
+
+    def _check_compatible(self, other: "SymbolTable") -> None:
+        assert self.eps == other.eps, "eps mismatch"
+        for idx in set(self._id2sym) & set(other._id2sym):
+            assert self._id2sym[idx] == other._id2sym[idx], (
+                f"id {idx} maps to different symbols"
+            )
+        for sym in set(self._sym2id) & set(other._sym2id):
+            assert self._sym2id[sym] == other._sym2id[sym], (
+                f"symbol {sym} maps to different ids"
+            )
+
+    def __getitem__(self, item: Union[int, Symbol]) -> Union[Symbol, int]:
+        return self.get(item)
+
+    def __contains__(self, item: Union[int, Symbol]) -> bool:
+        if isinstance(item, int):
+            return item in self._id2sym
+        return item in self._sym2id
+
+    def __len__(self) -> int:
+        return len(self._id2sym)
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, SymbolTable):
+            return NotImplemented
+        if len(self) != len(other):
+            return False
+        return all(self.get(s) == other.get(s) for s in self.symbols)
+
+    @property
+    def ids(self) -> List[int]:
+        return sorted(self._id2sym)
+
+    @property
+    def symbols(self) -> List[Symbol]:
+        return sorted(self._sym2id, key=lambda s: self._sym2id[s])
