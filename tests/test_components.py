@@ -273,3 +273,49 @@ def test_cli_synthesize(tmp_path):
         assert os.path.exists(out)
     finally:
         api.preload_models = orig
+
+
+def test_fbank_shapes_and_range():
+    import jax.numpy as jnp
+
+    from vallex_tpu.codec.fbank import extract_fbank
+
+    wav = jnp.asarray(
+        np.random.RandomState(0).randn(1, 24000).astype(np.float32) * 0.1
+    )
+    feats = extract_fbank(wav)
+    assert feats.shape == (1, 24000 // 256 + 1, 100)
+    assert np.isfinite(np.asarray(feats)).all()
+    # a pure tone concentrates energy in few mel bins
+    t = np.arange(24000) / 24000
+    tone = jnp.asarray(np.sin(2 * np.pi * 1000 * t)[None].astype(np.float32))
+    f2 = np.asarray(extract_fbank(tone))[0, 40]
+    assert f2.argmax() < 40  # 1 kHz lands in the lower third of the mel axis
+
+
+def test_bpe_with_merges_matches_hf():
+    import os
+
+    import pytest as _pytest
+
+    from tests.conftest import REFERENCE_DIR, reference_available
+    from vallex_tpu.frontend.bpe import BPETokenizer
+
+    if not reference_available():
+        _pytest.skip("reference not mounted")
+    path = os.path.join(REFERENCE_DIR, "utils/g2p/bpe_1024.json")
+    tokenizers = _pytest.importorskip("tokenizers")
+    hf = tokenizers.Tokenizer.from_file(path)
+    ours = BPETokenizer.from_file(path)
+    for s in ["həˈloʊ_wəɹɫd", "ni↓↑xɑʊ↓↑", "tʃʰiŋ→ts`⁼ɑʊ↓", "abc def"]:
+        assert ours.encode(s) == hf.encode(s).ids, s
+
+
+def test_prompted_features_container():
+    from vallex_tpu.data.input_strategies import PromptedFeatures
+
+    pf = PromptedFeatures(np.zeros(3), np.ones((2, 4)))
+    assert pf.ndim == 2
+    assert pf.sum() == 8
+    a, b = pf.data
+    assert a.shape == (3,) and b.shape == (2, 4)

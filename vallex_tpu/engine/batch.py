@@ -1,0 +1,169 @@
+"""Batch-parallel synthesis over a device mesh.
+
+The reference's only concurrency is `best_of` beam batching on one GPU
+(SURVEY.md §2.3). Here independent requests scale across chips: the batch
+axis is sharded over the mesh's "dp" axis with shard_map, and every device
+runs the full AR while_loop + 7-stage NAR for its own request — no
+collectives inside, so devices proceed independently (a device whose
+utterance ends early simply finishes its program sooner).
+
+Params are replicated (150 M fits per chip); only the request tensors are
+sharded. Works identically on a real multi-chip mesh and on the virtual
+8-device CPU mesh used in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EngineConfig, ModelConfig
+from .ar import ar_generate, _bucket
+from .nar import nar_generate
+
+Params = Dict[str, Any]
+
+
+def make_batched_synthesis(
+    params: Params,
+    cfg: ModelConfig,
+    ecfg: EngineConfig,
+    mesh: Mesh,
+    *,
+    s_text: int,
+    p_audio: int,
+    t_audio: int,
+    decode_mode: str = "xla",
+):
+    """Build a jitted, mesh-sharded synthesis function for fixed buckets.
+
+    Returns fn(text_ids [N,S], lang_ids [N,S], x_lens [N], prompt_cb0
+    [N,p_audio-1], prompt_codes [N,t_audio,8], prompt_lens [N], seeds [N])
+    → (codes [N, t_audio, 8], gen_lens [N]); N must equal mesh dp size.
+    """
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        # jax.shard_map (v0.8+) changes carry dtype promotion inside
+        # while_loops in a way that breaks ar_generate; the experimental
+        # entry point still has the classic semantics
+        from jax.experimental.shard_map import shard_map
+
+    eos = cfg.eos_id
+
+    def one_request(
+        text_ids, lang_ids, x_len, prompt_cb0, prompt_codes, prompt_len, seed
+    ):
+        # shapes here are the per-device slices: [1, S], [1], ...
+        res = ar_generate(
+            params, cfg,
+            text_ids, lang_ids, x_len[0],
+            prompt_cb0, prompt_len[0],
+            jax.random.fold_in(jax.random.PRNGKey(0), seed[0]),
+            jnp.asarray(ecfg.top_k, jnp.int32),
+            jnp.asarray(ecfg.top_p, jnp.float32),
+            jnp.asarray(ecfg.temperature, jnp.float32),
+            s_text=s_text, p_audio=p_audio, t_audio=t_audio,
+            beams=1, compute_dtype=ecfg.compute_dtype,
+            length_penalty=ecfg.length_penalty,
+            decode_mode=decode_mode,
+            plain_sampling=bool(
+                (ecfg.top_k <= 0 or ecfg.top_k == 1) and ecfg.top_p >= 1.0
+            ),
+        )
+        y = res.tokens[res.best_beam]
+        cb0 = jnp.concatenate([y[1:], jnp.full((1,), eos, y.dtype)])
+        codes_in = prompt_codes.at[..., 0].set(cb0[None])
+        t_len = prompt_len[0] + res.gen_len.astype(jnp.int32)
+        codes = nar_generate(
+            params, cfg, text_ids, lang_ids, x_len[0],
+            codes_in, t_len, prompt_len[0],
+            s_text=s_text, t_audio=t_audio,
+            compute_dtype=ecfg.compute_dtype,
+        )
+        return codes, res.gen_len.astype(jnp.int32)[None]
+
+    sharded = shard_map(
+        one_request,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None), P("dp", None), P("dp"),
+            P("dp", None), P("dp", None, None), P("dp"), P("dp"),
+        ),
+        out_specs=(P("dp", None, None), P("dp")),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def batch_synthesize(
+    params: Params,
+    cfg: ModelConfig,
+    ecfg: EngineConfig,
+    mesh: Mesh,
+    requests: Sequence[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]],
+    *,
+    seeds: Optional[Sequence[int]] = None,
+    decode_mode: str = "xla",
+) -> List[np.ndarray]:
+    """Synthesize N (text_ids, lang_ids, prompt_codes|None) requests across
+    the mesh → list of [T_i, 8] code arrays."""
+    n_dev = mesh.devices.size
+    N = len(requests)
+    assert N <= n_dev, f"{N} requests > {n_dev} devices (chunk the batch)"
+
+    max_s = max(len(t) for t, _, _ in requests)
+    max_tp = max(
+        (0 if p is None else len(p)) for _, _, p in requests
+    )
+    s_text = _bucket(max_s, ecfg.text_buckets)
+    p_audio = _bucket(max_tp + 1, ecfg.audio_buckets)
+    t_audio = _bucket(
+        min(max_tp + 1 + 16 * max_s + 1, ecfg.audio_buckets[-1]),
+        ecfg.audio_buckets,
+    )
+    p_audio = min(p_audio, t_audio)
+
+    text = np.zeros((n_dev, s_text), np.int32)
+    lang = np.zeros((n_dev, s_text), np.int32)
+    x_lens = np.ones((n_dev,), np.int32)
+    pcb0 = np.zeros((n_dev, p_audio - 1), np.int32)
+    pcodes = np.zeros((n_dev, t_audio, cfg.num_quantizers), np.int32)
+    plens = np.zeros((n_dev,), np.int32)
+    seed_arr = np.arange(n_dev, dtype=np.int32)
+    if seeds is not None:
+        seed_arr[: len(seeds)] = seeds
+
+    for i, (t, l, p) in enumerate(requests):
+        text[i, : len(t)] = t
+        lang[i, : len(l)] = l
+        x_lens[i] = len(t)
+        if p is not None:
+            pcb0[i, : len(p)] = p[:, 0]
+            pcodes[i, : len(p)] = p
+            plens[i] = len(p)
+
+    fn = make_batched_synthesis(
+        params, cfg, ecfg, mesh,
+        s_text=s_text, p_audio=p_audio, t_audio=t_audio,
+        decode_mode=decode_mode,
+    )
+    sharding = NamedSharding(mesh, P("dp"))
+    put = lambda a: jax.device_put(a, sharding)  # noqa: E731
+    codes, gen_lens = fn(
+        put(text), put(lang), put(x_lens), put(pcb0), put(pcodes),
+        put(plens), put(seed_arr),
+    )
+    codes = np.asarray(codes)
+    gen_lens = np.asarray(gen_lens)
+    out = []
+    for i in range(N):
+        tp = int(plens[i])
+        out.append(codes[i, tp : tp + int(gen_lens[i])])
+    return out

@@ -68,6 +68,9 @@ class SynthesisPipeline:
         self.cfg = cfg
         self.ecfg = ecfg
         self.vocos_params = vocos_params
+        from ..utils.profiling import PhaseTimer
+
+        self.timer = PhaseTimer()
         from ..codec.vocos import vocos_decode
 
         # one jit instance — re-wrapping per call would recompile every time
@@ -126,49 +129,57 @@ class SynthesisPipeline:
         prompt_codes_pad[0, :Tp] = prompt
 
         # --- AR (device) ---------------------------------------------------
-        res: ARResult = ar_generate(
-            self.params, cfg,
-            jnp.asarray(text_pad), jnp.asarray(lang_pad),
-            jnp.asarray(S, jnp.int32),
-            jnp.asarray(prompt_pad), jnp.asarray(Tp, jnp.int32),
-            jax.random.PRNGKey(seed),
-            jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
-            jnp.asarray(temperature, jnp.float32),
-            s_text=s_text, p_audio=p_audio, t_audio=t_audio,
-            beams=best_of, compute_dtype=e.compute_dtype,
-            length_penalty=e.length_penalty,
-            decode_mode=self.decode_mode,
-            plain_sampling=bool((top_k <= 0 or top_k == 1) and top_p >= 1.0),
-        )
+        timer = self.timer
+        with timer.phase("ar"):
+            res: ARResult = ar_generate(
+                self.params, cfg,
+                jnp.asarray(text_pad), jnp.asarray(lang_pad),
+                jnp.asarray(S, jnp.int32),
+                jnp.asarray(prompt_pad), jnp.asarray(Tp, jnp.int32),
+                jax.random.PRNGKey(seed),
+                jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
+                jnp.asarray(temperature, jnp.float32),
+                s_text=s_text, p_audio=p_audio, t_audio=t_audio,
+                beams=best_of, compute_dtype=e.compute_dtype,
+                length_penalty=e.length_penalty,
+                decode_mode=self.decode_mode,
+                plain_sampling=bool(
+                    (top_k <= 0 or top_k == 1) and top_p >= 1.0
+                ),
+            )
 
         # --- NAR (device handoff) -------------------------------------------
-        codes_in = _assemble_nar_input(
-            res.tokens, res.best_beam, jnp.asarray(prompt_codes_pad),
-            t_audio=t_audio, eos=cfg.eos_id,
-        )
-        prompt_len_dev = jnp.asarray(Tp, jnp.int32)
-        t_len = prompt_len_dev + res.gen_len.astype(jnp.int32)
-        codes = nar_generate(
-            self.params, cfg,
-            jnp.asarray(text_pad), jnp.asarray(lang_pad),
-            jnp.asarray(S, jnp.int32),
-            codes_in, t_len, prompt_len_dev,
-            s_text=s_text, t_audio=t_audio,
-            compute_dtype=e.compute_dtype,
-        )
-        gen_codes = _shift_out_prompt(
-            codes, prompt_len_dev, res.gen_len.astype(jnp.int32)
-        )
+        with timer.phase("nar"):
+            codes_in = _assemble_nar_input(
+                res.tokens, res.best_beam, jnp.asarray(prompt_codes_pad),
+                t_audio=t_audio, eos=cfg.eos_id,
+            )
+            prompt_len_dev = jnp.asarray(Tp, jnp.int32)
+            t_len = prompt_len_dev + res.gen_len.astype(jnp.int32)
+            codes = nar_generate(
+                self.params, cfg,
+                jnp.asarray(text_pad), jnp.asarray(lang_pad),
+                jnp.asarray(S, jnp.int32),
+                codes_in, t_len, prompt_len_dev,
+                s_text=s_text, t_audio=t_audio,
+                compute_dtype=e.compute_dtype,
+            )
+            gen_codes = _shift_out_prompt(
+                codes, prompt_len_dev, res.gen_len.astype(jnp.int32)
+            )
 
         # --- Vocos (device) -------------------------------------------------
         wave_dev = None
         if return_wave and self.vocos_params is not None:
-            wave_dev = self._vocos_jit(
-                self.vocos_params, gen_codes, bandwidth_id=2
-            )
+            with timer.phase("vocos"):
+                wave_dev = self._vocos_jit(
+                    self.vocos_params, gen_codes, bandwidth_id=2
+                )
 
-        # --- single host sync -------------------------------------------------
-        gen_len = int(res.gen_len)
+        # --- single host sync (dispatch is async; the wall time of the whole
+        # utterance lands in this phase) ---------------------------------------
+        with timer.phase("sync"):
+            gen_len = int(res.gen_len)
         codes_np = np.asarray(gen_codes[0, :gen_len])
         if wave_dev is not None:
             from ..codec.vocos import HOP

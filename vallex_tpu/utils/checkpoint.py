@@ -182,3 +182,24 @@ def save_native(path: str, params: Params) -> None:
 def load_native(path: str) -> Params:
     with np.load(path) as f:
         return _unflatten({k: f[k] for k in f.files})
+
+
+# ---------------------------------------------------------------------------
+# Orbax checkpoints (training runs: sharded, async-capable)
+# ---------------------------------------------------------------------------
+
+def save_orbax(path: str, tree: Params) -> None:
+    """Save a pytree (params or a whole TrainState) with orbax."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, like: Params) -> Params:
+    """Restore a pytree saved by save_orbax (`like` supplies the structure)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), like)
