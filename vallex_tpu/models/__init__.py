@@ -28,3 +28,36 @@ def get_model(
 
 
 __all__ = ["get_model", "vallex", "vallf", "transformer_tts"]
+
+
+def add_model_arguments(parser) -> None:
+    """argparse group mirroring the reference's flags
+    (models/__init__.py:18-95)."""
+    parser.add_argument(
+        "--model-name", type=str, default="VALL-E",
+        help="VALL-E, VALL-F, Transformer.",
+    )
+    parser.add_argument("--decoder-dim", type=int, default=1024)
+    parser.add_argument("--nhead", type=int, default=16)
+    parser.add_argument("--num-decoder-layers", type=int, default=12)
+    parser.add_argument("--norm-first", action="store_true", default=True)
+    parser.add_argument("--add-prenet", action="store_true", default=False)
+    parser.add_argument("--prefix-mode", type=int, default=1)
+    parser.add_argument("--share-embedding", action="store_true", default=True)
+    parser.add_argument("--prepend-bos", action="store_true", default=True)
+    parser.add_argument("--num-quantizers", type=int, default=8)
+    parser.add_argument("--scale-factor", type=float, default=1.0)
+
+
+def model_config_from_args(args) -> ModelConfig:
+    return ModelConfig(
+        d_model=args.decoder_dim,
+        num_heads=args.nhead,
+        num_layers=args.num_decoder_layers,
+        ffn_dim=args.decoder_dim * 4,
+        prefix_mode=args.prefix_mode,
+        prepend_bos=args.prepend_bos,
+        share_embedding=args.share_embedding,
+        norm_first=args.norm_first,
+        num_quantizers=args.num_quantizers,
+    )

@@ -151,3 +151,66 @@ def balanced_double_swish(x: jnp.ndarray) -> jnp.ndarray:
     """ActivationBalancer + DoubleSwish
     (reference: modules/scaling.py:1225-1237)."""
     return double_swish(activation_balancer(x))
+
+
+# ---------------------------------------------------------------------------
+# Whiten / MaxEig (gradient-only regularizers; reference: scaling.py:882+,
+# 1002+). Identity forward; backward adds a penalty gradient that pushes the
+# activation covariance toward whiteness / shrinks a dominant eigendirection.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def whiten(x: jnp.ndarray, whitening_limit: float = 5.0, grad_scale: float = 0.01):
+    return x
+
+
+def _whiten_fwd(x, whitening_limit, grad_scale):
+    return x, (x, whitening_limit, grad_scale)
+
+
+def _whiten_bwd(res, g):
+    x, limit, scale = res
+    xf = x.astype(jnp.float32).reshape(-1, x.shape[-1])
+    cov = xf.T @ xf / max(xf.shape[0], 1)
+    diag_mean = jnp.mean(jnp.diag(cov))
+    # whiteness metric: sum(cov²)/mean(diag)² == dim when cov is white;
+    # above `limit × dim` the penalty gradient activates
+    metric = jnp.sum(cov**2) / jnp.maximum(diag_mean**2, 1e-20)
+    penalty_grad = (xf @ cov).reshape(x.shape) * (
+        4.0 * scale / jnp.maximum(jnp.sum(cov**2), 1e-20)
+    )
+    active = (metric > limit * x.shape[-1]).astype(jnp.float32)
+    return ((g.astype(jnp.float32) + active * penalty_grad).astype(g.dtype),
+            None, None)
+
+
+whiten.defvjp(_whiten_fwd, _whiten_bwd)
+
+
+@jax.custom_vjp
+def max_eig(x: jnp.ndarray, max_var_per_eig: float = 0.2, grad_scale: float = 0.01):
+    return x
+
+
+def _max_eig_fwd(x, max_var_per_eig, grad_scale):
+    return x, (x, max_var_per_eig, grad_scale)
+
+
+def _max_eig_bwd(res, g):
+    x, max_var, scale = res
+    xf = x.astype(jnp.float32).reshape(-1, x.shape[-1])
+    xf = xf - jnp.mean(xf, 0, keepdims=True)
+    # one power-iteration step for the dominant direction
+    v = jnp.sum(xf, 0)
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+    proj = xf @ v  # [N]
+    var_frac = jnp.sum(proj**2) / jnp.maximum(jnp.sum(xf**2), 1e-20)
+    active = (var_frac > max_var).astype(jnp.float32)
+    penalty_grad = (proj[:, None] * v[None, :]).reshape(x.shape) * (
+        2.0 * scale / jnp.maximum(jnp.sum(proj**2), 1e-20)
+    )
+    return ((g.astype(jnp.float32) + active * penalty_grad).astype(g.dtype),
+            None, None)
+
+
+max_eig.defvjp(_max_eig_fwd, _max_eig_bwd)

@@ -211,3 +211,36 @@ def nar_logits(
 ) -> jnp.ndarray:
     w = params["nar_predict_layers"]["w"][stage_idx].astype(h.dtype)
     return jnp.dot(h, w, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage training parameter selection (reference: models/vallex.py:266-292)
+# ---------------------------------------------------------------------------
+
+def stage_param_labels(params: Params, stage: int) -> Params:
+    """→ pytree of bools marking the parameters trained in `stage`
+    (1 = ar_*, 2 = nar_*). Feed to optax.masked for two-stage training."""
+    assert stage in (1, 2)
+    prefix = "ar_" if stage == 1 else "nar_"
+
+    def build(tree, under_prefix):
+        out = {}
+        for k, v in tree.items():
+            hit = under_prefix or k.startswith(prefix)
+            if isinstance(v, dict):
+                out[k] = build(v, hit)
+            else:
+                out[k] = hit
+        return out
+
+    return build(params, False)
+
+
+def stage_parameters(params: Params, stage: int):
+    """Iterator over the arrays selected for `stage` (1=AR, 2=NAR)."""
+    labels = stage_param_labels(params, stage)
+    import jax
+
+    for arr, keep in zip(jax.tree.leaves(params), jax.tree.leaves(labels)):
+        if keep:
+            yield arr

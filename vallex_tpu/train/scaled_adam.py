@@ -112,3 +112,39 @@ def scaled_adam(
         return updates, ScaledAdamState(count, mu, nu)
 
     return optax.GradientTransformation(init, update)
+
+
+def eve(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.98,
+    eps: float = 1e-8,
+    weight_decay: float = 1e-3,
+    target_rms: float = 0.1,
+) -> optax.GradientTransformation:
+    """Eve: AdamW whose weight decay only applies to tensors above a target
+    RMS (reference: modules/optim.py:836+)."""
+    base = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+
+    def init(params):
+        return base.init(params)
+
+    def update(grads, state, params):
+        updates, state = base.update(grads, state, params)
+
+        def apply(u, p):
+            if p.ndim <= 1:
+                return u  # no decay on biases/scales
+            rms = jnp.sqrt(jnp.mean(p.astype(jnp.float32) ** 2))
+            decay = weight_decay * jnp.clip(rms / target_rms, 0.0, 2.0)
+            return u - decay * p
+
+        updates = jax.tree.map(apply, updates, params)
+        lr = (
+            learning_rate(state[0].count)
+            if callable(learning_rate)
+            else learning_rate
+        )
+        return jax.tree.map(lambda u: -lr * u, updates), state
+
+    return optax.GradientTransformation(init, update)
