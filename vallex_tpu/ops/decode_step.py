@@ -1,25 +1,37 @@
-"""Pallas megakernel: one AR decode step (all 12 layers) in a single call.
+"""Pallas megakernel: one AR decode step (all layers) in a single call.
 
-The per-layer pallas_call decode path still pays ~23 us of launch/fusion
-overhead x 12 layers plus XLA's scheduling of ~100 small ops per step. This
-kernel runs the ENTIRE transformer step in one pallas_call:
+The per-layer pallas_call decode path pays ~23 us of launch overhead per
+layer plus XLA's scheduling of ~100 small ops per step. This kernel runs the
+ENTIRE transformer step in one pallas_call with a two-phase grid:
 
-  grid = (num_layers,) — Mosaic auto-pipelines the per-layer weight blocks
-  (HBM→VMEM double-buffering of Wqkv/Wout/W1/W2, ~25 MB/layer in bf16) while
-  the previous layer computes, so weight streaming rides at full HBM
-  bandwidth — the theoretical floor for a 150 M-param bf16 decode step.
+  grid = (num_layers, 2)   phase 0 = attention, phase 1 = FFN
 
-Per grid step (= layer): pre-norm LN → fused QKV matvec → flash attention
-over the layer's lane-packed KV cache (manual valid-block DMA, same scheme
-as ops/decode_attention.py) → out-proj (+residual) → LN → FFN (+residual).
-The hidden state lives in a VMEM scratch accumulator across grid steps.
-This step's k/v for every layer are returned as outputs; the engine writes
-them into the caches with one in-place dynamic_update_slice each (Mosaic
-tiling forbids 1-row DMA writes along the slot axis).
+Splitting each layer into two grid steps halves the weight chunk Mosaic
+must double-buffer per step (attention ~8.3 MB, FFN ~16.8 MB in bf16), so
+the HBM weight stream pipelines against compute at finer granularity — the
+step approaches the weight-streaming floor of a 150 M-param bf16 decoder.
+Phase-shifted index maps make each weight block arrive one grid step before
+it is consumed:
 
-Layout/masking contract matches engine/ar.py: caches are [NL, C, N] with
-N = B*H*hd lanes; valid slots are c < x_len (text) and s_text <= c < slot
-(audio); this step's own k/v is folded into the softmax in-kernel.
+  attention weights: block l fetched during (l-1, FFN) → used at (l, ATTN)
+  FFN weights:       block l fetched during (l, ATTN)  → used at (l, FFN)
+
+Phase 0: pre-norm LN → fused QKV matvec → flash attention over the layer's
+lane-packed KV cache (manual valid-block DMA: one static text-region copy +
+ABLK-row audio blocks, stale rows sanitized) → out-proj + residual.
+Phase 1: LN → FFN + residual; on the last layer it also applies the final
+LayerNorm and the lane-padded prediction head, so next-token logits come
+straight out of the kernel. The hidden state lives in VMEM scratch across
+grid steps.
+
+This step's own k/v is folded into the softmax in-kernel; per-layer k/v
+columns are returned as outputs and written into the caches by one in-place
+XLA dynamic_update_slice each (Mosaic tiling forbids 1-row DMA writes along
+the slot axis).
+
+Masking contract (engine/ar.py layout): cache row c is valid iff c < x_len
+(text) or s_text <= c < s_text + pos (audio). Constraints: s_text <= ABLK,
+s_text % 128 == 0, (C - s_text) % ABLK == 0.
 """
 
 from __future__ import annotations
@@ -32,16 +44,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ABLK = 512  # audio cache slots per DMA block (big: fewer sem waits)
+ABLK = 512  # audio cache rows per DMA block
+
+ATTN, FFN = 0, 1
 
 
 def _kernel(
     # scalar prefetch
     x_len_ref,  # [1]
     pos_ref,  # [1]
-    # inputs (per-layer blocks unless noted)
-    x_ref,  # [B, D] VMEM — the step's input activation (same every layer)
-    wqkv_ref,  # [1, D, 3D] VMEM block of stacked [NL, D, 3D]
+    tok_ref,  # [B] this step's input tokens (fused mode; else ignored)
+    seed_ref,  # [1] per-step PRNG seed (fused mode)
+    greedy_ref,  # [1] 1 ⇒ argmax sampling (fused mode)
+    # inputs
+    x_ref,  # [B, D] VMEM — the step's input activation (non-fused mode)
+    wqkv_ref,  # [1, D, 3D] block of [NL, D, 3D]
     bqkv_ref,  # [1, 1, 3D]
     wout_ref,  # [1, D, D]
     bout_ref,  # [1, 1, D]
@@ -55,290 +72,364 @@ def _kernel(
     ln2b_ref,  # [1, 1, D]
     fns_ref,  # [1, D] final-norm scale
     fnb_ref,  # [1, D] final-norm bias
-    wpred_ref,  # [D, VP] prediction head (vocab padded to a lane multiple)
-    cache_k_hbm,  # [NL, C, N] HBM
-    cache_v_hbm,  # [NL, C, N] HBM
+    wpred_ref,  # [D, VP] prediction head (vocab lane-padded)
+    emb_ref,  # [VB, D] audio-token embedding table (fused mode)
+    alpha_temp_ref,  # [1, 2] SMEM: (pe alpha, sampling temperature)
+    cache_k_hbm,  # [NL, C, N] HBM (read-only)
+    cache_v_hbm,  # [NL, C, N]
     # outputs
-    logits_ref,  # [B, VP] VMEM — next-token logits (padded vocab)
-    newk_ref,  # [1, B, N] VMEM block of [NL, B, N]
+    logits_ref,  # [B, VP] VMEM
+    tok_out_ref,  # [B, 1] i32 — next sampled token (fused mode)
+    logp_out_ref,  # [B, 1] f32 — its logprob (fused mode)
+    newk_ref,  # [1, B, N] block of [NL, B, N]
     newv_ref,  # [1, B, N]
     # scratch
-    h_acc,  # [B, D] f32 VMEM — hidden state across layers
-    kbuf,  # [2, BLK, N] VMEM
-    vbuf,  # [2, BLK, N]
+    h_acc,  # [B, D] f32 — hidden state across grid steps
+    kbuf,  # [2, ABLK, N]
+    vbuf,  # [2, ABLK, N]
     sems,  # DMA sems [2, 2]
     *,
     s_text: int,
     num_heads: int,
+    fused: bool,
+    vocab: int,
 ):
     layer = pl.program_id(0)
+    phase = pl.program_id(1)
     num_layers = pl.num_programs(0)
     B, D = x_ref.shape
-    NL_C_N = cache_k_hbm.shape
-    C, N = NL_C_N[1], NL_C_N[2]
+    C, N = cache_k_hbm.shape[1], cache_k_hbm.shape[2]
     hd = D // num_heads
-    G = N // hd  # B * H head groups
+    G = N // hd
     x_len = x_len_ref[0]
     pos = pos_ref[0]
     slot = s_text + pos
     scale = 1.0 / math.sqrt(hd)
     eps = 1e-5
 
-    @pl.when(layer == 0)
-    def _():
-        h_acc[...] = x_ref[...].astype(jnp.float32)
-
     def ln(x, s, b):
         m = jnp.mean(x, axis=-1, keepdims=True)
         v = jnp.var(x, axis=-1, keepdims=True)
         return (x - m) * jax.lax.rsqrt(v + eps) * s + b
 
-    h = h_acc[...]  # [B, D] f32
+    # ---------------- phase 0: attention -----------------------------------
+    @pl.when(phase == ATTN)
+    def _attention():
+        @pl.when(layer == 0)
+        def _():
+            if fused:
+                # h0 = emb[token] + alpha·PE[audio position `pos`]:
+                # one-hot matmul gather + in-kernel sinusoidal row (no XLA
+                # glue between steps). Scalar-prefetch refs are SMEM, so
+                # tokens are read element-wise (B is small and static).
+                VB = emb_ref.shape[0]
+                rows_b = jax.lax.broadcasted_iota(jnp.int32, (B, VB), 1)
+                cols = [
+                    (rows_b[i] == tok_ref[i]) for i in range(B)
+                ]  # B × [VB] bool
+                onehot = jnp.stack(cols).astype(emb_ref.dtype)  # [B, VB]
+                emb = jax.lax.dot(
+                    onehot, emb_ref[...],
+                    preferred_element_type=jnp.float32,
+                )  # [B, D]
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+                freq = jnp.exp(
+                    (lane // 2 * 2).astype(jnp.float32)
+                    * (-math.log(10000.0) / D)
+                )
+                ang = pos.astype(jnp.float32) * freq
+                pe_row = jnp.where(
+                    lane % 2 == 0, jnp.sin(ang), jnp.cos(ang)
+                )
+                alpha = alpha_temp_ref[0, 0]
+                h_acc[...] = emb + alpha * pe_row
+            else:
+                h_acc[...] = x_ref[...].astype(jnp.float32)
 
-    # ---- attention ---------------------------------------------------------
-    h1 = ln(h, ln1s_ref[0, 0].astype(jnp.float32), ln1b_ref[0, 0].astype(jnp.float32))
-    qkv = (
-        jax.lax.dot(
-            h1.astype(wqkv_ref.dtype), wqkv_ref[0],
+        h = h_acc[...]
+        h1 = ln(
+            h,
+            ln1s_ref[0, 0].astype(jnp.float32),
+            ln1b_ref[0, 0].astype(jnp.float32),
+        )
+        qkv = (
+            jax.lax.dot(
+                h1.astype(wqkv_ref.dtype), wqkv_ref[0],
+                preferred_element_type=jnp.float32,
+            )
+            + bqkv_ref[0, 0].astype(jnp.float32)
+        )  # [B, 3D]
+        q = qkv[:, :D].reshape(1, N)
+        k_new = qkv[:, D : 2 * D].reshape(1, N)
+        v_new = qkv[:, 2 * D :].reshape(1, N)
+        newk_ref[0] = qkv[:, D : 2 * D].astype(newk_ref.dtype)
+        newv_ref[0] = qkv[:, 2 * D :].astype(newv_ref.dtype)
+
+        lane_group = jax.lax.broadcasted_iota(jnp.int32, (N, G), 0) // hd
+        group_id = jax.lax.broadcasted_iota(jnp.int32, (N, G), 1)
+        sel = (lane_group == group_id).astype(jnp.float32)
+
+        n_audio = pos // ABLK + 1
+        total = 1 + n_audio  # ordinal 0 = text, 1.. = audio blocks
+
+        def text_dma(buf_slot):
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(0, s_text), :],
+                    kbuf.at[buf_slot, pl.ds(0, s_text), :],
+                    sems.at[buf_slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(0, s_text), :],
+                    vbuf.at[buf_slot, pl.ds(0, s_text), :],
+                    sems.at[buf_slot, 1],
+                ),
+            )
+
+        def audio_dma(i, buf_slot):
+            start = s_text + pl.multiple_of((i - 1) * ABLK, ABLK)
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(start, ABLK), :],
+                    kbuf.at[buf_slot], sems.at[buf_slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(start, ABLK), :],
+                    vbuf.at[buf_slot], sems.at[buf_slot, 1],
+                ),
+            )
+
+        def start_dma(i, buf_slot):
+            @pl.when(i == 0)
+            def _():
+                a, b = text_dma(buf_slot)
+                a.start()
+                b.start()
+
+            @pl.when(i != 0)
+            def _():
+                a, b = audio_dma(i, buf_slot)
+                a.start()
+                b.start()
+
+        def wait_dma(i, buf_slot):
+            @pl.when(i == 0)
+            def _():
+                a, b = text_dma(buf_slot)
+                a.wait()
+                b.wait()
+
+            @pl.when(i != 0)
+            def _():
+                a, b = audio_dma(i, buf_slot)
+                a.wait()
+                b.wait()
+
+        start_dma(0, 0)
+        qf = q[0]
+
+        def body(i, carry):
+            m_i, l_i, acc = carry
+            buf_slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < total)
+            def _():
+                start_dma(i + 1, jax.lax.rem(i + 1, 2))
+
+            wait_dma(i, buf_slot)
+            base = jnp.where(i == 0, 0, s_text + (i - 1) * ABLK)
+            rows = base + jax.lax.broadcasted_iota(jnp.int32, (ABLK, 1), 0)
+            is_text = i == 0
+            ok = jnp.logical_or(
+                jnp.logical_and(
+                    is_text, jnp.logical_and(rows < x_len, rows < s_text)
+                ),
+                jnp.logical_and(
+                    jnp.logical_not(is_text),
+                    jnp.logical_and(rows >= s_text, rows < slot),
+                ),
+            )
+            # zero stale/invalid rows (uninitialized VMEM may hold NaN bit
+            # patterns; 0 * NaN would poison the p*V accumulation)
+            kb = jnp.where(ok, kbuf[buf_slot].astype(jnp.float32), 0.0)
+            vb = jnp.where(ok, vbuf[buf_slot].astype(jnp.float32), 0.0)
+
+            s = jax.lax.dot(
+                kb * qf[None, :], sel, preferred_element_type=jnp.float32
+            ) * scale  # [ABLK, G]
+            s = jnp.where(ok, s, -1e30)
+
+            m_new = jnp.maximum(m_i, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp(m_i - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_i * alpha + jnp.sum(p, axis=0, keepdims=True)
+            p_lanes = jax.lax.dot(
+                p, sel.T, preferred_element_type=jnp.float32
+            )
+            alpha_lanes = jax.lax.dot(
+                alpha, sel.T, preferred_element_type=jnp.float32
+            )
+            acc_new = acc * alpha_lanes + jnp.sum(
+                p_lanes * vb, axis=0, keepdims=True
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((1, G), -1e30, jnp.float32)
+        l0 = jnp.zeros((1, G), jnp.float32)
+        a0 = jnp.zeros((1, N), jnp.float32)
+        m_i, l_i, acc = jax.lax.fori_loop(0, total, body, (m0, l0, a0))
+
+        # fold in this step's own k/v (the slot column, excluded above)
+        own_s = jax.lax.dot(
+            (qf * k_new[0])[None, :], sel,
             preferred_element_type=jnp.float32,
-        )
-        + bqkv_ref[0, 0].astype(jnp.float32)
-    )  # [B, 3D]
-    q = qkv[:, :D].reshape(1, N)
-    k_new = qkv[:, D : 2 * D].reshape(1, N)
-    v_new = qkv[:, 2 * D :].reshape(1, N)
-    newk_ref[0] = qkv[:, D : 2 * D].astype(newk_ref.dtype)
-    newv_ref[0] = qkv[:, 2 * D :].astype(newv_ref.dtype)
-
-    # head selector (lane → head group)
-    lane_group = jax.lax.broadcasted_iota(jnp.int32, (N, G), 0) // hd
-    group_id = jax.lax.broadcasted_iota(jnp.int32, (N, G), 1)
-    sel = (lane_group == group_id).astype(jnp.float32)
-
-    # Valid cache rows form two runs: [0, x_len) text and [s_text, slot)
-    # audio. The text run is ONE static DMA of s_text rows (padding rows are
-    # masked); audio uses ABLK-row blocks — big blocks keep semaphore waits
-    # at ~3 per layer instead of ~10.
-    n_audio = pos // ABLK + 1
-    total = 1 + n_audio  # ordinal 0 = text, 1.. = audio blocks
-
-    def text_dma(buf_slot):
-        return (
-            pltpu.make_async_copy(
-                cache_k_hbm.at[layer, pl.ds(0, s_text), :],
-                kbuf.at[buf_slot, pl.ds(0, s_text), :],
-                sems.at[buf_slot, 0],
-            ),
-            pltpu.make_async_copy(
-                cache_v_hbm.at[layer, pl.ds(0, s_text), :],
-                vbuf.at[buf_slot, pl.ds(0, s_text), :],
-                sems.at[buf_slot, 1],
-            ),
-        )
-
-    def audio_dma(i, buf_slot):
-        start = s_text + pl.multiple_of((i - 1) * ABLK, ABLK)
-        return (
-            pltpu.make_async_copy(
-                cache_k_hbm.at[layer, pl.ds(start, ABLK), :],
-                kbuf.at[buf_slot], sems.at[buf_slot, 0],
-            ),
-            pltpu.make_async_copy(
-                cache_v_hbm.at[layer, pl.ds(start, ABLK), :],
-                vbuf.at[buf_slot], sems.at[buf_slot, 1],
-            ),
-        )
-
-    def start_dma(i, buf_slot):
-        @pl.when(i == 0)
-        def _():
-            a, b = text_dma(buf_slot)
-            a.start()
-            b.start()
-
-        @pl.when(i != 0)
-        def _():
-            a, b = audio_dma(i, buf_slot)
-            a.start()
-            b.start()
-
-    def wait_dma(i, buf_slot):
-        @pl.when(i == 0)
-        def _():
-            a, b = text_dma(buf_slot)
-            a.wait()
-            b.wait()
-
-        @pl.when(i != 0)
-        def _():
-            a, b = audio_dma(i, buf_slot)
-            a.wait()
-            b.wait()
-
-    start_dma(0, 0)
-    qf = q[0]  # [N] f32
-
-    def body(i, carry):
-        m_i, l_i, acc = carry
-        buf_slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < total)
-        def _():
-            start_dma(i + 1, jax.lax.rem(i + 1, 2))
-
-        wait_dma(i, buf_slot)
-        # cache-row index of each buffer row (text rows beyond the copied
-        # s_text hold stale data; audio rows offset by block)
-        base = jnp.where(i == 0, 0, s_text + (i - 1) * ABLK)
-        rows = base + jax.lax.broadcasted_iota(jnp.int32, (ABLK, 1), 0)
-        # (scalar-conditioned select over bool vectors doesn't legalize in
-        # Mosaic; broadcasted logical ops do)
-        is_text = i == 0
-        ok = jnp.logical_or(
-            jnp.logical_and(
-                is_text, jnp.logical_and(rows < x_len, rows < s_text)
-            ),
-            jnp.logical_and(
-                jnp.logical_not(is_text),
-                jnp.logical_and(rows >= s_text, rows < slot),
-            ),
-        )
-        # zero stale/invalid rows — uninitialized VMEM can hold NaN bit
-        # patterns, and 0·NaN would poison the p·V accumulation
-        kb = jnp.where(ok, kbuf[buf_slot].astype(jnp.float32), 0.0)
-        vb = jnp.where(ok, vbuf[buf_slot].astype(jnp.float32), 0.0)
-
-        s = jax.lax.dot(
-            kb * qf[None, :], sel, preferred_element_type=jnp.float32
-        ) * scale  # [ABLK, G]
-        s = jnp.where(ok, s, -1e30)
-
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=0, keepdims=True))
+        ) * scale
+        m_new = jnp.maximum(m_i, own_s)
         alpha = jnp.exp(m_i - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=0, keepdims=True)
-        p_lanes = jax.lax.dot(p, sel.T, preferred_element_type=jnp.float32)
+        p_own = jnp.exp(own_s - m_new)
+        l_new = l_i * alpha + p_own
         alpha_lanes = jax.lax.dot(
             alpha, sel.T, preferred_element_type=jnp.float32
         )
-        acc_new = acc * alpha_lanes + jnp.sum(
-            p_lanes * vb, axis=0, keepdims=True
+        p_own_lanes = jax.lax.dot(
+            p_own, sel.T, preferred_element_type=jnp.float32
         )
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((1, G), -1e30, jnp.float32)
-    l0 = jnp.zeros((1, G), jnp.float32)
-    a0 = jnp.zeros((1, N), jnp.float32)
-    m_i, l_i, acc = jax.lax.fori_loop(0, total, body, (m0, l0, a0))
-
-    # own k/v fold-in
-    own_s = jax.lax.dot(
-        (qf * k_new[0])[None, :], sel, preferred_element_type=jnp.float32
-    ) * scale
-    m_new = jnp.maximum(m_i, own_s)
-    alpha = jnp.exp(m_i - m_new)
-    p_own = jnp.exp(own_s - m_new)
-    l_new = l_i * alpha + p_own
-    alpha_lanes = jax.lax.dot(alpha, sel.T, preferred_element_type=jnp.float32)
-    p_own_lanes = jax.lax.dot(p_own, sel.T, preferred_element_type=jnp.float32)
-    acc = acc * alpha_lanes + p_own_lanes * v_new[0][None, :]
-    l_lanes = jax.lax.dot(l_new, sel.T, preferred_element_type=jnp.float32)
-    attn = (acc / l_lanes).reshape(B, D)  # [B, D] f32
-
-    h = h + (
-        jax.lax.dot(
-            attn.astype(wout_ref.dtype), wout_ref[0],
-            preferred_element_type=jnp.float32,
+        acc = acc * alpha_lanes + p_own_lanes * v_new[0][None, :]
+        l_lanes = jax.lax.dot(
+            l_new, sel.T, preferred_element_type=jnp.float32
         )
-        + bout_ref[0, 0].astype(jnp.float32)
-    )
+        attn = (acc / l_lanes).reshape(B, D)
 
-    # ---- FFN ----------------------------------------------------------------
-    h2 = ln(h, ln2s_ref[0, 0].astype(jnp.float32), ln2b_ref[0, 0].astype(jnp.float32))
-    f = (
-        jax.lax.dot(
-            h2.astype(w1_ref.dtype), w1_ref[0],
-            preferred_element_type=jnp.float32,
+        h_acc[...] = h + (
+            jax.lax.dot(
+                attn.astype(wout_ref.dtype), wout_ref[0],
+                preferred_element_type=jnp.float32,
+            )
+            + bout_ref[0, 0].astype(jnp.float32)
         )
-        + b1_ref[0, 0].astype(jnp.float32)
-    )
-    f = jnp.maximum(f, 0.0)
-    h = h + (
-        jax.lax.dot(
-            f.astype(w2_ref.dtype), w2_ref[0],
-            preferred_element_type=jnp.float32,
-        )
-        + b2_ref[0, 0].astype(jnp.float32)
-    )
 
-    h_acc[...] = h
-
-    # final norm + prediction head fused into the last layer's step
-    @pl.when(layer == num_layers - 1)
-    def _():
-        hf = ln(
+    # ---------------- phase 1: FFN (+ head on the last layer) --------------
+    @pl.when(phase == FFN)
+    def _ffn():
+        h = h_acc[...]
+        h2 = ln(
             h,
-            fns_ref[0].astype(jnp.float32),
-            fnb_ref[0].astype(jnp.float32),
+            ln2s_ref[0, 0].astype(jnp.float32),
+            ln2b_ref[0, 0].astype(jnp.float32),
         )
-        logits_ref[...] = jax.lax.dot(
-            hf.astype(wpred_ref.dtype), wpred_ref[...],
-            preferred_element_type=jnp.float32,
-        ).astype(logits_ref.dtype)
+        f = (
+            jax.lax.dot(
+                h2.astype(w1_ref.dtype), w1_ref[0],
+                preferred_element_type=jnp.float32,
+            )
+            + b1_ref[0, 0].astype(jnp.float32)
+        )
+        f = jnp.maximum(f, 0.0)
+        h = h + (
+            jax.lax.dot(
+                f.astype(w2_ref.dtype), w2_ref[0],
+                preferred_element_type=jnp.float32,
+            )
+            + b2_ref[0, 0].astype(jnp.float32)
+        )
+        h_acc[...] = h
+
+        @pl.when(layer == num_layers - 1)
+        def _():
+            hf = ln(
+                h,
+                fns_ref[0].astype(jnp.float32),
+                fnb_ref[0].astype(jnp.float32),
+            )
+            logits = jax.lax.dot(
+                hf.astype(wpred_ref.dtype), wpred_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            logits_ref[...] = logits.astype(logits_ref.dtype)
+            if fused:
+                # next-token sampling in-kernel (plain path: no top-k/top-p)
+                VP = logits.shape[1]
+                lanes = jax.lax.broadcasted_iota(jnp.int32, (B, VP), 1)
+                masked = jnp.where(lanes < vocab, logits, -1e30)
+                temp = jnp.maximum(alpha_temp_ref[0, 1], 1e-6)
+                scaled = masked / temp
+
+                pltpu.prng_seed(seed_ref[0])
+                bits = pltpu.prng_random_bits((B, VP))
+                u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+                gumbel = -jnp.log(-jnp.log(u + 1e-10) + 1e-10)
+                score = jnp.where(
+                    greedy_ref[0] == 1, masked, scaled + gumbel
+                )
+                best = jnp.max(score, axis=1, keepdims=True)
+                # argmax via lowest winning lane (ties → smallest index,
+                # matching jnp.argmax)
+                tok = jnp.min(
+                    jnp.where(score == best, lanes, VP), axis=1,
+                    keepdims=True,
+                )  # [B, 1]
+                logp = scaled - jax.nn.logsumexp(scaled, axis=1,
+                                                 keepdims=True)
+                chosen = jnp.sum(
+                    jnp.where(lanes == tok, logp, 0.0), axis=1,
+                    keepdims=True,
+                )
+                # SMEM outputs take scalar stores
+                for i in range(B):
+                    tok_out_ref[i, 0] = tok[i, 0].astype(jnp.int32)
+                    logp_out_ref[i, 0] = chosen[i, 0]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("s_text", "num_heads")
-)
-def decode_step(
-    x: jnp.ndarray,  # [B, D] this step's input embedding (+PE)
-    layer_weights,  # dict of stacked per-layer weights (see engine)
-    cache_k: jnp.ndarray,  # [NL, C, N]
-    cache_v: jnp.ndarray,  # [NL, C, N]
-    x_len: jnp.ndarray,
-    audio_pos: jnp.ndarray,
-    *,
-    s_text: int,
-    num_heads: int,
+def _call_kernel(
+    lw, cache_k, cache_v, x, tokens, seeds, greedy, alpha_temp,
+    x_len, audio_pos, *, s_text, num_heads, fused, vocab,
 ):
-    """→ (logits [B, VP] fp32 (vocab lane-padded), cache_k', cache_v')."""
-    B, D = x.shape
+    B = x.shape[0]
     NL, C, N = cache_k.shape
-    F = layer_weights["w1"].shape[-1]
-    VP = layer_weights["wpred"].shape[-1]
+    D = x.shape[1]
+    F = lw["w1"].shape[-1]
+    VP = lw["wpred"].shape[-1]
+    VB = lw["emb"].shape[0]
     assert s_text <= ABLK and (C - s_text) % ABLK == 0, (C, s_text)
     assert s_text % 128 == 0
 
-    lw = layer_weights
+    # attention weights arrive during the previous layer's FFN phase; FFN
+    # weights arrive during this layer's attention phase
+    attn_idx = lambda l, p, *_: (l, 0, 0)  # noqa: E731
+    ffn_idx = lambda l, p, *_: (jnp.maximum(l - 1 + p, 0), 0, 0)  # noqa: E731
+    const2 = lambda l, p, *_: (0, 0)  # noqa: E731
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(NL,),
+        num_scalar_prefetch=5,
+        grid=(NL, 2),
         in_specs=[
-            pl.BlockSpec((B, D), lambda l, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, 3 * D), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, 3 * D), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, D, D), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, D), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, D, F), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, F), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, F, D), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, D), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, D), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, D), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, D), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, D), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, D), lambda l, *_: (0, 0)),
-            pl.BlockSpec((1, D), lambda l, *_: (0, 0)),
-            pl.BlockSpec((D, VP), lambda l, *_: (0, 0)),
+            pl.BlockSpec((B, D), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 3 * D), attn_idx),
+            pl.BlockSpec((1, 1, 3 * D), attn_idx),
+            pl.BlockSpec((1, D, D), attn_idx),
+            pl.BlockSpec((1, 1, D), attn_idx),
+            pl.BlockSpec((1, D, F), ffn_idx),
+            pl.BlockSpec((1, 1, F), ffn_idx),
+            pl.BlockSpec((1, F, D), ffn_idx),
+            pl.BlockSpec((1, 1, D), ffn_idx),
+            pl.BlockSpec((1, 1, D), attn_idx),
+            pl.BlockSpec((1, 1, D), attn_idx),
+            pl.BlockSpec((1, 1, D), ffn_idx),
+            pl.BlockSpec((1, 1, D), ffn_idx),
+            pl.BlockSpec((1, D), const2),
+            pl.BlockSpec((1, D), const2),
+            pl.BlockSpec((D, VP), const2),
+            pl.BlockSpec((VB, D), const2),
+            pl.BlockSpec((1, 2), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=(
-            pl.BlockSpec(
-                (B, VP), lambda l, *_: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, B, N), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, B, N), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((B, VP), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B, N), lambda l, p, *_: (l, 0, 0)),
+            pl.BlockSpec((1, B, N), lambda l, p, *_: (l, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.float32),
@@ -348,11 +439,16 @@ def decode_step(
         ],
     )
 
-    logits, newk, newv = pl.pallas_call(
-        functools.partial(_kernel, s_text=s_text, num_heads=num_heads),
+    logits, tok_out, logp_out, newk, newv = pl.pallas_call(
+        functools.partial(
+            _kernel, s_text=s_text, num_heads=num_heads, fused=fused,
+            vocab=vocab,
+        ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, VP), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((NL, B, N), cache_k.dtype),
             jax.ShapeDtypeStruct((NL, B, N), cache_v.dtype),
         ),
@@ -362,11 +458,15 @@ def decode_step(
     )(
         x_len.astype(jnp.int32)[None],
         audio_pos.astype(jnp.int32)[None],
+        tokens.astype(jnp.int32),
+        seeds.astype(jnp.int32)[None],
+        greedy.astype(jnp.int32)[None],
         x,
         lw["wqkv"], lw["bqkv"], lw["wout"], lw["bout"],
         lw["w1"], lw["b1"], lw["w2"], lw["b2"],
         lw["ln1s"], lw["ln1b"], lw["ln2s"], lw["ln2b"],
-        lw["fns"], lw["fnb"], lw["wpred"],
+        lw["fns"], lw["fnb"], lw["wpred"], lw["emb"],
+        alpha_temp,
         cache_k, cache_v,
     )
     slot = s_text + audio_pos.astype(jnp.int32)
@@ -376,20 +476,91 @@ def decode_step(
     cv = jax.lax.dynamic_update_slice(
         cache_v, newv.astype(cache_v.dtype), (0, slot, 0)
     )
+    return logits, tok_out, logp_out, ck, cv
+
+
+@functools.partial(jax.jit, static_argnames=("s_text", "num_heads"))
+def decode_step(
+    x: jnp.ndarray,  # [B, D] this step's input embedding (+PE)
+    layer_weights,  # dict of stacked per-layer weights (pack_layer_weights)
+    cache_k: jnp.ndarray,  # [NL, C, N]
+    cache_v: jnp.ndarray,  # [NL, C, N]
+    x_len: jnp.ndarray,
+    audio_pos: jnp.ndarray,
+    *,
+    s_text: int,
+    num_heads: int,
+):
+    """→ (logits [B, VP] fp32 (vocab lane-padded), cache_k', cache_v')."""
+    B = x.shape[0]
+    logits, _, _, ck, cv = _call_kernel(
+        layer_weights, cache_k, cache_v, x,
+        jnp.zeros((B,), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.ones((), jnp.int32),
+        jnp.zeros((1, 2), jnp.float32),
+        x_len, audio_pos,
+        s_text=s_text, num_heads=num_heads, fused=False,
+        vocab=layer_weights["wpred"].shape[-1],
+    )
     return logits, ck, cv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s_text", "num_heads", "vocab")
+)
+def decode_step_fused(
+    tokens: jnp.ndarray,  # [B] this step's input tokens
+    layer_weights,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    x_len: jnp.ndarray,
+    audio_pos: jnp.ndarray,
+    seed: jnp.ndarray,  # [] int32 — per-step PRNG seed
+    greedy: jnp.ndarray,  # [] int32 — 1 ⇒ argmax
+    temperature: jnp.ndarray,  # [] f32
+    pe_alpha: jnp.ndarray,  # [] f32 — audio PE alpha
+    *,
+    s_text: int,
+    num_heads: int,
+    vocab: int,
+):
+    """Fully fused decode step: token in → next token out.
+
+    Embedding gather (one-hot matmul), sinusoidal PE row, all layers,
+    final norm, prediction head and plain sampling (greedy / Gumbel
+    categorical via the on-core PRNG) happen inside the kernel — the only
+    XLA ops left per step are the two in-place cache column writes and the
+    beam bookkeeping. → (next_tokens [B], logprobs [B], cache_k', cache_v').
+    """
+    B = tokens.shape[0]
+    D = layer_weights["wqkv"].shape[1]
+    alpha_temp = jnp.stack(
+        [pe_alpha.astype(jnp.float32), temperature.astype(jnp.float32)]
+    )[None]
+    _, tok_out, logp_out, ck, cv = _call_kernel(
+        layer_weights, cache_k, cache_v,
+        jnp.zeros((B, D), cache_k.dtype),
+        tokens, seed, greedy, alpha_temp,
+        x_len, audio_pos,
+        s_text=s_text, num_heads=num_heads, fused=True, vocab=vocab,
+    )
+    return tok_out[:, 0], logp_out[:, 0], ck, cv
 
 
 VOCAB_PAD = 128  # pad the prediction vocab to a lane multiple
 
 
 def pack_layer_weights(
-    layers: dict, dtype=jnp.bfloat16, final_norm=None, predict_w=None
+    layers: dict, dtype=jnp.bfloat16, final_norm=None, predict_w=None,
+    audio_embedding=None,
 ) -> dict:
     """Engine param stack → the megakernel's flat stacked-weight dict.
 
     final_norm: {'scale','bias'} of the stack's last LayerNorm;
-    predict_w: [D, V] prediction head (V lane-padded with -inf-safe zeros;
-    the engine masks logits beyond the true vocab).
+    predict_w: [D, V] prediction head (V lane-padded with zeros; the engine
+    masks logits beyond the true vocab);
+    audio_embedding: [VB, D] token embedding table for the fused path (a
+    1-row dummy when only the logits path is used).
     """
     sa = layers["self_attn"]
 
@@ -412,6 +583,11 @@ def pack_layer_weights(
         "fns": final_norm["scale"][None, :].astype(dtype),
         "fnb": final_norm["bias"][None, :].astype(dtype),
         "wpred": _pad_vocab(predict_w).astype(dtype),
+        "emb": (
+            audio_embedding
+            if audio_embedding is not None
+            else jnp.zeros((8, layers["linear1"]["w"].shape[1]))
+        ).astype(dtype),
     }
 
 
