@@ -22,7 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    import jax
     import numpy as np
+
+    # persistent compilation cache: repeat bench runs skip the 3-4 min of
+    # program compiles (works with the remote-compile tunnel too — the cache
+    # stores client-side executables keyed by HLO)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/vallex-jax-cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from vallex_tpu import api
     from vallex_tpu.config import SAMPLE_RATE, EngineConfig
