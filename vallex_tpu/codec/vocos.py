@@ -216,7 +216,10 @@ def head_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """[B, T, 512] → waveform [B, (T-1)*hop] via log-mag/phase ISTFT."""
     h = jnp.dot(x, params["head"]["w"]) + params["head"]["b"]
     mag, phase = jnp.split(h, 2, axis=-1)
-    mag = jnp.exp(jnp.clip(mag, max=1e2))
+    # exp(clip(·, 100)) matches the reference head, but e^100 × 641 DFT bins
+    # overflows fp32 (possible with untrained weights); the extra magnitude
+    # clamp keeps the ISTFT finite and is a no-op for trained checkpoints.
+    mag = jnp.minimum(jnp.exp(jnp.clip(mag, max=1e2)), 1e30)
     spec = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
     return istft(spec)
 
