@@ -1,0 +1,89 @@
+"""Training-path tests: losses, train step, two-stage masking."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vallex_tpu.config import ModelConfig
+
+TINY = ModelConfig(
+    d_model=64, num_heads=4, num_layers=2, ffn_dim=128, max_position=256
+)
+
+
+def _batch(B=2, S=12, T=24):
+    rng = np.random.RandomState(0)
+    return {
+        "text_ids": jnp.asarray(rng.randint(5, 99, (B, S)), jnp.int32),
+        "lang_ids": jnp.zeros((B, S), jnp.int32),
+        "text_lens": jnp.asarray([S, S - 3], jnp.int32),
+        "codes": jnp.asarray(rng.randint(0, 1024, (B, T, 8)), jnp.int32),
+        "audio_lens": jnp.asarray([T, T - 6], jnp.int32),
+    }
+
+
+def test_total_loss_finite_and_near_uniform():
+    from vallex_tpu.models.vallex import init_vallex
+    from vallex_tpu.train.loss import total_loss
+
+    params = init_vallex(jax.random.PRNGKey(0), TINY)
+    loss, metrics = total_loss(
+        params, TINY, _batch(), jax.random.PRNGKey(1), jnp.float32
+    )
+    assert np.isfinite(float(loss))
+    # sane CE magnitudes for a random model (NAR sums up to 8 N(0,1)
+    # embedding tables, so its logit variance — and CE — runs higher)
+    assert 4.0 < float(metrics["ar_loss"]) < 15.0
+    assert 4.0 < float(metrics["nar_loss"]) < 40.0
+
+
+def test_train_step_reduces_loss():
+    from vallex_tpu.models.vallex import init_vallex
+    from vallex_tpu.train.step import (
+        init_train_state, make_optimizer, train_step,
+    )
+
+    params = init_vallex(jax.random.PRNGKey(0), TINY)
+    opt = make_optimizer(base_lr=2e-3)
+    state = init_train_state(params, opt)
+    batch = _batch()
+    losses = []
+    for i in range(12):
+        state, metrics = train_step(
+            state, batch, jax.random.PRNGKey(42),  # fixed rng: same objective
+            cfg=TINY, optimizer=opt, dtype="float32",
+        )
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses  # overfits a fixed batch
+
+
+def test_two_stage_masking_freezes_other_stage():
+    import optax
+
+    from vallex_tpu.models.vallex import init_vallex, stage_param_labels
+    from vallex_tpu.train.loss import total_loss
+
+    params = init_vallex(jax.random.PRNGKey(0), TINY)
+    labels = jax.tree.map(
+        lambda b: "train" if b else "freeze", stage_param_labels(params, 1)
+    )  # AR only
+    opt = optax.multi_transform(
+        {"train": optax.sgd(0.1), "freeze": optax.set_to_zero()}, labels
+    )
+    state = opt.init(params)
+    grads = jax.grad(
+        lambda p: total_loss(p, TINY, _batch(), jax.random.PRNGKey(1), jnp.float32)[0]
+    )(params)
+    updates, _ = opt.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    # nar params unchanged; ar params changed
+    assert np.allclose(
+        np.asarray(new["nar_text_embedding"]["weight"]),
+        np.asarray(params["nar_text_embedding"]["weight"]),
+    )
+    assert not np.allclose(
+        np.asarray(new["ar_text_embedding"]["weight"]),
+        np.asarray(params["ar_text_embedding"]["weight"]),
+    )

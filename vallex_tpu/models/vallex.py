@@ -219,7 +219,9 @@ def nar_logits(
 
 def stage_param_labels(params: Params, stage: int) -> Params:
     """→ pytree of bools marking the parameters trained in `stage`
-    (1 = ar_*, 2 = nar_*). Feed to optax.masked for two-stage training."""
+    (1 = ar_*, 2 = nar_*). For two-stage training map to labels and use
+    optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, …)
+    — optax.masked alone passes raw gradients through unmasked leaves."""
     assert stage in (1, 2)
     prefix = "ar_" if stage == 1 else "nar_"
 
