@@ -225,3 +225,118 @@ def test_text_input_parity(ref_model, params):
         )
     )
     np.testing.assert_allclose(ours, ref, atol=TOL)
+
+
+def test_megakernel_matches_torch_reference(ref_model, params, monkeypatch):
+    """The fused Pallas decode step (interpret mode) must reproduce the torch
+    reference's incremental KV-cache decode through converted weights."""
+    import jax.experimental.pallas as pl_mod
+
+    orig = pl_mod.pallas_call
+    monkeypatch.setattr(
+        pl_mod, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    import importlib
+
+    from vallex_tpu.ops import decode_step as DS
+
+    importlib.reload(DS)
+
+    from vallex_tpu.models import layers as L
+    from vallex_tpu.ops.decode_attention import pack_cache
+
+    x_len, s_text = 6, 128
+    C = s_text + 512
+    hd = D // H
+
+    # reference: prefill over [text(6) | BOS] then 3 incremental steps
+    rng = np.random.RandomState(5)
+    text = torch.tensor(rng.randint(5, 100, (1, x_len)))
+    with torch.no_grad():
+        x_emb = ref_model.ar_text_embedding(text)
+        x_emb = ref_model.ar_text_position(x_emb)
+        bos = torch.tensor([[1025]])
+        y_emb = ref_model.ar_audio_position(ref_model.ar_audio_embedding(bos))
+        xy = torch.cat([x_emb, y_emb], dim=1)
+        S0 = x_len + 1
+        # text prefix visible to all; audio causal (reference mask shape,
+        # models/vallex.py:535-549)
+        mask = torch.triu(torch.ones(S0, S0, dtype=torch.bool), diagonal=1)
+        mask[:, :x_len] = False
+        out, kv = ref_model.ar_decoder.infer(xy, mask=mask, use_cache=True)
+
+        ref_logits = []
+        toks = [70, 512, 999]
+        for t, tok in enumerate(toks):
+            pos = 1 + t
+            emb = ref_model.ar_audio_embedding(torch.tensor([[tok]]))
+            emb = emb + ref_model.ar_audio_position.pe[:, pos : pos + 1]
+            full = x_len + pos + 1
+            m = torch.zeros(full, full, dtype=torch.bool)
+            m |= torch.triu(torch.ones(full, full, dtype=torch.bool), 1)
+            m[:, :x_len] = False
+            out, kv = ref_model.ar_decoder.infer(
+                emb, mask=m, past_kv=kv, use_cache=True
+            )
+            h = out[:, -1]
+            ref_logits.append(
+                (h @ ref_model.ar_predict_layer.weight.T).numpy()
+            )
+
+    # ours: build the caches from the converted params via the XLA prefill,
+    # then run the fused kernel for the 3 steps
+    import jax
+    import jax.numpy as jnp
+
+    from vallex_tpu.models import vallex as V
+
+    pe = L.make_sine_pe(CFG.max_position, D)
+    lang0 = jnp.zeros((1, x_len), jnp.int32)
+    # reference prologue above omitted language embeddings; match it by
+    # bypassing text_input and embedding directly
+    xj = L.embedding_apply(params["ar_text_embedding"], jnp.asarray(text.numpy()))
+    xj = L.sine_pe_apply(pe, params["ar_text_position"]["alpha"], xj)
+    yj = L.embedding_apply(params["ar_audio_embedding"], jnp.asarray([[1025]]))
+    yj = L.sine_pe_apply(pe, params["ar_audio_position"]["alpha"], yj)
+    xyj = jnp.concatenate([xj, yj], axis=1)
+    pf_mask = V.prefill_mask(jnp.asarray(x_len), x_len + 1)
+
+    cks = jnp.zeros((NL, C, H * hd), jnp.float32)
+    cvs = jnp.zeros((NL, C, H * hd), jnp.float32)
+    h = xyj
+    for i in range(NL):
+        lp = jax.tree.map(lambda a, i=i: a[i], params["ar_decoder"]["layers"])
+        h, k, v = L.encoder_layer_prefill(lp, h, H, pf_mask)
+        packed_k = pack_cache(k)  # [S0, N]
+        packed_v = pack_cache(v)
+        # text at rows 0..x_len-1, BOS at row s_text
+        cks = cks.at[i, :x_len].set(packed_k[:x_len])
+        cks = cks.at[i, s_text].set(packed_k[x_len])
+        cvs = cvs.at[i, :x_len].set(packed_v[:x_len])
+        cvs = cvs.at[i, s_text].set(packed_v[x_len])
+
+    lw = DS.pack_layer_weights(
+        params["ar_decoder"]["layers"], dtype=jnp.float32,
+        final_norm=params["ar_decoder"]["norm"],
+        predict_w=params["ar_predict_layer"]["w"],
+        audio_embedding=params["ar_audio_embedding"]["weight"],
+    )
+    for t, tok in enumerate([70, 512, 999]):
+        pos = 1 + t
+        logits_pad, _, _, cks, cvs = DS._call_kernel(
+            lw, cks, cvs, jnp.zeros((1, D)),
+            jnp.asarray([tok], jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(1, jnp.int32),
+            jnp.asarray(
+                [[float(np.asarray(params["ar_audio_position"]["alpha"])), 1.0]],
+                jnp.float32,
+            ),
+            jnp.asarray(x_len), jnp.asarray(pos),
+            s_text=s_text, num_heads=H, fused=True, vocab=1025,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_pad[:, :1025]), ref_logits[t], atol=5e-3,
+            err_msg=f"step {t}",
+        )
+    importlib.reload(DS)

@@ -146,6 +146,7 @@ class SynthesisPipeline:
                 plain_sampling=bool(
                     (top_k <= 0 or top_k == 1) and top_p >= 1.0
                 ),
+                greedy=bool(top_k == 1),
             )
 
         # --- NAR (device handoff) -------------------------------------------

@@ -93,6 +93,7 @@ def _kernel(
     num_heads: int,
     fused: bool,
     vocab: int,
+    stochastic: bool = False,
 ):
     layer = pl.program_id(0)
     phase = pl.program_id(1)
@@ -354,13 +355,15 @@ def _kernel(
                 temp = jnp.maximum(alpha_temp_ref[0, 1], 1e-6)
                 scaled = masked / temp
 
-                pltpu.prng_seed(seed_ref[0])
-                bits = pltpu.prng_random_bits((B, VP))
-                u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-                gumbel = -jnp.log(-jnp.log(u + 1e-10) + 1e-10)
-                score = jnp.where(
-                    greedy_ref[0] == 1, masked, scaled + gumbel
-                )
+                if stochastic:
+                    # Gumbel-max categorical via the on-core PRNG
+                    pltpu.prng_seed(seed_ref[0])
+                    bits = pltpu.prng_random_bits((B, VP))
+                    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+                    gumbel = -jnp.log(-jnp.log(u + 1e-10) + 1e-10)
+                    score = scaled + gumbel
+                else:
+                    score = masked
                 best = jnp.max(score, axis=1, keepdims=True)
                 # argmax via lowest winning lane (ties → smallest index,
                 # matching jnp.argmax)
@@ -383,6 +386,7 @@ def _kernel(
 def _call_kernel(
     lw, cache_k, cache_v, x, tokens, seeds, greedy, alpha_temp,
     x_len, audio_pos, *, s_text, num_heads, fused, vocab,
+    stochastic=False,
 ):
     B = x.shape[0]
     NL, C, N = cache_k.shape
@@ -442,7 +446,7 @@ def _call_kernel(
     logits, tok_out, logp_out, newk, newv = pl.pallas_call(
         functools.partial(
             _kernel, s_text=s_text, num_heads=num_heads, fused=fused,
-            vocab=vocab,
+            vocab=vocab, stochastic=stochastic,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -506,7 +510,7 @@ def decode_step(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s_text", "num_heads", "vocab")
+    jax.jit, static_argnames=("s_text", "num_heads", "vocab", "stochastic")
 )
 def decode_step_fused(
     tokens: jnp.ndarray,  # [B] this step's input tokens
@@ -516,13 +520,14 @@ def decode_step_fused(
     x_len: jnp.ndarray,
     audio_pos: jnp.ndarray,
     seed: jnp.ndarray,  # [] int32 — per-step PRNG seed
-    greedy: jnp.ndarray,  # [] int32 — 1 ⇒ argmax
+    greedy: jnp.ndarray,  # [] int32 (unused when stochastic=False)
     temperature: jnp.ndarray,  # [] f32
     pe_alpha: jnp.ndarray,  # [] f32 — audio PE alpha
     *,
     s_text: int,
     num_heads: int,
     vocab: int,
+    stochastic: bool = False,
 ):
     """Fully fused decode step: token in → next token out.
 
@@ -543,6 +548,7 @@ def decode_step_fused(
         tokens, seed, greedy, alpha_temp,
         x_len, audio_pos,
         s_text=s_text, num_heads=num_heads, fused=True, vocab=vocab,
+        stochastic=stochastic,
     )
     return tok_out[:, 0], logp_out[:, 0], ck, cv
 
