@@ -104,3 +104,61 @@ def test_megakernel_matches_layer_math(x_len, pos, monkeypatch):
         )
 
     importlib.reload(DS)
+
+
+def test_int8_quantized_step_close_to_fp32(monkeypatch):
+    """W8A16 quantized megakernel ≈ fp32 kernel (per-channel int8 error)."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
+    import importlib
+
+    from vallex_tpu.ops import decode_step as DS
+
+    importlib.reload(DS)
+    from vallex_tpu.ops.decode_attention import pack_cache
+
+    rng = jax.random.PRNGKey(0)
+    NL, B, H, D, F = 3, 1, 4, 256, 512
+    C, s_text = 640, 128
+    layers = [
+        L.init_encoder_layer(k, D, F, adaptive=False)
+        for k in jax.random.split(rng, NL)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    final_norm = {
+        "scale": jnp.ones((D,)),
+        "bias": jnp.zeros((D,)),
+    }
+    wpred = jax.random.normal(jax.random.PRNGKey(9), (D, 1025)) * 0.05
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, D), jnp.float32)
+    cache_k = jax.random.normal(jax.random.PRNGKey(2), (NL, B, H, C, D // H))
+    cache_v = jax.random.normal(jax.random.PRNGKey(3), (NL, B, H, C, D // H))
+    ckp = jnp.stack([pack_cache(cache_k[i]) for i in range(NL)])
+    cvp = jnp.stack([pack_cache(cache_v[i]) for i in range(NL)])
+
+    lw = DS.pack_layer_weights(
+        stacked, dtype=jnp.float32, final_norm=final_norm, predict_w=wpred
+    )
+    logits_fp, _, _ = DS.decode_step(
+        x, lw, ckp, cvp, jnp.asarray(100), jnp.asarray(3),
+        s_text=s_text, num_heads=H,
+    )
+    lwq = DS.quantize_weights(lw)
+    assert lwq["wqkv"].dtype == jnp.int8
+    logits_q, _, _ = DS.decode_step(
+        x, lwq, ckp, cvp, jnp.asarray(100), jnp.asarray(3),
+        s_text=s_text, num_heads=H, quant=True,
+    )
+    fp = np.asarray(logits_fp[:, :1025])
+    q = np.asarray(logits_q[:, :1025])
+    # int8 per-channel error compounds over 3 layers; demand high agreement
+    corr = np.corrcoef(fp.ravel(), q.ravel())[0, 1]
+    assert corr > 0.999, corr
+    rel = np.abs(q - fp).max() / (np.abs(fp).max() + 1e-9)
+    assert rel < 0.05, rel
+    importlib.reload(DS)

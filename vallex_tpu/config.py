@@ -144,6 +144,11 @@ class EngineConfig:
     # (megakernel on TPU, xla elsewhere). Pallas modes need text buckets to
     # be multiples of 128.
     decode_mode: str = "auto"
+    # Weight quantization for the megakernel decode path: "none" (bf16) or
+    # "int8" (W8A16 — per-output-channel scales, ~half the HBM weight
+    # traffic per step). Opt-in: A/B audio fidelity with trained weights
+    # before enabling in production.
+    quantize: str = "none"
 
 
 DEFAULT_MODEL_CONFIG = ModelConfig()

@@ -77,6 +77,7 @@ def make_batched_synthesis(
                 (ecfg.top_k <= 0 or ecfg.top_k == 1) and ecfg.top_p >= 1.0
             ),
             greedy=bool(ecfg.top_k == 1),
+            quantize=getattr(ecfg, "quantize", "none"),
         )
         y = res.tokens[res.best_beam]
         cb0 = jnp.concatenate([y[1:], jnp.full((1,), eos, y.dtype)])

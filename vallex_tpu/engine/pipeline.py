@@ -147,6 +147,7 @@ class SynthesisPipeline:
                     (top_k <= 0 or top_k == 1) and top_p >= 1.0
                 ),
                 greedy=bool(top_k == 1),
+                quantize=getattr(e, "quantize", "none"),
             )
 
         # --- NAR (device handoff) -------------------------------------------

@@ -73,6 +73,11 @@ def _kernel(
     fns_ref,  # [1, D] final-norm scale
     fnb_ref,  # [1, D] final-norm bias
     wpred_ref,  # [D, VP] prediction head (vocab lane-padded)
+    sqkv_ref,  # [1, 1, 3D] per-output-channel int8 scales (quant mode)
+    sout_ref,  # [1, 1, D]
+    s1_ref,  # [1, 1, F]
+    s2_ref,  # [1, 1, D]
+    spred_ref,  # [1, VP]
     emb_ref,  # [VB, D] audio-token embedding table (fused mode)
     alpha_temp_ref,  # [1, 2] SMEM: (pe alpha, sampling temperature)
     cache_k_hbm,  # [NL, C, N] HBM (read-only)
@@ -94,6 +99,7 @@ def _kernel(
     fused: bool,
     vocab: int,
     stochastic: bool = False,
+    quant: bool = False,
 ):
     layer = pl.program_id(0)
     phase = pl.program_id(1)
@@ -153,13 +159,22 @@ def _kernel(
             ln1s_ref[0, 0].astype(jnp.float32),
             ln1b_ref[0, 0].astype(jnp.float32),
         )
-        qkv = (
-            jax.lax.dot(
-                h1.astype(wqkv_ref.dtype), wqkv_ref[0],
+        # int8 weights stream at half the HBM cost; the per-output-channel
+        # scale folds into the matmul result, so "dequantization" is only
+        # the int8→bf16 operand cast (overlapped with the weight DMA)
+        if quant:
+            qkv = jax.lax.dot(
+                h1.astype(jnp.bfloat16), wqkv_ref[0].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
-            )
-            + bqkv_ref[0, 0].astype(jnp.float32)
-        )  # [B, 3D]
+            ) * sqkv_ref[0, 0] + bqkv_ref[0, 0].astype(jnp.float32)
+        else:
+            qkv = (
+                jax.lax.dot(
+                    h1.astype(wqkv_ref.dtype), wqkv_ref[0],
+                    preferred_element_type=jnp.float32,
+                )
+                + bqkv_ref[0, 0].astype(jnp.float32)
+            )  # [B, 3D]
         q = qkv[:, :D].reshape(1, N)
         k_new = qkv[:, D : 2 * D].reshape(1, N)
         v_new = qkv[:, 2 * D :].reshape(1, N)
@@ -301,13 +316,17 @@ def _kernel(
         )
         attn = (acc / l_lanes).reshape(B, D)
 
-        h_acc[...] = h + (
-            jax.lax.dot(
+        if quant:
+            out_proj = jax.lax.dot(
+                attn.astype(jnp.bfloat16), wout_ref[0].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * sout_ref[0, 0]
+        else:
+            out_proj = jax.lax.dot(
                 attn.astype(wout_ref.dtype), wout_ref[0],
                 preferred_element_type=jnp.float32,
             )
-            + bout_ref[0, 0].astype(jnp.float32)
-        )
+        h_acc[...] = h + out_proj + bout_ref[0, 0].astype(jnp.float32)
 
     # ---------------- phase 1: FFN (+ head on the last layer) --------------
     @pl.when(phase == FFN)
@@ -318,21 +337,31 @@ def _kernel(
             ln2s_ref[0, 0].astype(jnp.float32),
             ln2b_ref[0, 0].astype(jnp.float32),
         )
-        f = (
-            jax.lax.dot(
-                h2.astype(w1_ref.dtype), w1_ref[0],
+        if quant:
+            f = jax.lax.dot(
+                h2.astype(jnp.bfloat16), w1_ref[0].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
+            ) * s1_ref[0, 0] + b1_ref[0, 0].astype(jnp.float32)
+        else:
+            f = (
+                jax.lax.dot(
+                    h2.astype(w1_ref.dtype), w1_ref[0],
+                    preferred_element_type=jnp.float32,
+                )
+                + b1_ref[0, 0].astype(jnp.float32)
             )
-            + b1_ref[0, 0].astype(jnp.float32)
-        )
         f = jnp.maximum(f, 0.0)
-        h = h + (
-            jax.lax.dot(
+        if quant:
+            down = jax.lax.dot(
+                f.astype(jnp.bfloat16), w2_ref[0].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * s2_ref[0, 0]
+        else:
+            down = jax.lax.dot(
                 f.astype(w2_ref.dtype), w2_ref[0],
                 preferred_element_type=jnp.float32,
             )
-            + b2_ref[0, 0].astype(jnp.float32)
-        )
+        h = h + down + b2_ref[0, 0].astype(jnp.float32)
         h_acc[...] = h
 
         @pl.when(layer == num_layers - 1)
@@ -342,10 +371,17 @@ def _kernel(
                 fns_ref[0].astype(jnp.float32),
                 fnb_ref[0].astype(jnp.float32),
             )
-            logits = jax.lax.dot(
-                hf.astype(wpred_ref.dtype), wpred_ref[...],
-                preferred_element_type=jnp.float32,
-            )
+            if quant:
+                logits = jax.lax.dot(
+                    hf.astype(jnp.bfloat16),
+                    wpred_ref[...].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ) * spred_ref[...]
+            else:
+                logits = jax.lax.dot(
+                    hf.astype(wpred_ref.dtype), wpred_ref[...],
+                    preferred_element_type=jnp.float32,
+                )
             logits_ref[...] = logits.astype(logits_ref.dtype)
             if fused:
                 # next-token sampling in-kernel (plain path: no top-k/top-p)
@@ -386,7 +422,7 @@ def _kernel(
 def _call_kernel(
     lw, cache_k, cache_v, x, tokens, seeds, greedy, alpha_temp,
     x_len, audio_pos, *, s_text, num_heads, fused, vocab,
-    stochastic=False,
+    stochastic=False, quant=False,
 ):
     B = x.shape[0]
     NL, C, N = cache_k.shape
@@ -423,6 +459,11 @@ def _call_kernel(
             pl.BlockSpec((1, D), const2),
             pl.BlockSpec((1, D), const2),
             pl.BlockSpec((D, VP), const2),
+            pl.BlockSpec((1, 1, 3 * D), attn_idx),
+            pl.BlockSpec((1, 1, D), attn_idx),
+            pl.BlockSpec((1, 1, F), ffn_idx),
+            pl.BlockSpec((1, 1, D), ffn_idx),
+            pl.BlockSpec((1, VP), const2),
             pl.BlockSpec((VB, D), const2),
             pl.BlockSpec((1, 2), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -446,7 +487,7 @@ def _call_kernel(
     logits, tok_out, logp_out, newk, newv = pl.pallas_call(
         functools.partial(
             _kernel, s_text=s_text, num_heads=num_heads, fused=fused,
-            vocab=vocab, stochastic=stochastic,
+            vocab=vocab, stochastic=stochastic, quant=quant,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -469,7 +510,9 @@ def _call_kernel(
         lw["wqkv"], lw["bqkv"], lw["wout"], lw["bout"],
         lw["w1"], lw["b1"], lw["w2"], lw["b2"],
         lw["ln1s"], lw["ln1b"], lw["ln2s"], lw["ln2b"],
-        lw["fns"], lw["fnb"], lw["wpred"], lw["emb"],
+        lw["fns"], lw["fnb"], lw["wpred"],
+        lw["sqkv"], lw["sout"], lw["s1"], lw["s2"], lw["spred"],
+        lw["emb"],
         alpha_temp,
         cache_k, cache_v,
     )
@@ -483,7 +526,9 @@ def _call_kernel(
     return logits, tok_out, logp_out, ck, cv
 
 
-@functools.partial(jax.jit, static_argnames=("s_text", "num_heads"))
+@functools.partial(
+    jax.jit, static_argnames=("s_text", "num_heads", "quant")
+)
 def decode_step(
     x: jnp.ndarray,  # [B, D] this step's input embedding (+PE)
     layer_weights,  # dict of stacked per-layer weights (pack_layer_weights)
@@ -494,6 +539,7 @@ def decode_step(
     *,
     s_text: int,
     num_heads: int,
+    quant: bool = False,
 ):
     """→ (logits [B, VP] fp32 (vocab lane-padded), cache_k', cache_v')."""
     B = x.shape[0]
@@ -504,13 +550,14 @@ def decode_step(
         jnp.zeros((1, 2), jnp.float32),
         x_len, audio_pos,
         s_text=s_text, num_heads=num_heads, fused=False,
-        vocab=layer_weights["wpred"].shape[-1],
+        vocab=layer_weights["wpred"].shape[-1], quant=quant,
     )
     return logits, ck, cv
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s_text", "num_heads", "vocab", "stochastic")
+    jax.jit,
+    static_argnames=("s_text", "num_heads", "vocab", "stochastic", "quant"),
 )
 def decode_step_fused(
     tokens: jnp.ndarray,  # [B] this step's input tokens
@@ -528,6 +575,7 @@ def decode_step_fused(
     num_heads: int,
     vocab: int,
     stochastic: bool = False,
+    quant: bool = False,
 ):
     """Fully fused decode step: token in → next token out.
 
@@ -548,7 +596,7 @@ def decode_step_fused(
         tokens, seed, greedy, alpha_temp,
         x_len, audio_pos,
         s_text=s_text, num_heads=num_heads, fused=True, vocab=vocab,
-        stochastic=stochastic,
+        stochastic=stochastic, quant=quant,
     )
     return tok_out[:, 0], logp_out[:, 0], ck, cv
 
@@ -589,6 +637,14 @@ def pack_layer_weights(
         "fns": final_norm["scale"][None, :].astype(dtype),
         "fnb": final_norm["bias"][None, :].astype(dtype),
         "wpred": _pad_vocab(predict_w).astype(dtype),
+        # unit scales (bf16 mode); quantize_weights() replaces them
+        "sqkv": jnp.ones_like(vec(sa["in_proj_b"]), dtype=jnp.float32),
+        "sout": jnp.ones_like(vec(sa["out_b"]), dtype=jnp.float32),
+        "s1": jnp.ones_like(vec(layers["linear1"]["b"]), dtype=jnp.float32),
+        "s2": jnp.ones_like(vec(layers["linear2"]["b"]), dtype=jnp.float32),
+        "spred": jnp.ones(
+            (1, _pad_vocab(predict_w).shape[-1]), jnp.float32
+        ),
         "emb": (
             audio_embedding
             if audio_embedding is not None
@@ -603,3 +659,30 @@ def _pad_vocab(w):
     if VP == V:
         return w
     return jnp.concatenate([w, jnp.zeros((D, VP - V), w.dtype)], axis=1)
+
+
+def quantize_weights(lw: dict) -> dict:
+    """Per-output-channel symmetric int8 quantization of the streaming
+    weights (W8A16). The matmul runs on bf16-cast int8 operands and the
+    scale folds into the output, so serving pays half the HBM weight
+    traffic for ~0.4% per-channel relative weight error. Opt-in
+    (EngineConfig.quantize="int8"); audio-fidelity impact should be A/B
+    checked once trained weights are available."""
+    out = dict(lw)
+
+    def q(name, scale_name):
+        w = lw[name].astype(jnp.float32)  # [NL, in, out] or [in, out]
+        amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)  # per out column
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        out[name] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        if w.ndim == 3:
+            out[scale_name] = jnp.transpose(scale, (0, 1, 2))  # [NL, 1, out]
+        else:
+            out[scale_name] = scale  # [1, out]
+
+    q("wqkv", "sqkv")
+    q("wout", "sout")
+    q("w1", "s1")
+    q("w2", "s2")
+    q("wpred", "spred")
+    return out
