@@ -22,7 +22,7 @@ Layout is channels-last [B, T, C]; conv kernels [K, Cin, Cout].
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

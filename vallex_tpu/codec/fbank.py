@@ -10,7 +10,6 @@ op (same trick as the Vocos ISTFT).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

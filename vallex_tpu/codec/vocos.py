@@ -24,8 +24,7 @@ Weights load from a converted torch/safetensors checkpoint when available
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -250,8 +249,6 @@ def vocos_decode_bucketed(
     the final ~2 hops of overlap-add see the padded frames.
     """
     global _decode_jit
-    import functools
-
     import numpy as np
 
     if _decode_jit is None:

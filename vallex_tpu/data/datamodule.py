@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 
 class TtsDataModule:

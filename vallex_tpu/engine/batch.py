@@ -14,7 +14,6 @@ sharded. Works identically on a real multi-chip mesh and on the virtual
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -8,7 +8,7 @@ for the first few utterances of a batch.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
