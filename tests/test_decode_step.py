@@ -162,3 +162,61 @@ def test_int8_quantized_step_close_to_fp32(monkeypatch):
     rel = np.abs(q - fp).max() / (np.abs(fp).max() + 1e-9)
     assert rel < 0.05, rel
     importlib.reload(DS)
+
+
+def test_megakernel_multibeam(monkeypatch):
+    """best_of>1: beams fold into the lane axis; each beam's decode must
+    match a single-beam run of the same token."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
+    import importlib
+
+    from vallex_tpu.ops import decode_step as DS
+
+    importlib.reload(DS)
+    from vallex_tpu.ops.decode_attention import pack_cache
+
+    rng = jax.random.PRNGKey(0)
+    NL, H, D, F = 2, 4, 256, 512
+    C, s_text = 640, 128
+    layers = [
+        L.init_encoder_layer(k, D, F, adaptive=False)
+        for k in jax.random.split(rng, NL)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    fn = {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))}
+    wpred = jax.random.normal(jax.random.PRNGKey(9), (D, 1025)) * 0.05
+    emb = jax.random.normal(jax.random.PRNGKey(10), (1026, D))
+    lw = DS.pack_layer_weights(
+        stacked, dtype=jnp.float32, final_norm=fn, predict_w=wpred,
+        audio_embedding=emb,
+    )
+
+    B = 3
+    cache1 = jax.random.normal(jax.random.PRNGKey(2), (NL, 1, H, C, D // H))
+    ckB = jnp.stack(
+        [pack_cache(jnp.tile(cache1[i], (B, 1, 1, 1))) for i in range(NL)]
+    )
+    ck1 = jnp.stack([pack_cache(cache1[i]) for i in range(NL)])
+    cv1 = ck1 * 0.5
+    cvB = ckB * 0.5
+
+    toks = jnp.asarray([7, 7, 7], jnp.int32)  # same token on every beam
+    args = dict(
+        x_len=jnp.asarray(100), audio_pos=jnp.asarray(3),
+        seed=jnp.asarray(0, jnp.int32), greedy=jnp.asarray(1, jnp.int32),
+        temperature=jnp.asarray(1.0, jnp.float32),
+        pe_alpha=jnp.asarray(1.0, jnp.float32),
+        s_text=s_text, num_heads=H, vocab=1025,
+    )
+    tokB, logpB, _, _ = DS.decode_step_fused(toks, lw, ckB, cvB, **args)
+    tok1, logp1, _, _ = DS.decode_step_fused(toks[:1], lw, ck1, cv1, **args)
+    assert (np.asarray(tokB) == int(tok1[0])).all()
+    np.testing.assert_allclose(
+        np.asarray(logpB), np.full(B, float(logp1[0])), atol=1e-4
+    )
+    importlib.reload(DS)

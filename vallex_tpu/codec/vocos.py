@@ -112,7 +112,7 @@ def codes_to_features(params: Params, codes: jnp.ndarray) -> jnp.ndarray:
     cb = params["codebook_weights"]  # [8, 1024, 128]
     feats = jnp.zeros(codes.shape[:2] + (INPUT_CHANNELS,), cb.dtype)
     for q in range(NUM_CODEBOOKS):
-        feats = feats + jnp.take(cb[q], codes[..., q], axis=0)
+        feats = feats + jnp.take(cb[q], codes[..., q], axis=0, mode="clip")
     return feats
 
 

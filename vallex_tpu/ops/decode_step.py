@@ -86,8 +86,8 @@ def _kernel(
     logits_ref,  # [B, VP] VMEM
     tok_out_ref,  # [B, 1] i32 — next sampled token (fused mode)
     logp_out_ref,  # [B, 1] f32 — its logprob (fused mode)
-    newk_ref,  # [1, B, N] block of [NL, B, N]
-    newv_ref,  # [1, B, N]
+    newk_ref,  # [1, 1, N] block of [NL, 1, N] (lane-packed cache column)
+    newv_ref,  # [1, 1, N]
     # scratch
     h_acc,  # [B, D] f32 — hidden state across grid steps
     kbuf,  # [2, ABLK, N]
@@ -130,11 +130,15 @@ def _kernel(
                 # glue between steps). Scalar-prefetch refs are SMEM, so
                 # tokens are read element-wise (B is small and static).
                 VB = emb_ref.shape[0]
-                rows_b = jax.lax.broadcasted_iota(jnp.int32, (B, VB), 1)
-                cols = [
-                    (rows_b[i] == tok_ref[i]) for i in range(B)
-                ]  # B × [VB] bool
-                onehot = jnp.stack(cols).astype(emb_ref.dtype)  # [B, VB]
+                vocab_ids = jax.lax.broadcasted_iota(jnp.int32, (B, VB), 1)
+                beam_ids = jax.lax.broadcasted_iota(jnp.int32, (B, VB), 0)
+                # scatter the B scalar tokens into a [B, VB] column via
+                # static where-chain (stack/concat of 1-D rows doesn't
+                # legalize in Mosaic)
+                tok_col = jnp.zeros((B, VB), jnp.int32)
+                for i in range(B):
+                    tok_col = jnp.where(beam_ids == i, tok_ref[i], tok_col)
+                onehot = (vocab_ids == tok_col).astype(emb_ref.dtype)
                 emb = jax.lax.dot(
                     onehot, emb_ref[...],
                     preferred_element_type=jnp.float32,
@@ -175,11 +179,12 @@ def _kernel(
                 )
                 + bqkv_ref[0, 0].astype(jnp.float32)
             )  # [B, 3D]
+        # lane-pack the per-beam heads: [B, D] → [1, N] with N = B·H·hd
         q = qkv[:, :D].reshape(1, N)
         k_new = qkv[:, D : 2 * D].reshape(1, N)
         v_new = qkv[:, 2 * D :].reshape(1, N)
-        newk_ref[0] = qkv[:, D : 2 * D].astype(newk_ref.dtype)
-        newv_ref[0] = qkv[:, 2 * D :].astype(newv_ref.dtype)
+        newk_ref[0] = k_new.astype(newk_ref.dtype)
+        newv_ref[0] = v_new.astype(newv_ref.dtype)
 
         lane_group = jax.lax.broadcasted_iota(jnp.int32, (N, G), 0) // hd
         group_id = jax.lax.broadcasted_iota(jnp.int32, (N, G), 1)
@@ -407,6 +412,9 @@ def _kernel(
                     jnp.where(score == best, lanes, VP), axis=1,
                     keepdims=True,
                 )  # [B, 1]
+                # NaN logits make `score == best` all-False → tok = VP;
+                # clamp to a valid id so downstream gathers stay in range
+                tok = jnp.minimum(tok, vocab - 1)
                 logp = scaled - jax.nn.logsumexp(scaled, axis=1,
                                                  keepdims=True)
                 chosen = jnp.sum(
@@ -473,8 +481,8 @@ def _call_kernel(
             pl.BlockSpec((B, VP), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, B, N), lambda l, p, *_: (l, 0, 0)),
-            pl.BlockSpec((1, B, N), lambda l, p, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, N), lambda l, p, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, N), lambda l, p, *_: (l, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.float32),
@@ -494,8 +502,8 @@ def _call_kernel(
             jax.ShapeDtypeStruct((B, VP), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((NL, B, N), cache_k.dtype),
-            jax.ShapeDtypeStruct((NL, B, N), cache_v.dtype),
+            jax.ShapeDtypeStruct((NL, 1, N), cache_k.dtype),
+            jax.ShapeDtypeStruct((NL, 1, N), cache_v.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
