@@ -161,6 +161,17 @@ def test_int8_quantized_step_close_to_fp32(monkeypatch):
     assert corr > 0.999, corr
     rel = np.abs(q - fp).max() / (np.abs(fp).max() + 1e-9)
     assert rel < 0.05, rel
+
+    # W8A8 (int8 activations, native int8 MXU matmuls) — looser bound
+    logits_a, _, _ = DS.decode_step(
+        x, lwq, ckp, cvp, jnp.asarray(100), jnp.asarray(3),
+        s_text=s_text, num_heads=H, quant=True, act_quant=True,
+    )
+    a = np.asarray(logits_a[:, :1025])
+    corr_a = np.corrcoef(fp.ravel(), a.ravel())[0, 1]
+    assert corr_a > 0.995, corr_a
+    rel_a = np.abs(a - fp).max() / (np.abs(fp).max() + 1e-9)
+    assert rel_a < 0.1, rel_a
     importlib.reload(DS)
 
 

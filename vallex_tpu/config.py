@@ -144,10 +144,12 @@ class EngineConfig:
     # (megakernel on TPU, xla elsewhere). Pallas modes need text buckets to
     # be multiples of 128.
     decode_mode: str = "auto"
-    # Weight quantization for the megakernel decode path: "none" (bf16) or
-    # "int8" (W8A16 — per-output-channel scales, ~half the HBM weight
-    # traffic per step). Opt-in: A/B audio fidelity with trained weights
-    # before enabling in production.
+    # Quantization for the megakernel decode path: "none" (bf16), "int8"
+    # (W8A16 — per-output-channel scales, ~half the HBM weight traffic per
+    # step) or "w8a8" (int8 activations too: the matmuls run natively on
+    # the MXU in int8, skipping the W8A16 path's int8→bf16 weight cast —
+    # fastest; dynamic per-row activation scales). Opt-in: A/B audio
+    # fidelity with trained weights before enabling in production.
     quantize: str = "none"
 
 

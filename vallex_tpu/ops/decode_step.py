@@ -100,6 +100,7 @@ def _kernel(
     vocab: int,
     stochastic: bool = False,
     quant: bool = False,
+    act_quant: bool = False,
 ):
     layer = pl.program_id(0)
     phase = pl.program_id(1)
@@ -118,6 +119,16 @@ def _kernel(
         m = jnp.mean(x, axis=-1, keepdims=True)
         v = jnp.var(x, axis=-1, keepdims=True)
         return (x - m) * jax.lax.rsqrt(v + eps) * s + b
+
+    def qmat(x, w_blk, srow):
+        """W8A8 matmul: dynamic per-row int8 activations × int8 weights on
+        the MXU. Skips the int8→bf16 weight cast of the W8A16 path (the
+        cast is ~12.5M VPU elements/layer — the dominant non-DMA cost)."""
+        ax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # [B, 1]
+        sx = jnp.maximum(ax, 1e-6) * (1.0 / 127.0)
+        xq = jnp.clip(jnp.round(x / sx), -127.0, 127.0).astype(jnp.int8)
+        acc = jax.lax.dot(xq, w_blk, preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (sx * srow)
 
     # ---------------- phase 0: attention -----------------------------------
     @pl.when(phase == ATTN)
@@ -166,7 +177,11 @@ def _kernel(
         # int8 weights stream at half the HBM cost; the per-output-channel
         # scale folds into the matmul result, so "dequantization" is only
         # the int8→bf16 operand cast (overlapped with the weight DMA)
-        if quant:
+        if quant and act_quant:
+            qkv = qmat(h1, wqkv_ref[0], sqkv_ref[0, 0]) + bqkv_ref[
+                0, 0
+            ].astype(jnp.float32)
+        elif quant:
             qkv = jax.lax.dot(
                 h1.astype(jnp.bfloat16), wqkv_ref[0].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
@@ -321,7 +336,9 @@ def _kernel(
         )
         attn = (acc / l_lanes).reshape(B, D)
 
-        if quant:
+        if quant and act_quant:
+            out_proj = qmat(attn, wout_ref[0], sout_ref[0, 0])
+        elif quant:
             out_proj = jax.lax.dot(
                 attn.astype(jnp.bfloat16), wout_ref[0].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
@@ -342,7 +359,11 @@ def _kernel(
             ln2s_ref[0, 0].astype(jnp.float32),
             ln2b_ref[0, 0].astype(jnp.float32),
         )
-        if quant:
+        if quant and act_quant:
+            f = qmat(h2, w1_ref[0], s1_ref[0, 0]) + b1_ref[0, 0].astype(
+                jnp.float32
+            )
+        elif quant:
             f = jax.lax.dot(
                 h2.astype(jnp.bfloat16), w1_ref[0].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
@@ -356,7 +377,9 @@ def _kernel(
                 + b1_ref[0, 0].astype(jnp.float32)
             )
         f = jnp.maximum(f, 0.0)
-        if quant:
+        if quant and act_quant:
+            down = qmat(f, w2_ref[0], s2_ref[0, 0])
+        elif quant:
             down = jax.lax.dot(
                 f.astype(jnp.bfloat16), w2_ref[0].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
@@ -430,7 +453,7 @@ def _kernel(
 def _call_kernel(
     lw, cache_k, cache_v, x, tokens, seeds, greedy, alpha_temp,
     x_len, audio_pos, *, s_text, num_heads, fused, vocab,
-    stochastic=False, quant=False,
+    stochastic=False, quant=False, act_quant=False,
 ):
     B = x.shape[0]
     NL, C, N = cache_k.shape
@@ -496,6 +519,7 @@ def _call_kernel(
         functools.partial(
             _kernel, s_text=s_text, num_heads=num_heads, fused=fused,
             vocab=vocab, stochastic=stochastic, quant=quant,
+            act_quant=act_quant,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -535,7 +559,7 @@ def _call_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s_text", "num_heads", "quant")
+    jax.jit, static_argnames=("s_text", "num_heads", "quant", "act_quant")
 )
 def decode_step(
     x: jnp.ndarray,  # [B, D] this step's input embedding (+PE)
@@ -548,6 +572,7 @@ def decode_step(
     s_text: int,
     num_heads: int,
     quant: bool = False,
+    act_quant: bool = False,
 ):
     """→ (logits [B, VP] fp32 (vocab lane-padded), cache_k', cache_v')."""
     B = x.shape[0]
@@ -559,13 +584,16 @@ def decode_step(
         x_len, audio_pos,
         s_text=s_text, num_heads=num_heads, fused=False,
         vocab=layer_weights["wpred"].shape[-1], quant=quant,
+        act_quant=act_quant,
     )
     return logits, ck, cv
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("s_text", "num_heads", "vocab", "stochastic", "quant"),
+    static_argnames=(
+        "s_text", "num_heads", "vocab", "stochastic", "quant", "act_quant"
+    ),
 )
 def decode_step_fused(
     tokens: jnp.ndarray,  # [B] this step's input tokens
@@ -584,6 +612,7 @@ def decode_step_fused(
     vocab: int,
     stochastic: bool = False,
     quant: bool = False,
+    act_quant: bool = False,
 ):
     """Fully fused decode step: token in → next token out.
 
@@ -604,7 +633,7 @@ def decode_step_fused(
         tokens, seed, greedy, alpha_temp,
         x_len, audio_pos,
         s_text=s_text, num_heads=num_heads, fused=True, vocab=vocab,
-        stochastic=stochastic, quant=quant,
+        stochastic=stochastic, quant=quant, act_quant=act_quant,
     )
     return tok_out[:, 0], logp_out[:, 0], ck, cv
 
