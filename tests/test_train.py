@@ -87,3 +87,55 @@ def test_two_stage_masking_freezes_other_stage():
         np.asarray(new["ar_text_embedding"]["weight"]),
         np.asarray(params["ar_text_embedding"]["weight"]),
     )
+
+
+def test_trainer_cli_end_to_end(tmp_path):
+    """Full trainer driver: tiny model, synthetic HDF5 data, 1 epoch with
+    ScaledAdam + stage-1 masking, orbax save, then --resume for epoch 2."""
+    import h5py
+
+    from vallex_tpu.train import trainer
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "data"
+    d.mkdir()
+    for split in ("train", "valid"):
+        with h5py.File(str(d / f"{split}.hdf5"), "w") as f:
+            for i in range(4):
+                g = f.create_group(f"utt{i}")
+                g.create_dataset(
+                    "audio", data=rng.randint(0, 1024, (8, 24 + i))
+                )
+        with open(str(d / f"{split}.txt"), "w") as f:
+            for i in range(4):
+                f.write(f"utt{i}|{(24 + i) / 75:.2f}|en|tiny utterance {i}\n")
+
+    argv = [
+        "--data-dir", str(d), "--exp-dir", str(tmp_path / "exp"),
+        "--num-epochs", "1", "--train-stage", "1",
+        "--decoder-dim", "64", "--nhead", "4", "--num-decoder-layers", "2",
+        "--dp", "2", "--tp", "1", "--log-interval", "1",
+        "--diag-interval", "1", "--save-every", "1000",
+        "--valid-interval", "1000", "--max-duration", "2.0",
+        "--max-cut-duration", "2.0",
+    ]
+    args = trainer.get_parser().parse_args(argv)
+    out = trainer.run(args)
+    assert out["step"] >= 1
+    assert np.isfinite(out["metrics"].get("loss", np.inf))
+
+    ckpts = [p for p in (tmp_path / "exp").iterdir()
+             if p.name.startswith("state-") and p.is_dir()]
+    assert ckpts, "orbax checkpoint written at epoch end"
+
+    viz = str(tmp_path / "viz")
+    args2 = trainer.get_parser().parse_args(
+        argv + ["--resume", "--valid-interval", "2",
+                "--visualize-dir", viz]
+    )
+    args2.num_epochs = 2
+    out2 = trainer.run(args2)
+    assert out2["step"] > out["step"]
+    import os
+
+    assert any(f.endswith(".png") for f in os.listdir(viz))

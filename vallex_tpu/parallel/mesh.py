@@ -95,3 +95,25 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch axis over dp, everything else replicated."""
     return NamedSharding(mesh, P("dp"))
+
+def shard_tree(tree, mesh: Mesh):
+    """Apply param_partition_spec by path to ANY pytree (TrainState, optax
+    optimizer states, …): optimizer moments mirror the param tree, so a
+    leaf whose path contains a known parameter name gets that parameter's
+    spec; everything else (counts, schedules) replicates. Also normalizes
+    device layout after an orbax restore, which can commit scalars to a
+    single device while arrays restore sharded."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for path, v in flat:
+        p = "/".join(
+            str(getattr(k, "key", getattr(k, "name", k))) for k in path
+        )
+        try:
+            sharded = jax.device_put(
+                v, NamedSharding(mesh, param_partition_spec(p))
+            )
+        except ValueError:
+            sharded = jax.device_put(v, NamedSharding(mesh, P()))
+        out.append(sharded)
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -172,3 +172,29 @@ def total_loss(
     )
     loss = l_ar + l_nar
     return loss, {"loss": loss, "ar_loss": l_ar, "nar_loss": l_nar}
+
+def debug_activations(
+    params: Params,
+    cfg: ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (text-region hidden [B,S,D], audio-region hidden [B,T,D]) from a
+    teacher-forced AR pass, for the training visualizer (the reference
+    dumps encoder/decoder heatmaps, models/visualizer.py:26-106; VALL-E is
+    decoder-only, so the text/audio halves of the sequence play those
+    roles)."""
+    pe = L.make_sine_pe(cfg.max_position, cfg.d_model)
+    text_ids, lang_ids = batch["text_ids"], batch["lang_ids"]
+    B, S = text_ids.shape
+    audio_cb0 = batch["codes"][..., 0]
+    x = V.text_input(params, cfg, text_ids, lang_ids, "ar", pe, dtype)
+    y = V.ar_audio_input(params, cfg, audio_cb0, pe, 0, dtype)
+    xy = jnp.concatenate([x, y], axis=1)
+    total = xy.shape[1]
+    rows = jnp.arange(total)[None, :, None]
+    cols = jnp.arange(total)[None, None, :]
+    causal = jnp.where(cols < S, True, cols <= rows)
+    mask = jnp.where(causal, 0.0, V.NEG_INF).astype(jnp.float32)[:, None]
+    h = V.ar_forward(params, cfg, xy, mask)
+    return h[:, :S], h[:, S:]

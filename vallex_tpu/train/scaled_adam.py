@@ -148,3 +148,51 @@ def eve(
         return jax.tree.map(lambda u: -lr * u, updates), state
 
     return optax.GradientTransformation(init, update)
+
+def grad_diagnostics(grads) -> dict:
+    """Gradient-norm distribution diagnostics.
+
+    JAX analog of ScaledAdam's training-health reports: the grad-norm
+    quartile log it prints when clipping engages (modules/optim.py:370-390)
+    and the "dominant parameter" report naming the tensor with the largest
+    share of the squared update (modules/optim.py:412-420+).
+
+    jit-safe — returns device scalars/arrays plus the static leaf-name
+    list; render on host with `format_grad_diagnostics`.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    names = [jax.tree_util.keystr(path) for path, _ in flat]
+    norms = jnp.stack(
+        [
+            jnp.linalg.norm(v.astype(jnp.float32).ravel())
+            for _, v in flat
+        ]
+    )
+    total = jnp.sqrt(jnp.sum(norms**2))
+    quart = jnp.quantile(
+        norms, jnp.asarray([0.0, 0.25, 0.5, 0.75, 1.0])
+    )
+    dom = jnp.argmax(norms)
+    return {
+        "names": names,
+        "norms": norms,
+        "total_norm": total,
+        "quartiles": quart,
+        "dominant_idx": dom,
+        "dominant_frac": (norms[dom] / jnp.maximum(total, 1e-12)) ** 2,
+    }
+
+
+def format_grad_diagnostics(diag: dict) -> str:
+    """Host-side renderer for grad_diagnostics output."""
+    import numpy as np
+
+    q = np.asarray(diag["quartiles"])
+    i = int(diag["dominant_idx"])
+    return (
+        f"grad-norm quartiles [min/25/50/75/max] = "
+        f"{q[0]:.3e}/{q[1]:.3e}/{q[2]:.3e}/{q[3]:.3e}/{q[4]:.3e}, "
+        f"total={float(diag['total_norm']):.3e}; dominant param "
+        f"{diag['names'][i]} ({100 * float(diag['dominant_frac']):.1f}% "
+        f"of squared grad norm)"
+    )
