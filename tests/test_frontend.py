@@ -159,3 +159,29 @@ def test_empty_text_raises():
     tok = PhonemeTokenizer()
     with pytest.raises(ValueError):
         tok.tokenize("")
+
+
+def test_mandarin_polyphones_and_ling():
+    from vallex_tpu.frontend.mandarin import chinese_to_ipa
+
+    # 了解 = liao3 jie3, not the neutral particle le5
+    assert chinese_to_ipa("了解了").startswith("liɑʊ↓↑")
+    # 〇 (U+3007, outside the base CJK block) reads ling2
+    assert "liŋ↑" in chinese_to_ipa("二〇二四年")
+    # 银行 = yin2 hang2 (not xing2)
+    assert "xɑŋ↑" in chinese_to_ipa("银行")
+
+
+def test_japanese_topic_particles():
+    from vallex_tpu.frontend.japanese import japanese_to_ipa2
+
+    # は after kanji = topic particle → wa
+    assert "wataʃiwa" in japanese_to_ipa2("私は学生です")
+    # では cluster → dewa
+    assert "dewa" in japanese_to_ipa2("世界では有名です")
+    # へ after kanji, pre-kanji = direction particle → e
+    assert japanese_to_ipa2("東京へ行く").startswith("toɯkjoɯe")
+    # but は INSIDE a kana word stays ha (母 = はは)
+    assert japanese_to_ipa2("ははとはなします").startswith("haha")
+    # sentence-final は (greeting) still → wa
+    assert japanese_to_ipa2("こんにちは").endswith("wa")

@@ -11,7 +11,7 @@ from __future__ import annotations
 import re
 
 _KANA_RE = re.compile(r"[぀-ゟ゠-ヿ]")
-_HANZI_RE = re.compile(r"[一-鿿]")
+_HANZI_RE = re.compile(r"[一-鿿〇]")
 _LATIN_RE = re.compile(r"[A-Za-z]")
 
 

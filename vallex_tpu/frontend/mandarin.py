@@ -220,7 +220,7 @@ def bopomofo_to_ipa(text: str) -> str:
     return "".join(out)
 
 
-_HANZI_RE = re.compile(r"[一-鿿]")
+_HANZI_RE = re.compile(r"[一-鿿〇]")
 
 
 def chinese_to_bopomofo(text: str) -> str:

@@ -951,6 +951,24 @@ WORD_OVERRIDES: Dict[str, List[str]] = {
     "它们": ["ta1", "men5"],
     "人们": ["ren2", "men5"],
     "尝试": ["chang2", "shi4"],
+    "了解": ["liao3", "jie3"],
+    "了不起": ["liao3", "bu4", "qi3"],
+    "受不了": ["shou4", "bu4", "liao3"],
+    "处理": ["chu3", "li3"],
+    "处于": ["chu3", "yu2"],
+    "好处": ["hao3", "chu4"],
+    "到处": ["dao4", "chu4"],
+    "长度": ["chang2", "du4"],
+    "都是": ["dou1", "shi4"],
+    "首都": ["shou3", "du1"],
+    "发现": ["fa1", "xian4"],
+    "头发": ["tou2", "fa5"],
+    "教学": ["jiao4", "xue2"],
+    "教师": ["jiao4", "shi1"],
+    "教书": ["jiao1", "shu1"],
+    "干净": ["gan1", "jing4"],
+    "干活": ["gan4", "huo2"],
+    "干部": ["gan4", "bu4"],
 }
 
 _EXTRA_CHARS = {
@@ -986,6 +1004,7 @@ _EXTRA_CHARS = {
     "飞": "fei1", "玩": "wan2", "咱": "zan2", "暂": "zan4", "赞": "zan4",
     "遭": "zao1", "凿": "zao2", "贼": "zei2", "榨": "zha4", "眨": "zha3",
     "闸": "zha2", "宅": "zhai2", "窄": "zhai3", "掸": "dan3",
+    "〇": "ling2",
 }
 
 PINYIN_TABLE: Dict[str, str] = {}
