@@ -101,9 +101,10 @@ def _kernel(
     stochastic: bool = False,
     quant: bool = False,
     act_quant: bool = False,
+    two_phase: bool = True,
 ):
     layer = pl.program_id(0)
-    phase = pl.program_id(1)
+    phase = pl.program_id(1) if two_phase else None
     num_layers = pl.num_programs(0)
     B, D = x_ref.shape
     C, N = cache_k_hbm.shape[1], cache_k_hbm.shape[2]
@@ -131,7 +132,6 @@ def _kernel(
         return acc.astype(jnp.float32) * (sx * srow)
 
     # ---------------- phase 0: attention -----------------------------------
-    @pl.when(phase == ATTN)
     def _attention():
         @pl.when(layer == 0)
         def _():
@@ -351,7 +351,6 @@ def _kernel(
         h_acc[...] = h + out_proj + bout_ref[0, 0].astype(jnp.float32)
 
     # ---------------- phase 1: FFN (+ head on the last layer) --------------
-    @pl.when(phase == FFN)
     def _ffn():
         h = h_acc[...]
         h2 = ln(
@@ -449,11 +448,18 @@ def _kernel(
                     tok_out_ref[i, 0] = tok[i, 0].astype(jnp.int32)
                     logp_out_ref[i, 0] = chosen[i, 0]
 
+    if two_phase:
+        pl.when(phase == ATTN)(_attention)
+        pl.when(phase == FFN)(_ffn)
+    else:
+        _attention()
+        _ffn()
+
 
 def _call_kernel(
     lw, cache_k, cache_v, x, tokens, seeds, greedy, alpha_temp,
     x_len, audio_pos, *, s_text, num_heads, fused, vocab,
-    stochastic=False, quant=False, act_quant=False,
+    stochastic=False, quant=False, act_quant=False, two_phase=True,
 ):
     B = x.shape[0]
     NL, C, N = cache_k.shape
@@ -464,15 +470,29 @@ def _call_kernel(
     assert s_text <= ABLK and (C - s_text) % ABLK == 0, (C, s_text)
     assert s_text % 128 == 0
 
-    # attention weights arrive during the previous layer's FFN phase; FFN
-    # weights arrive during this layer's attention phase
-    attn_idx = lambda l, p, *_: (l, 0, 0)  # noqa: E731
-    ffn_idx = lambda l, p, *_: (jnp.maximum(l - 1 + p, 0), 0, 0)  # noqa: E731
-    const2 = lambda l, p, *_: (0, 0)  # noqa: E731
+    if two_phase:
+        # attention weights arrive during the previous layer's FFN phase;
+        # FFN weights arrive during this layer's attention phase
+        attn_idx = lambda l, p, *_: (l, 0, 0)  # noqa: E731
+        ffn_idx = lambda l, p, *_: (  # noqa: E731
+            jnp.maximum(l - 1 + p, 0), 0, 0,
+        )
+        const2 = lambda l, p, *_: (0, 0)  # noqa: E731
+        out_idx = lambda l, p, *_: (l, 0, 0)  # noqa: E731
+        grid = (NL, 2)
+    else:
+        # single-phase: one grid step per layer; Mosaic double-buffers the
+        # next layer's whole-weight blocks (half the grid-step overhead,
+        # double the per-step VMEM)
+        attn_idx = lambda l, *_: (l, 0, 0)  # noqa: E731
+        ffn_idx = attn_idx
+        const2 = lambda l, *_: (0, 0)  # noqa: E731
+        out_idx = attn_idx
+        grid = (NL,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(NL, 2),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((B, D), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, 3 * D), attn_idx),
@@ -504,8 +524,8 @@ def _call_kernel(
             pl.BlockSpec((B, VP), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, N), lambda l, p, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, N), lambda l, p, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, N), out_idx),
+            pl.BlockSpec((1, 1, N), out_idx),
         ),
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.float32),
@@ -519,7 +539,7 @@ def _call_kernel(
         functools.partial(
             _kernel, s_text=s_text, num_heads=num_heads, fused=fused,
             vocab=vocab, stochastic=stochastic, quant=quant,
-            act_quant=act_quant,
+            act_quant=act_quant, two_phase=two_phase,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -559,7 +579,9 @@ def _call_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s_text", "num_heads", "quant", "act_quant")
+    jax.jit,
+    static_argnames=("s_text", "num_heads", "quant", "act_quant",
+                     "two_phase"),
 )
 def decode_step(
     x: jnp.ndarray,  # [B, D] this step's input embedding (+PE)
@@ -573,6 +595,7 @@ def decode_step(
     num_heads: int,
     quant: bool = False,
     act_quant: bool = False,
+    two_phase: bool = True,
 ):
     """→ (logits [B, VP] fp32 (vocab lane-padded), cache_k', cache_v')."""
     B = x.shape[0]
@@ -584,7 +607,7 @@ def decode_step(
         x_len, audio_pos,
         s_text=s_text, num_heads=num_heads, fused=False,
         vocab=layer_weights["wpred"].shape[-1], quant=quant,
-        act_quant=act_quant,
+        act_quant=act_quant, two_phase=two_phase,
     )
     return logits, ck, cv
 
@@ -592,7 +615,8 @@ def decode_step(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "s_text", "num_heads", "vocab", "stochastic", "quant", "act_quant"
+        "s_text", "num_heads", "vocab", "stochastic", "quant", "act_quant",
+        "two_phase",
     ),
 )
 def decode_step_fused(
@@ -613,6 +637,7 @@ def decode_step_fused(
     stochastic: bool = False,
     quant: bool = False,
     act_quant: bool = False,
+    two_phase: bool = True,
 ):
     """Fully fused decode step: token in → next token out.
 
@@ -634,6 +659,7 @@ def decode_step_fused(
         x_len, audio_pos,
         s_text=s_text, num_heads=num_heads, fused=True, vocab=vocab,
         stochastic=stochastic, quant=quant, act_quant=act_quant,
+        two_phase=two_phase,
     )
     return tok_out[:, 0], logp_out[:, 0], ck, cv
 
