@@ -311,6 +311,7 @@ def generate_audio_from_long_text(
     accent: str = "no-accent",
     mode: str = "sliding-window",
     *,
+    best_of: Optional[int] = None,
     seed: int = 0,
 ) -> np.ndarray:
     """Long-text synthesis by sentence (reference: generation.py:154-276).
@@ -332,7 +333,7 @@ def generate_audio_from_long_text(
         logger.info("synthesize sentence %d/%d", i + 1, len(sentences))
         codes = _synthesize_tokens(
             bundle, sent, cur_audio, cur_text, cur_lang,
-            language, accent, seed=seed + i,
+            language, accent, best_of=best_of, seed=seed + i,
         )
         all_codes.append(codes)
         if mode == "sliding-window" and rng.rand() < 0.5:

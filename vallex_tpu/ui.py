@@ -34,24 +34,47 @@ def launch_ui(port: int = 7860):
             ]
     presets = sorted(set(presets))
 
+    # the reference UI decodes with best_of=5 beams in every infer tab
+    # (launch-ui.py:295,355,446)
+    UI_BEST_OF = 5
+
+    # temp prompts made by "infer from audio" are GC'd once stale, like the
+    # reference's clear_prompts (launch-ui.py:125-136)
+    temp_prompts: list = []  # (path, created_at)
+
+    def _gc_temp_prompts(max_age_s: float = 60.0):
+        now = time.time()
+        keep = []
+        for path, created in temp_prompts:
+            if now - created > max_age_s:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+            else:
+                keep.append((path, created))
+        temp_prompts[:] = keep
+
     def infer_from_prompt(text, prompt, language, accent):
         wave = api.generate_audio(
             text, prompt=prompt or None,
             language="auto" if language == "auto-detect" else language,
-            accent=accent,
+            accent=accent, best_of=UI_BEST_OF,
         )
         return (SAMPLE_RATE, wave)
 
     def infer_from_audio(text, audio_path, transcript, language, accent):
+        _gc_temp_prompts()
         tag = f"uiprompt{int(time.time())}"
         tmpdir = tempfile.mkdtemp()
         npz = api.make_prompt(
             tag, audio_path, transcript=transcript or None, out_dir=tmpdir
         )
+        temp_prompts.append((npz, time.time()))
         wave = api.generate_audio(
             text, prompt=npz,
             language="auto" if language == "auto-detect" else language,
-            accent=accent,
+            accent=accent, best_of=UI_BEST_OF,
         )
         return (SAMPLE_RATE, wave)
 
@@ -63,7 +86,7 @@ def launch_ui(port: int = 7860):
 
     def long_text(text, prompt, mode):
         wave = api.generate_audio_from_long_text(
-            text, prompt=prompt or None, mode=mode
+            text, prompt=prompt or None, mode=mode, best_of=UI_BEST_OF
         )
         return (SAMPLE_RATE, wave)
 

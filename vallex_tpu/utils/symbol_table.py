@@ -1,129 +1,143 @@
 """SymbolTable: string↔id mapping with merge/serialization.
 
-Equivalent of the reference's k2-style table (utils/symbol_table.py:30-287),
-used by the text collater and available for custom vocabularies.
+Same API surface as the reference's k2-style table
+(utils/symbol_table.py:30-287) so custom vocabularies written for it keep
+working, but a from-scratch implementation: one forward dict is the source
+of truth and the inverse is maintained alongside it; malformed input raises
+ValueError rather than assert.
+
+Serialized form (one mapping per line, id second):
+
+    <eps> 0
+    a 1
+    b 2
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Generic, List, Optional, TypeVar, Union
+from typing import Dict, Generic, Iterable, List, Optional, Tuple, TypeVar, Union
 
 Symbol = TypeVar("Symbol")
 
+EPS_ID = 0
 
-@dataclass
+
 class SymbolTable(Generic[Symbol]):
-    _id2sym: Dict[int, Symbol] = field(default_factory=dict)
-    _sym2id: Dict[Symbol, int] = field(default_factory=dict)
-    _next_available_id: int = 1
-    eps: Symbol = "<eps>"
+    def __init__(
+        self,
+        mappings: Optional[Iterable[Tuple[Symbol, int]]] = None,
+        eps: Symbol = "<eps>",
+    ):
+        self.eps = eps
+        self._fwd: Dict[Symbol, int] = {}  # symbol -> id (source of truth)
+        self._inv: Dict[int, Symbol] = {}
+        for sym, idx in mappings or ():
+            self._insert(sym, idx)
+        if EPS_ID not in self._inv:
+            self._insert(eps, EPS_ID)
+        else:
+            self.eps = self._inv[EPS_ID]
 
-    def __post_init__(self):
-        for idx, sym in self._id2sym.items():
-            assert self._sym2id[sym] == idx
-            assert idx >= 0
-        for sym, idx in self._sym2id.items():
-            assert idx >= 0
-            assert self._id2sym[idx] == sym
-        if 0 not in self._id2sym:
-            self._id2sym[0] = self.eps
-            self._sym2id[self.eps] = 0
-        self._next_available_id = max(self._id2sym, default=0) + 1
+    # -- construction ------------------------------------------------------
 
-    @staticmethod
-    def from_str(s: str) -> "SymbolTable":
-        id2sym: Dict[int, str] = {}
-        sym2id: Dict[str, int] = {}
-        for line in s.split("\n"):
-            fields = line.split()
-            if not fields:
+    def _insert(self, sym: Symbol, idx: int) -> None:
+        if idx < 0:
+            raise ValueError(f"negative id {idx} for symbol {sym!r}")
+        if sym in self._fwd and self._fwd[sym] != idx:
+            raise ValueError(f"symbol {sym!r} already mapped to {self._fwd[sym]}")
+        if idx in self._inv and self._inv[idx] != sym:
+            raise ValueError(f"id {idx} already mapped to {self._inv[idx]!r}")
+        self._fwd[sym] = idx
+        self._inv[idx] = sym
+
+    @classmethod
+    def from_str(cls, s: str) -> "SymbolTable":
+        pairs = []
+        for lineno, line in enumerate(s.splitlines(), 1):
+            parts = line.split()
+            if not parts:
                 continue
-            assert len(fields) == 2, f"Expect a line with 2 fields: {line!r}"
-            sym, idx = fields[0], int(fields[1])
-            assert sym not in sym2id, f"Duplicated symbol {sym}"
-            assert idx not in id2sym, f"Duplicated id {idx}"
-            id2sym[idx] = sym
-            sym2id[sym] = idx
-        eps = id2sym.get(0, "<eps>")
-        return SymbolTable(_id2sym=id2sym, _sym2id=sym2id, eps=eps)
+            if len(parts) != 2:
+                raise ValueError(
+                    f"line {lineno}: expected '<symbol> <id>', got {line!r}"
+                )
+            pairs.append((parts[0], int(parts[1])))
+        return cls(pairs)
 
-    @staticmethod
-    def from_file(filename: str) -> "SymbolTable":
+    @classmethod
+    def from_file(cls, filename: str) -> "SymbolTable":
         with open(filename, encoding="utf-8") as f:
-            return SymbolTable.from_str(f.read().strip())
+            return cls.from_str(f.read())
+
+    # -- serialization -----------------------------------------------------
 
     def to_str(self) -> str:
         return "\n".join(
-            f"{sym} {idx}" for idx, sym in sorted(self._id2sym.items())
+            f"{self._inv[i]} {i}" for i in sorted(self._inv)
         )
 
     def to_file(self, filename: str) -> None:
         with open(filename, "w", encoding="utf-8") as f:
-            for idx, symbol in sorted(self._id2sym.items()):
-                print(symbol, idx, file=f)
+            f.write(self.to_str() + "\n")
+
+    # -- mutation ----------------------------------------------------------
 
     def add(self, symbol: Symbol, index: Optional[int] = None) -> int:
-        if symbol in self._sym2id:
-            return self._sym2id[symbol]
-        if index is not None:
-            assert index not in self._id2sym, f"id {index} taken"
-            idx = index
-        else:
-            idx = self._next_available_id
-        self._id2sym[idx] = symbol
-        self._sym2id[symbol] = idx
-        self._next_available_id = max(self._next_available_id, idx + 1)
-        return idx
+        if symbol in self._fwd:
+            return self._fwd[symbol]
+        if index is None:
+            index = max(self._inv, default=-1) + 1
+        self._insert(symbol, index)
+        return index
+
+    # -- lookup ------------------------------------------------------------
 
     def get(self, k: Union[int, Symbol]) -> Union[Symbol, int]:
-        if isinstance(k, int):
-            return self._id2sym[k]
-        return self._sym2id[k]
-
-    def merge(self, other: "SymbolTable") -> "SymbolTable":
-        self._check_compatible(other)
-        id2sym = dict(self._id2sym)
-        sym2id = dict(self._sym2id)
-        for idx, sym in other._id2sym.items():
-            id2sym.setdefault(idx, sym)
-        for sym, idx in other._sym2id.items():
-            sym2id.setdefault(sym, idx)
-        return SymbolTable(_id2sym=id2sym, _sym2id=sym2id, eps=self.eps)
-
-    def _check_compatible(self, other: "SymbolTable") -> None:
-        assert self.eps == other.eps, "eps mismatch"
-        for idx in set(self._id2sym) & set(other._id2sym):
-            assert self._id2sym[idx] == other._id2sym[idx], (
-                f"id {idx} maps to different symbols"
-            )
-        for sym in set(self._sym2id) & set(other._sym2id):
-            assert self._sym2id[sym] == other._sym2id[sym], (
-                f"symbol {sym} maps to different ids"
-            )
+        return self._inv[k] if isinstance(k, int) else self._fwd[k]
 
     def __getitem__(self, item: Union[int, Symbol]) -> Union[Symbol, int]:
         return self.get(item)
 
     def __contains__(self, item: Union[int, Symbol]) -> bool:
-        if isinstance(item, int):
-            return item in self._id2sym
-        return item in self._sym2id
+        return item in (self._inv if isinstance(item, int) else self._fwd)
 
     def __len__(self) -> int:
-        return len(self._id2sym)
+        return len(self._fwd)
 
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, SymbolTable):
             return NotImplemented
-        if len(self) != len(other):
-            return False
-        return all(self.get(s) == other.get(s) for s in self.symbols)
+        return self._fwd == other._fwd
+
+    # -- combination -------------------------------------------------------
+
+    def merge(self, other: "SymbolTable") -> "SymbolTable":
+        """Union of both tables; overlapping entries must agree exactly."""
+        if self.eps != other.eps:
+            raise ValueError(f"eps mismatch: {self.eps!r} vs {other.eps!r}")
+        combined = dict(self._fwd)
+        for sym, idx in other._fwd.items():
+            if combined.get(sym, idx) != idx:
+                raise ValueError(
+                    f"symbol {sym!r}: id {combined[sym]} vs {idx}"
+                )
+            combined[sym] = idx
+        out = SymbolTable(combined.items(), eps=self.eps)
+        if len(out._inv) != len(combined):
+            # two symbols claimed one id somewhere
+            for idx in self._inv.keys() & other._inv.keys():
+                if self._inv[idx] != other._inv[idx]:
+                    raise ValueError(
+                        f"id {idx}: {self._inv[idx]!r} vs {other._inv[idx]!r}"
+                    )
+        return out
+
+    # -- views ---------------------------------------------------------------
 
     @property
     def ids(self) -> List[int]:
-        return sorted(self._id2sym)
+        return sorted(self._inv)
 
     @property
     def symbols(self) -> List[Symbol]:
-        return sorted(self._sym2id, key=lambda s: self._sym2id[s])
+        return [self._inv[i] for i in sorted(self._inv)]
