@@ -23,7 +23,8 @@ def test_istft_perfect_reconstruction():
     x = rng.randn(hop * 40).astype(np.float64)
     spec = _stft_centered(x, n_fft, hop)  # [T, F]
     wave = np.asarray(
-        VC.istft(jnp.asarray(spec[None]), n_fft, hop), np.float64
+        VC.istft(jnp.asarray(spec[None]), n_fft, hop, padding="center"),
+        np.float64,
     )[0]
     assert wave.shape[0] == (spec.shape[0] - 1) * hop
     # interior must reconstruct exactly (edges lose the reflect padding)
@@ -36,7 +37,8 @@ def test_vocos_decode_shapes():
     T = 30
     codes = np.random.RandomState(1).randint(0, 1024, size=(1, T, 8))
     wave = VC.vocos_decode(params, jnp.asarray(codes), bandwidth_id=2)
-    assert wave.shape == (1, (T - 1) * VC.HOP)
+    # "same"-padded ISTFT head: T frames → T*hop samples (vocos convention)
+    assert wave.shape == (1, T * VC.HOP)
     assert np.isfinite(np.asarray(wave)).all()
 
 

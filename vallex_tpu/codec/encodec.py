@@ -6,16 +6,21 @@ bandwidth ⇒ 8 codebooks × 1024 bins at 75 frames/s (320-sample hop).
 
 Architecture (encodec_model_24khz, causal/streaming variant):
   encoder: Conv1d(1→32, k7) → per ratio r ∈ [2,4,5,8]:
-      [ResidualUnit(C): ELU→Conv(k3, C→C/2)→ELU→Conv(k1, C/2→C) + skip,
-       ELU → Conv(C→2C, k=2r, stride=r)]  (channels 32→64→128→256→512)
+      [ResidualUnit(C): ELU→Conv(k3, C→C/2)→ELU→Conv(k1, C/2→C),
+       added to a 1×1 conv shortcut of the input (the 24 kHz model uses
+       conv shortcuts, not identity — see the reference's
+       remove_encodec_weight_norm touching shortcut.conv.conv,
+       data/tokenizer.py:41-46),
+       then ELU → Conv(C→2C, k=2r, stride=r)]  (channels 32→…→512)
       → 2-layer LSTM (residual skip) → ELU → Conv1d(512→128, k7)
   quantizer: residual VQ, nearest-neighbour per stage over 128-d codebooks
   decoder: mirror with transposed convs (k=2r, stride r), ratios [8,5,4,2]
 
-All convs are causal (left-padded), matching the streaming 24 kHz model.
-Weight-norm from torch checkpoints is fused into plain kernels at
-conversion time — reproducing the reference's `remove_encodec_weight_norm`
-determinism trick (data/tokenizer.py:33-60).
+All convs are causal with REFLECT left padding of (K_eff - stride) samples
+(encodec's SConv1d pad_mode='reflect', causal=True). Weight-norm from torch
+checkpoints is fused into plain kernels at conversion time — reproducing
+the reference's `remove_encodec_weight_norm` determinism trick
+(data/tokenizer.py:33-60).
 
 Layout is channels-last [B, T, C]; conv kernels [K, Cin, Cout].
 """
@@ -44,15 +49,19 @@ SAMPLE_RATE = 24000
 # ---------------------------------------------------------------------------
 
 def _causal_conv(x, w, b, stride: int = 1, dilation: int = 1):
-    """Causal Conv1d: left-pad (K-1)*dilation - (stride-1) ≈ encodec's
-    causal padding (pad_total = K_eff - stride, all on the left)."""
+    """Causal Conv1d: REFLECT left-pad of K_eff - stride samples, matching
+    encodec's SConv1d (causal=True, pad_mode='reflect'). Assumes the input
+    length is a multiple of the stride (guaranteed by `encode` padding the
+    waveform to a multiple of HOP), so no extra right padding is needed."""
     K = w.shape[0]
     k_eff = (K - 1) * dilation + 1
     pad = max(k_eff - stride, 0)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)), mode="reflect")
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
-        padding=[(pad, 0)],
+        padding=[(0, 0)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
@@ -141,6 +150,7 @@ def init_encodec(key) -> Params:
             {
                 "res_conv1": _conv_init(next(keys), 3, ch, ch // 2),
                 "res_conv2": _conv_init(next(keys), 1, ch // 2, ch),
+                "shortcut": _conv_init(next(keys), 1, ch, ch),
                 "down": _conv_init(next(keys), 2 * r, ch, 2 * ch),
             }
         )
@@ -157,6 +167,7 @@ def init_encodec(key) -> Params:
                 "up": _conv_init(next(keys), 2 * r, ch, ch // 2),
                 "res_conv1": _conv_init(next(keys), 3, ch // 2, ch // 4),
                 "res_conv2": _conv_init(next(keys), 1, ch // 4, ch // 2),
+                "shortcut": _conv_init(next(keys), 1, ch // 2, ch // 2),
             }
         )
         ch //= 2
@@ -178,7 +189,7 @@ def encode_latent(params: Params, wav: jnp.ndarray) -> jnp.ndarray:
     x = wav[..., None]  # [B, S, 1]
     x = _causal_conv(x, enc["init"]["w"], enc["init"]["b"])
     for st, ratio in zip(enc["stages"], reversed(RATIOS)):
-        res = x
+        res = _causal_conv(x, st["shortcut"]["w"], st["shortcut"]["b"])
         h = _elu(x)
         h = _causal_conv(h, st["res_conv1"]["w"], st["res_conv1"]["b"])
         h = _elu(h)
@@ -224,7 +235,7 @@ def decode_wave(params: Params, latents: jnp.ndarray) -> jnp.ndarray:
     for st, ratio in zip(dec["stages"], RATIOS):
         x = _elu(x)
         x = _causal_conv_transpose(x, st["up"]["w"], st["up"]["b"], ratio)
-        res = x
+        res = _causal_conv(x, st["shortcut"]["w"], st["shortcut"]["b"])
         h = _elu(x)
         h = _causal_conv(h, st["res_conv1"]["w"], st["res_conv1"]["b"])
         h = _elu(h)
@@ -237,7 +248,13 @@ def decode_wave(params: Params, latents: jnp.ndarray) -> jnp.ndarray:
 
 def encode(params: Params, wav: jnp.ndarray) -> jnp.ndarray:
     """[B, samples] → [B, T, 8] codes — the `tokenize_audio` equivalent
-    (reference: data/tokenizer.py:99-111)."""
+    (reference: data/tokenizer.py:99-111). Waveforms are zero-padded on the
+    right to a multiple of HOP so every conv stage sees a stride-divisible
+    length (encodec pads the final partial frame per-stage instead; only
+    the last frame of a non-aligned clip can differ)."""
+    rem = wav.shape[-1] % HOP
+    if rem:
+        wav = jnp.pad(wav, ((0, 0), (0, HOP - rem)))
     return rvq_encode(params, encode_latent(params, wav))
 
 
@@ -263,29 +280,39 @@ def _fuse_weight_norm(g, v):
 
 def convert_encodec_state_dict(sd: Dict[str, Any]) -> Params:
     """Convert encodec_model_24khz state dict (numpy-ified, torch layouts:
-    conv [Cout, Cin, K]) into our pytree, fusing weight norm."""
+    conv [Cout, Cin, K]) into our pytree, fusing weight norm.
+
+    Module hierarchy per encodec's conv wrappers (SConv1d.conv = NormConv1d,
+    NormConv1d.conv = weight-normed nn.Conv1d, so two `.conv` levels; same
+    for SConvTranspose1d.convtr.convtr — visible in the reference's
+    remove_encodec_weight_norm, data/tokenizer.py:41-60). Verified against
+    a reconstructed torch model in tests/test_convert_parity.py."""
     import numpy as np
 
     def conv(prefix):
-        if f"{prefix}.conv.weight_g" in sd:
-            w = _fuse_weight_norm(
-                sd[f"{prefix}.conv.weight_g"], sd[f"{prefix}.conv.weight_v"]
-            )
+        # prefix addresses the SConv1d module; the raw kernel lives two
+        # levels down at <prefix>.conv.conv
+        base = f"{prefix}.conv.conv"
+        if f"{base}.weight_g" in sd:
+            w = _fuse_weight_norm(sd[f"{base}.weight_g"], sd[f"{base}.weight_v"])
         else:
-            w = np.asarray(sd[f"{prefix}.conv.weight"], np.float32)
-        b = np.asarray(sd[f"{prefix}.conv.bias"], np.float32)
+            w = np.asarray(sd[f"{base}.weight"], np.float32)
+        b = np.asarray(sd[f"{base}.bias"], np.float32)
         return {"w": np.transpose(w, (2, 1, 0)).copy(), "b": b}
 
     def convtr(prefix):
-        if f"{prefix}.convtr.weight_g" in sd:
-            w = _fuse_weight_norm(
-                sd[f"{prefix}.convtr.weight_g"], sd[f"{prefix}.convtr.weight_v"]
-            )
+        base = f"{prefix}.convtr.convtr"
+        if f"{base}.weight_g" in sd:
+            w = _fuse_weight_norm(sd[f"{base}.weight_g"], sd[f"{base}.weight_v"])
         else:
-            w = np.asarray(sd[f"{prefix}.convtr.weight"], np.float32)
-        b = np.asarray(sd[f"{prefix}.convtr.bias"], np.float32)
-        # torch convtranspose weight [Cin, Cout, K] → [K, Cin, Cout]
-        return {"w": np.transpose(w, (2, 0, 1)).copy(), "b": b}
+            w = np.asarray(sd[f"{base}.weight"], np.float32)
+        b = np.asarray(sd[f"{base}.bias"], np.float32)
+        # torch convtranspose weight [Cin, Cout, K] → [K, Cin, Cout], with a
+        # spatial flip: torch ConvTranspose1d is the gradient of conv
+        # (out[n] += x[m]·w[k] for n = m·s + k), while lax.conv_transpose
+        # with transpose_kernel=False correlates — flipping K makes them
+        # equal (verified in tests/test_convert_parity.py)
+        return {"w": np.transpose(w, (2, 0, 1))[::-1].copy(), "b": b}
 
     def lstm(prefix, layer):
         return {
@@ -296,15 +323,16 @@ def convert_encodec_state_dict(sd: Dict[str, Any]) -> Params:
         }
 
     # encoder module indices in encodec's SEANetEncoder.model Sequential:
-    # 0: init conv; per stage: [block(1+3j).., downsample]; 13: lstm; 15: final
+    # 0 init conv; per stage [resblock, ELU, downsample] = (1,2,3)…(10,11,12);
+    # 13 SLSTM; 14 ELU; 15 final conv
     enc = {"init": conv("encoder.model.0"), "stages": [], "lstm": [], "final": None}
     i = 1
-    ch_stage = []
     for r in reversed(RATIOS):
         enc["stages"].append(
             {
                 "res_conv1": conv(f"encoder.model.{i}.block.1"),
                 "res_conv2": conv(f"encoder.model.{i}.block.3"),
+                "shortcut": conv(f"encoder.model.{i}.shortcut"),
                 "down": conv(f"encoder.model.{i + 2}"),
             }
         )
@@ -312,6 +340,8 @@ def convert_encodec_state_dict(sd: Dict[str, Any]) -> Params:
     enc["lstm"] = [lstm(f"encoder.model.{i}", 0), lstm(f"encoder.model.{i}", 1)]
     enc["final"] = conv(f"encoder.model.{i + 2}")
 
+    # decoder: 0 init conv; 1 SLSTM; per stage [ELU, convtr, resblock] =
+    # (2,3,4)…(11,12,13); 14 ELU; 15 final conv
     dec = {"init": conv("decoder.model.0"), "stages": [], "lstm": [], "final": None}
     dec["lstm"] = [lstm("decoder.model.1", 0), lstm("decoder.model.1", 1)]
     i = 3
@@ -321,10 +351,11 @@ def convert_encodec_state_dict(sd: Dict[str, Any]) -> Params:
                 "up": convtr(f"decoder.model.{i}"),
                 "res_conv1": conv(f"decoder.model.{i + 1}.block.1"),
                 "res_conv2": conv(f"decoder.model.{i + 1}.block.3"),
+                "shortcut": conv(f"decoder.model.{i + 1}.shortcut"),
             }
         )
         i += 3
-    dec["final"] = conv(f"decoder.model.{i + 1}")
+    dec["final"] = conv(f"decoder.model.{i}")
 
     cb = np.stack(
         [

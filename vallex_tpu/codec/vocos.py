@@ -10,13 +10,14 @@ reference for waveform synthesis (utils/generation.py:89,147-151):
       (depthwise k7 conv → AdaLayerNorm → pointwise 512→1536 → GELU →
       pointwise 1536→512 → layer-scale γ → residual), final LayerNorm
   head: Linear(512 → n_fft+2) → (log-magnitude, phase) → complex STFT →
-      inverse STFT (n_fft=1280, hop=320, Hann window, centered) → waveform
+      inverse STFT (n_fft=1280, hop=320, Hann window, "same" padding:
+      (n_fft-hop)/2 trimmed per side ⇒ T frames → T·hop samples) → waveform
 
 Everything is channels-last [B, T, C] (TPU-friendly; convs lower to MXU
 matmuls over the channel dims). The inverse STFT is jnp.fft.irfft +
 scatter-free overlap-add (statically shifted hop-strips; TPU scatters
-serialize) — an exact match of torch.istft (center mode) including the
-window-envelope normalization.
+serialize) — an exact match of the vocos package's fold-based ISTFT
+including the window-envelope normalization.
 
 Weights load from a converted torch/safetensors checkpoint when available
 (utils/checkpoint-style flat npz); random init otherwise.
@@ -162,10 +163,20 @@ def backbone_apply(
     return _layer_norm(params["final_norm"], x)
 
 
-def istft(spec: jnp.ndarray, n_fft: int = N_FFT, hop: int = HOP) -> jnp.ndarray:
-    """Inverse STFT, centered, Hann window — matches torch.istft.
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int = N_FFT,
+    hop: int = HOP,
+    padding: str = "same",
+) -> jnp.ndarray:
+    """Inverse STFT, Hann window.
 
-    spec: complex [B, T, n_fft//2 + 1] → wave [B, (T-1)*hop].
+    padding="same" matches the vocos package's ISTFT head (its default and
+    what charactr/vocos-encodec-24khz ships): trim (n_fft - hop)//2 from
+    each end → wave [B, T*hop]. padding="center" matches torch.istft
+    (trim n_fft//2) → wave [B, (T-1)*hop].
+
+    spec: complex [B, T, n_fft//2 + 1].
     """
     B, T, _ = spec.shape
     assert n_fft % hop == 0, "overlap-add assumes hop | n_fft"
@@ -207,12 +218,18 @@ def istft(spec: jnp.ndarray, n_fft: int = N_FFT, hop: int = HOP) -> jnp.ndarray:
     wave = out_blocks.reshape(B, out_len)
     env = env_blocks.reshape(out_len)
     wave = wave / jnp.maximum(env, 1e-11)
-    # center trim n_fft//2 from both ends
-    return wave[:, n_fft // 2 : out_len - n_fft // 2]
+    if padding == "same":
+        pad = (n_fft - hop) // 2
+    elif padding == "center":
+        pad = n_fft // 2
+    else:
+        raise ValueError(f"unknown istft padding {padding!r}")
+    return wave[:, pad : out_len - pad]
 
 
 def head_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """[B, T, 512] → waveform [B, (T-1)*hop] via log-mag/phase ISTFT."""
+    """[B, T, 512] → waveform [B, T*hop] via log-mag/phase ISTFT
+    (same-padded, per the shipped Vocos head)."""
     h = jnp.dot(x, params["head"]["w"]) + params["head"]["b"]
     mag, phase = jnp.split(h, 2, axis=-1)
     # exp(clip(·, 100)) matches the reference head, but e^100 × 641 DFT bins
@@ -263,7 +280,7 @@ def vocos_decode_bucketed(
     padded = np.zeros((B, bucket, Q), codes.dtype)
     padded[:, :T] = codes
     wave = _decode_jit(params, jnp.asarray(padded), bandwidth_id=bandwidth_id)
-    return wave[:, : (T - 1) * HOP]
+    return wave[:, : T * HOP]
 
 
 # ---------------------------------------------------------------------------

@@ -186,6 +186,6 @@ class SynthesisPipeline:
         if wave_dev is not None:
             from ..codec.vocos import HOP
 
-            wave = np.asarray(wave_dev[0, : max(gen_len - 1, 0) * HOP])
+            wave = np.asarray(wave_dev[0, : gen_len * HOP])
             return codes_np, wave
         return codes_np, None
