@@ -172,16 +172,24 @@ def test_mandarin_polyphones_and_ling():
     assert "xɑŋ↑" in chinese_to_ipa("银行")
 
 
+def _strip_accents(s: str) -> str:
+    return s.replace("↑", "").replace("↓", "")
+
+
 def test_japanese_topic_particles():
     from vallex_tpu.frontend.japanese import japanese_to_ipa2
 
     # は after kanji = topic particle → wa
-    assert "wataʃiwa" in japanese_to_ipa2("私は学生です")
+    assert "wataʃiwa" in _strip_accents(japanese_to_ipa2("私は学生です"))
     # では cluster → dewa
-    assert "dewa" in japanese_to_ipa2("世界では有名です")
+    assert "dewa" in _strip_accents(japanese_to_ipa2("世界では有名です"))
     # へ after kanji, pre-kanji = direction particle → e
-    assert japanese_to_ipa2("東京へ行く").startswith("toɯkjoɯe")
+    assert _strip_accents(japanese_to_ipa2("東京へ行く")).startswith(
+        "toɯkjoɯe"
+    )
     # but は INSIDE a kana word stays ha (母 = はは)
-    assert japanese_to_ipa2("ははとはなします").startswith("haha")
+    assert _strip_accents(japanese_to_ipa2("ははとはなします")).startswith(
+        "haha"
+    )
     # sentence-final は (greeting) still → wa
     assert japanese_to_ipa2("こんにちは").endswith("wa")

@@ -1,24 +1,57 @@
-"""Japanese text → IPA phonemes.
+"""Japanese text → IPA phonemes with pitch-accent marks.
 
-The reference (utils/g2p/japanese.py:74-145) uses pyopenjtalk (C++)
-full-context labels for G2P + pitch accent. That dependency is unavailable in
-this image, so this module implements the same phoneme conventions from kana
-directly: kana → OpenJTalk-style romaji phonemes (shi/chi/tsu/cl/N...), then
-the identical sokuon/hatsuon rewrites and romaji→ipa2 substitutions.
+The reference (utils/g2p/japanese.py:74-145) derives phonemes AND Tokyo
+pitch accent from pyopenjtalk full-context labels: per accent phrase it
+emits ↑ after the first mora when the pitch rises, ↓ after the accent
+nucleus when it falls, and a space at accent-phrase boundaries
+(japanese.py:97-110). Both marks are part of the trained 69-symbol vocab.
 
-Limitations vs the reference (documented, improvable without API changes):
-pitch-accent marks (↑/↓) require a lexicon and are not emitted; kanji are
-read through an embedded common-word table and are otherwise dropped, so
-kana or mixed kana input is strongly preferred.
+pyopenjtalk (C++) is unavailable in this image, so this module reimplements
+the same output contract from embedded data (frontend/japanese_data.py):
+
+  1. segment the text into accent phrases: lexicon longest-match for
+     content words (kanji/katakana/mixed surfaces), per-character on'yomi
+     fallback for out-of-lexicon kanji (nothing is dropped), number→kana
+     reading for digit runs, and attached hiragana tails (okurigana,
+     auxiliaries, particles);
+  2. resolve each phrase's accent type: lexicon accent, auxiliary-suffix
+     rules (ます→fall on ま, です after heiban→fall on で, …), loanword
+     default for katakana;
+  3. emit romaji moras with the reference's exact mark placement rules:
+     ↓ after the nucleus mora when a mora follows in the same phrase
+     (a1==0 ∧ a2_next==a2+1), else ↑ after mora 1 of a multi-mora phrase
+     whose accent isn't 1 (a2==1 ∧ a2_next==2), spaces between phrases
+     (a3==1 ∧ a2_next==1); devoice i/u between voiceless consonants and
+     a final unaccented す (the labels' I/U phonemes → i*/ɯ* in IPA);
+  4. apply the reference's sokuon/hatsuon rewrites and romaji→ipa2 table
+     verbatim-equivalent (japanese.py:36-65).
+
+Accent values approximate the NHK accent dictionary; unknown words default
+to heiban (the most common class). This trades some accent accuracy for
+zero native dependencies — the structure (marks, boundaries, devoicing)
+matches the reference exactly.
 """
 
 from __future__ import annotations
 
+import logging
 import re
 import unicodedata
+from typing import List, Optional, Tuple
+
+from .japanese_data import (
+    DOMINANT_SUFFIXES,
+    KANA_WORDS,
+    LOANWORD_ACCENTS,
+    ONYOMI,
+    SUFFIX_ACCENTS,
+    WORDS,
+)
+
+logger = logging.getLogger(__name__)
 
 # ％ → パーセント (reference: utils/g2p/japanese.py:15-17)
-_SYMBOLS_TO_JAPANESE = [("％", "パーセント")]
+_SYMBOLS_TO_JAPANESE = [("％", "パーセント"), ("%", "パーセント")]
 
 _japanese_characters = re.compile(
     r"[A-Za-z\d々぀-ヿ一-鿿１-９Ａ-Ｚ"
@@ -29,188 +62,9 @@ _japanese_marks = re.compile(
     r"ａ-ｚｦ-ﾝ]"
 )
 
-# ---------------------------------------------------------------------------
-# Embedded readings for common kanji words (word → hiragana).
-# ---------------------------------------------------------------------------
-
-KANJI_READINGS = {
-    "私": "わたし", "僕": "ぼく", "俺": "おれ", "君": "きみ", "彼": "かれ",
-    "彼女": "かのじょ", "人": "ひと", "今日": "きょう", "明日": "あした",
-    "昨日": "きのう", "今": "いま", "時間": "じかん", "時": "とき",
-    "年": "ねん", "月": "つき", "日": "ひ", "週": "しゅう", "分": "ふん",
-    "秒": "びょう", "朝": "あさ", "昼": "ひる", "夜": "よる", "晩": "ばん",
-    "水": "みず", "火": "ひ", "木": "き", "金": "かね", "土": "つち",
-    "空": "そら", "海": "うみ", "山": "やま", "川": "かわ", "森": "もり",
-    "雨": "あめ", "雪": "ゆき", "風": "かぜ", "星": "ほし", "花": "はな",
-    "犬": "いぬ", "猫": "ねこ", "鳥": "とり", "魚": "さかな", "馬": "うま",
-    "家": "いえ", "部屋": "へや", "学校": "がっこう", "会社": "かいしゃ",
-    "仕事": "しごと", "先生": "せんせい", "学生": "がくせい",
-    "友達": "ともだち", "家族": "かぞく", "母": "はは", "父": "ちち",
-    "子供": "こども", "男": "おとこ", "女": "おんな", "名前": "なまえ",
-    "言葉": "ことば", "日本": "にほん", "日本語": "にほんご",
-    "英語": "えいご", "中国語": "ちゅうごくご", "世界": "せかい",
-    "国": "くに", "町": "まち", "街": "まち", "道": "みち", "駅": "えき",
-    "電車": "でんしゃ", "車": "くるま", "飛行機": "ひこうき",
-    "電話": "でんわ", "音": "おと", "声": "こえ", "音楽": "おんがく",
-    "歌": "うた", "映画": "えいが", "本": "ほん", "話": "はなし",
-    "手": "て", "足": "あし", "目": "め", "耳": "みみ", "口": "くち",
-    "頭": "あたま", "心": "こころ", "体": "からだ", "顔": "かお",
-    "食事": "しょくじ", "朝食": "ちょうしょく", "昼食": "ちゅうしょく",
-    "夕食": "ゆうしょく", "料理": "りょうり", "水曜日": "すいようび",
-    "月曜日": "げつようび", "火曜日": "かようび", "木曜日": "もくようび",
-    "金曜日": "きんようび", "土曜日": "どようび", "日曜日": "にちようび",
-    "一": "いち", "二": "に", "三": "さん", "四": "よん", "五": "ご",
-    "六": "ろく", "七": "なな", "八": "はち", "九": "きゅう", "十": "じゅう",
-    "百": "ひゃく", "千": "せん", "万": "まん", "円": "えん",
-    "何": "なに", "誰": "だれ", "大丈夫": "だいじょうぶ",
-    "大きい": "おおきい", "小さい": "ちいさい", "新しい": "あたらしい",
-    "古い": "ふるい", "良い": "よい", "悪い": "わるい", "高い": "たかい",
-    "安い": "やすい", "長い": "ながい", "短い": "みじかい",
-    "早い": "はやい", "速い": "はやい", "遅い": "おそい",
-    "暑い": "あつい", "寒い": "さむい", "熱い": "あつい",
-    "冷たい": "つめたい", "楽しい": "たのしい", "嬉しい": "うれしい",
-    "悲しい": "かなしい", "面白い": "おもしろい", "美しい": "うつくしい",
-    "可愛い": "かわいい", "好き": "すき", "嫌い": "きらい",
-    "食べる": "たべる", "飲む": "のむ", "行く": "いく", "来る": "くる",
-    "帰る": "かえる", "見る": "みる", "聞く": "きく", "話す": "はなす",
-    "読む": "よむ", "書く": "かく", "買う": "かう", "売る": "うる",
-    "作る": "つくる", "使う": "つかう", "思う": "おもう", "知る": "しる",
-    "分かる": "わかる", "出来る": "できる", "出る": "でる",
-    "入る": "はいる", "会う": "あう", "待つ": "まつ", "持つ": "もつ",
-    "歩く": "あるく", "走る": "はしる", "泳ぐ": "およぐ", "寝る": "ねる",
-    "起きる": "おきる", "働く": "はたらく", "休む": "やすむ",
-    "勉強": "べんきょう", "旅行": "りょこう", "写真": "しゃしん",
-    "質問": "しつもん", "答え": "こたえ", "問題": "もんだい",
-    "天気": "てんき", "元気": "げんき", "気持ち": "きもち",
-    "有難う": "ありがとう", "有り難う": "ありがとう",
-    "御座います": "ございます", "お早う": "おはよう",
-    # second tier
-    "時計": "とけい", "時代": "じだい", "瞬間": "しゅんかん",
-    "最初": "さいしょ", "最後": "さいご", "最近": "さいきん",
-    "毎日": "まいにち", "毎週": "まいしゅう", "毎年": "まいとし",
-    "今年": "ことし", "去年": "きょねん", "来年": "らいねん",
-    "今月": "こんげつ", "来月": "らいげつ", "先月": "せんげつ",
-    "今週": "こんしゅう", "来週": "らいしゅう", "先週": "せんしゅう",
-    "午前": "ごぜん", "午後": "ごご", "夕方": "ゆうがた",
-    "世の中": "よのなか", "場所": "ばしょ", "場合": "ばあい",
-    "地方": "ちほう", "地図": "ちず", "地球": "ちきゅう",
-    "外国": "がいこく", "外国人": "がいこくじん", "国際": "こくさい",
-    "東京": "とうきょう", "大阪": "おおさか", "京都": "きょうと",
-    "北海道": "ほっかいどう", "沖縄": "おきなわ", "横浜": "よこはま",
-    "中国": "ちゅうごく", "韓国": "かんこく", "米国": "べいこく",
-    "首都": "しゅと", "都市": "とし", "田舎": "いなか",
-    "会議": "かいぎ", "会話": "かいわ", "電気": "でんき",
-    "電子": "でんし", "機械": "きかい", "技術": "ぎじゅつ",
-    "科学": "かがく", "数学": "すうがく", "物理": "ぶつり",
-    "化学": "かがく", "歴史": "れきし", "文化": "ぶんか",
-    "文学": "ぶんがく", "芸術": "げいじゅつ", "美術": "びじゅつ",
-    "経済": "けいざい", "政治": "せいじ", "社会": "しゃかい",
-    "会員": "かいいん", "社員": "しゃいん", "店員": "てんいん",
-    "医者": "いしゃ", "病院": "びょういん", "病気": "びょうき",
-    "薬": "くすり", "健康": "けんこう", "安全": "あんぜん",
-    "危険": "きけん", "注意": "ちゅうい", "準備": "じゅんび",
-    "練習": "れんしゅう", "試験": "しけん", "宿題": "しゅくだい",
-    "授業": "じゅぎょう", "教室": "きょうしつ", "教育": "きょういく",
-    "図書館": "としょかん", "公園": "こうえん", "動物": "どうぶつ",
-    "植物": "しょくぶつ", "自然": "しぜん", "環境": "かんきょう",
-    "天然": "てんねん", "宇宙": "うちゅう", "太陽": "たいよう",
-    "地震": "じしん", "台風": "たいふう", "季節": "きせつ",
-    "春": "はる", "夏": "なつ", "秋": "あき", "冬": "ふゆ",
-    "気温": "きおん", "温度": "おんど", "空気": "くうき",
-    "新聞": "しんぶん", "雑誌": "ざっし", "番組": "ばんぐみ",
-    "放送": "ほうそう", "情報": "じょうほう", "記事": "きじ",
-    "広告": "こうこく", "電車賃": "でんしゃちん", "切符": "きっぷ",
-    "旅館": "りょかん", "荷物": "にもつ", "空港": "くうこう",
-    "飛行場": "ひこうじょう", "新幹線": "しんかんせん",
-    "自転車": "じてんしゃ", "自動車": "じどうしゃ", "運転": "うんてん",
-    "道路": "どうろ", "交通": "こうつう", "信号": "しんごう",
-    "銀行": "ぎんこう", "お金": "おかね", "値段": "ねだん",
-    "買い物": "かいもの", "財布": "さいふ", "料金": "りょうきん",
-    "無料": "むりょう", "有料": "ゆうりょう", "会計": "かいけい",
-    "食べ物": "たべもの", "飲み物": "のみもの", "野菜": "やさい",
-    "果物": "くだもの", "魚介": "ぎょかい", "肉": "にく",
-    "牛肉": "ぎゅうにく", "豚肉": "ぶたにく", "鶏肉": "とりにく",
-    "卵": "たまご", "牛乳": "ぎゅうにゅう", "御飯": "ごはん",
-    "ご飯": "ごはん", "朝御飯": "あさごはん", "昼御飯": "ひるごはん",
-    "晩御飯": "ばんごはん", "弁当": "べんとう", "寿司": "すし",
-    "刺身": "さしみ", "味噌": "みそ", "醤油": "しょうゆ",
-    "砂糖": "さとう", "塩": "しお", "酒": "さけ", "茶": "ちゃ",
-    "お茶": "おちゃ", "紅茶": "こうちゃ", "珈琲": "コーヒー",
-    "台所": "だいどころ", "部屋代": "へやだい", "家賃": "やちん",
-    "玄関": "げんかん", "廊下": "ろうか", "階段": "かいだん",
-    "窓": "まど", "扉": "とびら", "机": "つくえ", "椅子": "いす",
-    "布団": "ふとん", "冷蔵庫": "れいぞうこ", "洗濯": "せんたく",
-    "掃除": "そうじ", "風呂": "ふろ", "石鹸": "せっけん",
-    "服": "ふく", "洋服": "ようふく", "着物": "きもの",
-    "靴": "くつ", "帽子": "ぼうし", "眼鏡": "めがね",
-    "鞄": "かばん", "傘": "かさ", "指輪": "ゆびわ",
-    "身体": "しんたい", "背中": "せなか", "お腹": "おなか",
-    "指": "ゆび", "髪": "かみ", "歯": "は", "顔色": "かおいろ",
-    "気分": "きぶん", "心配": "しんぱい", "安心": "あんしん",
-    "幸せ": "しあわせ", "悲しみ": "かなしみ", "喜び": "よろこび",
-    "怒り": "いかり", "驚き": "おどろき", "笑顔": "えがお",
-    "涙": "なみだ", "声色": "こわいろ", "夢": "ゆめ",
-    "話題": "わだい", "意味": "いみ", "意見": "いけん",
-    "考え": "かんがえ", "理由": "りゆう", "結果": "けっか",
-    "原因": "げんいん", "目的": "もくてき", "方法": "ほうほう",
-    "説明": "せつめい", "紹介": "しょうかい", "連絡": "れんらく",
-    "約束": "やくそく", "予定": "よてい", "計画": "けいかく",
-    "相談": "そうだん", "返事": "へんじ", "挨拶": "あいさつ",
-    "御免": "ごめん", "失礼": "しつれい", "結構": "けっこう",
-    "大変": "たいへん", "大切": "たいせつ", "大事": "だいじ",
-    "簡単": "かんたん", "複雑": "ふくざつ", "便利": "べんり",
-    "不便": "ふべん", "丁寧": "ていねい", "親切": "しんせつ",
-    "静か": "しずか", "賑やか": "にぎやか", "有名": "ゆうめい",
-    "立派": "りっぱ", "綺麗": "きれい", "上手": "じょうず",
-    "下手": "へた", "得意": "とくい", "苦手": "にがて",
-    "元気一杯": "げんきいっぱい", "一番": "いちばん",
-    "一緒": "いっしょ", "一人": "ひとり", "二人": "ふたり",
-    "皆": "みんな", "皆さん": "みなさん", "友人": "ゆうじん",
-    "彼氏": "かれし", "両親": "りょうしん", "兄": "あに",
-    "姉": "あね", "弟": "おとうと", "妹": "いもうと",
-    "祖父": "そふ", "祖母": "そぼ", "息子": "むすこ",
-    "娘": "むすめ", "赤ちゃん": "あかちゃん", "大人": "おとな",
-    "子": "こ", "青年": "せいねん", "老人": "ろうじん",
-    "世界中": "せかいじゅう", "日本人": "にほんじん",
-    "英会話": "えいかいわ", "言語": "げんご", "単語": "たんご",
-    "文章": "ぶんしょう", "文字": "もじ", "漢字": "かんじ",
-    "発音": "はつおん", "翻訳": "ほんやく", "辞書": "じしょ",
-    "小説": "しょうせつ", "物語": "ものがたり", "詩": "し",
-    "絵": "え", "写生": "しゃせい", "演奏": "えんそう",
-    "楽器": "がっき", "歌手": "かしゅ", "俳優": "はいゆう",
-    "映像": "えいぞう", "舞台": "ぶたい", "劇場": "げきじょう",
-    "試合": "しあい", "運動": "うんどう", "野球": "やきゅう",
-    "水泳": "すいえい", "散歩": "さんぽ", "登山": "とざん",
-    "釣り": "つり", "遊び": "あそび", "趣味": "しゅみ",
-    "休み": "やすみ", "休日": "きゅうじつ", "祝日": "しゅくじつ",
-    "誕生日": "たんじょうび", "記念日": "きねんび", "祭り": "まつり",
-    "正月": "しょうがつ", "花見": "はなみ", "花火": "はなび",
-    "贈り物": "おくりもの", "土産": "みやげ", "お土産": "おみやげ",
-    # verb stems (so ます/て/た inflections resolve: 行きます → いきます)
-    "行き": "いき", "行っ": "いっ", "行か": "いか", "行け": "いけ",
-    "来": "き", "食べ": "たべ", "飲み": "のみ", "飲ん": "のん",
-    "見え": "みえ", "見せ": "みせ", "見":"み", "聞き": "きき", "聞い": "きい",
-    "話し": "はなし", "読み": "よみ", "読ん": "よん", "書き": "かき",
-    "書い": "かい", "買い": "かい", "買っ": "かっ", "売り": "うり",
-    "作り": "つくり", "作っ": "つくっ", "使い": "つかい", "使っ": "つかっ",
-    "思い": "おもい", "思っ": "おもっ", "知り": "しり", "知っ": "しっ",
-    "分かり": "わかり", "分かっ": "わかっ", "出": "で", "入り": "はいり",
-    "入っ": "はいっ", "会い": "あい", "会っ": "あっ", "待ち": "まち",
-    "待っ": "まっ", "持ち": "もち", "持っ": "もっ", "歩き": "あるき",
-    "歩い": "あるい", "走り": "はしり", "走っ": "はしっ", "泳ぎ": "およぎ",
-    "寝": "ね", "起き": "おき", "働き": "はたらき", "働い": "はたらい",
-    "休み": "やすみ", "休ん": "やすん", "帰り": "かえり", "帰っ": "かえっ",
-    "言い": "いい", "言っ": "いっ", "言う": "いう", "言わ": "いわ",
-    "住み": "すみ", "住ん": "すん", "住む": "すむ", "死ぬ": "しぬ",
-    "立ち": "たち", "立っ": "たっ", "立つ": "たつ", "座り": "すわり",
-    "座っ": "すわっ", "座る": "すわる", "取り": "とり", "取っ": "とっ",
-    "取る": "とる", "置き": "おき", "置い": "おい", "置く": "おく",
-    "渡し": "わたし", "渡す": "わたす", "貸し": "かし", "貸す": "かす",
-    "借り": "かり", "借りる": "かりる", "送り": "おくり", "送る": "おくる",
-    "始まり": "はじまり", "始まる": "はじまる", "始め": "はじめ",
-    "終わり": "おわり", "終わる": "おわる", "教え": "おしえ",
-    "習い": "ならい", "習う": "ならう", "覚え": "おぼえ", "忘れ": "わすれ",
-}
+_KANJI_RE = re.compile(r"[一-鿿々]")
+_HIRA_RE = re.compile(r"[ぁ-ゟ]")
+_KATA_RE = re.compile(r"[ァ-ヿー]")
 
 # ---------------------------------------------------------------------------
 # Kana → OpenJTalk-style romaji phoneme strings
@@ -255,7 +109,10 @@ _GOJUON = {
 }
 
 _SMALL_VOWELS = {"ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o"}
-_VOWEL_OF = {"a": "a", "i": "i", "u": "u", "e": "e", "o": "o", "N": ""}
+
+# consonants (romaji prefixes) that trigger vowel devoicing between them
+_VOICELESS = {"k", "s", "sh", "t", "ch", "ts", "h", "f", "p",
+              "ky", "hy", "py"}
 
 
 def _kata_to_hira(text: str) -> str:
@@ -269,60 +126,528 @@ def _kata_to_hira(text: str) -> str:
     return "".join(out)
 
 
-def _replace_kanji(text: str) -> str:
-    """Longest-match replacement of known kanji words with kana readings."""
-    keys = sorted(KANJI_READINGS, key=len, reverse=True)
-    for k in keys:
-        if k in text:
-            text = text.replace(k, KANJI_READINGS[k])
-    # drop any remaining kanji (unknown readings)
-    return re.sub(r"[一-鿿々]", "", text)
+def _mora_split(reading: str) -> List[str]:
+    """Hiragana reading → list of mora kana (youon = one mora; っ, ん, ー
+    are their own moras, as in openjtalk's mora counting)."""
+    reading = _kata_to_hira(reading)
+    moras: List[str] = []
+    i = 0
+    n = len(reading)
+    while i < n:
+        two = reading[i : i + 2]
+        if two in _YOUON:
+            moras.append(two)
+            i += 2
+            continue
+        moras.append(reading[i])
+        i += 1
+    return moras
+
+
+def _mora_romaji(mora: str, prev_romaji: str) -> str:
+    if mora == "っ":
+        return "cl"
+    if mora == "ー":
+        for v in reversed(prev_romaji):
+            if v in "aiueo":
+                return v
+        return ""
+    if mora in _YOUON:
+        return _YOUON[mora]
+    if mora in _SMALL_VOWELS:
+        return _SMALL_VOWELS[mora]
+    if mora in _GOJUON:
+        return _GOJUON[mora]
+    return ""
 
 
 def kana_to_romaji(text: str) -> str:
-    """Hiragana/katakana string → OpenJTalk-style phoneme romaji."""
-    text = _kata_to_hira(text)
+    """Hiragana/katakana string → OpenJTalk-style phoneme romaji
+    (no accent marks; kept for direct use and tests)."""
     out = []
-    i = 0
-    n = len(text)
-    while i < n:
-        two = text[i : i + 2]
-        ch = text[i]
-        if two in _YOUON:
-            out.append(_YOUON[two])
-            i += 2
-            continue
-        if ch == "っ":
-            out.append("cl")  # sokuon marker (geminate)
-            i += 1
-            continue
-        if ch == "ー":
-            # long vowel: repeat previous vowel
-            if out:
-                prev = out[-1]
-                for v in reversed(prev):
-                    if v in "aiueo":
-                        out.append(v)
-                        break
-            i += 1
-            continue
-        if ch in _SMALL_VOWELS:
-            out.append(_SMALL_VOWELS[ch])
-            i += 1
-            continue
-        if ch in _GOJUON:
-            out.append(_GOJUON[ch])
-            i += 1
-            continue
-        i += 1  # skip unknown
+    prev = ""
+    for mora in _mora_split(text):
+        rom = _mora_romaji(mora, prev)
+        if rom:
+            out.append(rom)
+            prev = rom
     return "".join(out)
 
 
+# ---------------------------------------------------------------------------
+# Number reading
+# ---------------------------------------------------------------------------
+
+_DIGIT_KANA = ["ゼロ", "いち", "に", "さん", "よん", "ご", "ろく", "なな",
+               "はち", "きゅう"]
+
+
+def _under_10000(n: int) -> str:
+    parts = []
+    sen, n = divmod(n, 1000)
+    hyaku, n = divmod(n, 100)
+    juu, ichi = divmod(n, 10)
+    if sen:
+        parts.append({1: "せん", 3: "さんぜん", 8: "はっせん"}.get(
+            sen, _DIGIT_KANA[sen] + "せん"))
+    if hyaku:
+        parts.append({1: "ひゃく", 3: "さんびゃく", 6: "ろっぴゃく",
+                      8: "はっぴゃく"}.get(hyaku, _DIGIT_KANA[hyaku] + "ひゃく"))
+    if juu:
+        parts.append(("" if juu == 1 else _DIGIT_KANA[juu]) + "じゅう")
+    if ichi:
+        parts.append(_DIGIT_KANA[ichi])
+    return "".join(parts)
+
+
+_KANJI_DIGITS = {"〇": 0, "零": 0, "一": 1, "二": 2, "三": 3, "四": 4,
+                 "五": 5, "六": 6, "七": 7, "八": 8, "九": 9}
+_KANJI_UNITS = {"十": 10, "百": 100, "千": 1000}
+_KANJI_MYRIADS = {"万": 10**4, "億": 10**8, "兆": 10**12}
+_NUM_KANJI = set(_KANJI_DIGITS) | set(_KANJI_UNITS) | set(_KANJI_MYRIADS)
+
+
+def _parse_kanji_number(s: str, i: int) -> Tuple[int, int]:
+    """Parse a kanji numeral at s[i:] → (value, chars consumed)."""
+    total = 0
+    section = 0  # value below the current myriad
+    digit = 0
+    j = i
+    while j < len(s):
+        c = s[j]
+        if c in _KANJI_DIGITS:
+            digit = digit * 10 + _KANJI_DIGITS[c]
+        elif c in _KANJI_UNITS:
+            section += (digit or 1) * _KANJI_UNITS[c]
+            digit = 0
+        elif c in _KANJI_MYRIADS:
+            total += (section + (digit or 1 if section == 0 else digit)) * \
+                _KANJI_MYRIADS[c]
+            section = 0
+            digit = 0
+        else:
+            break
+        j += 1
+    return total + section + digit, j - i
+
+
+# counter words and the euphonic fusion of number + counter
+_COUNTERS = {
+    "円": "えん", "年": "ねん", "人": "にん", "時": "じ", "分": "ふん",
+    "本": "ほん", "回": "かい", "個": "こ", "歳": "さい", "才": "さい",
+    "匹": "ひき", "台": "だい", "枚": "まい", "冊": "さつ", "度": "ど",
+    "番": "ばん", "階": "かい", "名": "めい", "点": "てん", "秒": "びょう",
+    "杯": "はい", "軒": "けん", "頭": "とう", "羽": "わ", "足": "そく",
+    "月": "がつ", "日": "にち",
+}
+# irregular (number, counter) readings
+_COUNTER_IRREGULAR = {
+    (1, "人"): "ひとり", (2, "人"): "ふたり", (4, "人"): "よにん",
+    (4, "時"): "よじ", (7, "時"): "しちじ", (9, "時"): "くじ",
+    (4, "年"): "よねん", (4, "円"): "よえん", (20, "歳"): "はたち",
+    (1, "分"): "いっぷん", (3, "分"): "さんぷん", (4, "分"): "よんぷん",
+    (6, "分"): "ろっぷん", (8, "分"): "はっぷん", (10, "分"): "じゅっぷん",
+    (3, "本"): "さんぼん", (3, "杯"): "さんばい", (3, "匹"): "さんびき",
+    (6, "匹"): "ろっぴき", (8, "匹"): "はっぴき", (10, "匹"): "じゅっぴき",
+    (4, "月"): "しがつ", (7, "月"): "しちがつ", (9, "月"): "くがつ",
+    (1, "日"): "ついたち", (2, "日"): "ふつか", (3, "日"): "みっか",
+    (4, "日"): "よっか", (5, "日"): "いつか", (6, "日"): "むいか",
+    (7, "日"): "なのか", (8, "日"): "ようか", (9, "日"): "ここのか",
+    (10, "日"): "とおか", (14, "日"): "じゅうよっか", (20, "日"): "はつか",
+    (24, "日"): "にじゅうよっか",
+}
+# number-final kana → geminated form before voiceless-initial counters
+_GEMINATE = {"いち": "いっ", "はち": "はっ", "じゅう": "じゅっ",
+             "ひゃく": "ひゃっ", "ろく": "ろっ"}
+_H_TO_P = {"は": "ぱ", "ひ": "ぴ", "ふ": "ぷ", "へ": "ぺ", "ほ": "ぽ"}
+_H_TO_B = {"は": "ば", "ひ": "び", "ふ": "ぶ", "へ": "べ", "ほ": "ぼ"}
+
+
+def _number_with_counter(value: int, counter: str) -> str:
+    """Standard counter euphony: 一回→いっかい, 一本→いっぽん,
+    三本→さんぼん, 六回→ろっかい, 八冊→はっさつ, 十分→じゅっぷん…"""
+    irr = _COUNTER_IRREGULAR.get((value, counter))
+    if irr is not None:
+        return irr
+    num = number_to_kana(str(value))
+    cread = _COUNTERS[counter]
+    first = cread[0]
+    row = ("k" if first in "かきくけこ" else
+           "s" if first in "さしすせそ" else
+           "t" if first in "たちつてと" else
+           "h" if first in "はひふへほ" else "")
+    gem_ok = {"k": ("いち", "はち", "じゅう", "ろく", "ひゃく"),
+              "s": ("いち", "はち", "じゅう"),
+              "t": ("いち", "はち", "じゅう"),
+              "h": ("いち", "はち", "じゅう", "ろく", "ひゃく")}.get(row, ())
+    for tail in gem_ok:
+        if num.endswith(tail):
+            num = num[: -len(tail)] + _GEMINATE[tail]
+            if row == "h":
+                cread = _H_TO_P[first] + cread[1:]
+            break
+    else:
+        if row == "h" and num.endswith("さん"):
+            cread = _H_TO_B[first] + cread[1:]
+    return num + cread
+
+
+def number_to_kana(s: str) -> str:
+    """Digit string → kana reading (cardinal; digit-by-digit for leading
+    zeros or >16 digits; 。/． decimals read as 点)."""
+    if "." in s:
+        a, b = s.split(".", 1)
+        return number_to_kana(a) + "てん" + "".join(
+            _DIGIT_KANA[int(c)] for c in b if c.isdigit())
+    if not s.isdigit():
+        return ""
+    if len(s) > 16 or (len(s) > 1 and s[0] == "0"):
+        return "".join(_DIGIT_KANA[int(c)] for c in s)
+    n = int(s)
+    if n == 0:
+        return "ゼロ"
+    units = ["", "まん", "おく", "ちょう"]
+    parts = []
+    for u in units:
+        n, grp = divmod(n, 10000) if u != "ちょう" else (0, n)
+        if grp:
+            g = _under_10000(grp)
+            if u == "ちょう":
+                g = {"いち": "いっ", "はち": "はっ",
+                     "じゅう": "じゅっ"}.get(g, g)
+            parts.append(g + u)
+        if n == 0:
+            break
+    return "".join(reversed(parts))
+
+
+# ---------------------------------------------------------------------------
+# Accent-phrase segmentation
+# ---------------------------------------------------------------------------
+
+_MAX_WORD_LEN = max(len(k) for k in WORDS)
+_MAX_KANA_LEN = max(len(k) for k in KANA_WORDS)
+
+# particle rewrites inside an attached hiragana tail
+_TAIL_DEWA_NIWA = re.compile(r"(?<=[でに])は(?=[^はばぱ]|$)")
+_TAIL_FINAL_WA = re.compile(r"は$")
+
+
+class _Phrase:
+    __slots__ = ("reading", "accent")
+
+    def __init__(self, reading: str, accent: Optional[int]):
+        self.reading = reading  # hiragana (may still contain ー)
+        self.accent = accent  # None → resolve by default rules
+
+
+def _match_word(s: str, i: int) -> Optional[Tuple[str, str, int]]:
+    """Longest lexicon match at position i → (surface, reading, accent)."""
+    for ln in range(min(_MAX_WORD_LEN, len(s) - i), 0, -1):
+        cand = s[i : i + ln]
+        if cand in WORDS:
+            # single-char hiragana/katakana "words" would swallow particles
+            if ln == 1 and not _KANJI_RE.match(cand):
+                continue
+            r, a = WORDS[cand]
+            return cand, r, a
+    return None
+
+
+def _loanword_accent(reading: str) -> int:
+    """-3 rule for unknown katakana words: nucleus on the mora containing
+    the antepenultimate, skipping moras that can't carry the accent."""
+    moras = _mora_split(reading)
+    n = len(moras)
+    if n <= 2:
+        return 1
+    pos = n - 2
+    while pos > 1 and moras[pos - 1] in ("ー", "っ", "ん"):
+        pos -= 1
+    return pos
+
+
+def _resolve_accent(phrase: _Phrase) -> int:
+    """Final accent type for the full phrase reading (content + tail)."""
+    moras = _mora_split(phrase.reading)
+    n = len(moras)
+    base = phrase.accent if phrase.accent is not None else 0
+
+    for suffix, offset in SUFFIX_ACCENTS:
+        if phrase.reading.endswith(suffix):
+            if suffix in DOMINANT_SUFFIXES or base == 0:
+                suffix_moras = len(_mora_split(suffix))
+                # nucleus sits `offset` moras from the end; only adopt it
+                # if the suffix actually is an auxiliary (tail region)
+                if n > suffix_moras or base == 0:
+                    return max(0, n - offset)
+            break
+    return min(base, n)
+
+
+def _apply_tail_particles(tail: str, content_end: bool) -> str:
+    """Particle readings inside an attached hiragana tail.
+
+    Mirrors the reference behavior (openjtalk reads particles correctly;
+    the span contract is the same as the old regex rules):
+    - tail-initial は right after a content word is the topic particle;
+    - では/には clusters;
+    - phrase-final は (こんにちは, …では。);
+    - tail-initial へ not followed by hiragana is the direction particle;
+    - を is always the object particle.
+    """
+    if content_end and tail.startswith("は"):
+        tail = "わ" + tail[1:]
+    if content_end and tail == "へ":
+        tail = "え"
+    tail = _TAIL_DEWA_NIWA.sub("わ", tail)
+    tail = _TAIL_FINAL_WA.sub("わ", tail)
+    return tail.replace("を", "お")
+
+
+def _split_tail(tail: str) -> Tuple[str, str]:
+    """Split an attached hiragana run where a standalone kana word starts
+    (…はとても… → 'は' + 'とても…'; …ください → '' + 'ください').
+    Returns (attached, rest)."""
+    for j in range(0, len(tail)):
+        min_len = 3 if j == 0 else 2
+        for ln in range(min(_MAX_KANA_LEN, len(tail) - j), min_len - 1, -1):
+            if tail[j : j + ln] in KANA_WORDS:
+                return tail[:j], tail[j:]
+    return tail, ""
+
+
+def _analyze(sentence: str) -> List[_Phrase]:
+    """Japanese sentence (no punctuation) → accent phrases."""
+    s = sentence
+    phrases: List[_Phrase] = []
+    prefix = ""  # pending honorific お/ご before a content word
+    i = 0
+    n = len(s)
+
+    def _push(reading: str, accent: Optional[int]):
+        nonlocal prefix
+        if prefix:
+            shift = len(_mora_split(prefix))
+            reading = prefix + reading
+            if accent:
+                accent += shift
+            prefix = ""
+        phrases.append(_Phrase(reading, accent))
+
+    while i < n:
+        ch = s[i]
+
+        # honorific prefix: お/ご immediately before kanji or katakana
+        if (
+            ch in ("お", "ご")
+            and not prefix
+            and i + 1 < n
+            and (_KANJI_RE.match(s[i + 1]) or _KATA_RE.match(s[i + 1]))
+            and _match_word(s, i) is None
+        ):
+            prefix = ch
+            i += 1
+            continue
+
+        m = _match_word(s, i)
+
+        # kanji numerals (possibly followed by a counter): 五千円 →
+        # ごせんえん — unless a longer lexicon word covers the span
+        # (一緒, 一番: fixed readings + accents win)
+        if ch in _NUM_KANJI:
+            val, ln = _parse_kanji_number(s, i)
+            nxt = s[i + ln] if i + ln < n else ""
+            lex_longer = m is not None and len(m[0]) > ln
+            if (ln >= 2 or nxt in _COUNTERS) and not lex_longer:
+                if nxt in _COUNTERS:
+                    _push(_number_with_counter(val, nxt), 0)
+                    i += ln + 1
+                else:
+                    _push(number_to_kana(str(val)), 0)
+                    i += ln
+                continue
+        if m:
+            surface, reading, accent = m
+            i += len(surface)
+            # consecutive lexicon kanji words merge into one phrase only
+            # via the kanji-run path below; a matched word starts its own
+            _push(reading, accent)
+        elif _KANJI_RE.match(ch):
+            # unknown kanji run: read per character (on'yomi fallback),
+            # allowing embedded lexicon words to contribute readings
+            reading_parts = []
+            first_accent: Optional[int] = 0
+            while i < n and _KANJI_RE.match(s[i]):
+                m2 = _match_word(s, i)
+                if m2 and all(_KANJI_RE.match(c) for c in m2[0]):
+                    reading_parts.append(m2[1])
+                    if not reading_parts[:-1]:
+                        first_accent = m2[2]
+                    i += len(m2[0])
+                    continue
+                if m2:
+                    break  # okurigana word (言って…): own phrase next loop
+                c = s[i]
+                if c == "々" and reading_parts:
+                    reading_parts.append(reading_parts[-1])
+                elif c in ONYOMI:
+                    reading_parts.append(ONYOMI[c])
+                else:
+                    logger.warning("no reading for kanji %r; skipped", c)
+                i += 1
+            reading = "".join(reading_parts)
+            accent = first_accent if len(reading_parts) == 1 else 0
+            if reading:
+                _push(reading, accent)
+        elif _KATA_RE.match(ch):
+            j = i
+            while j < n and _KATA_RE.match(s[j]):
+                j += 1
+            surface = s[i:j]
+            accent = LOANWORD_ACCENTS.get(surface)
+            if accent is None:
+                accent = _loanword_accent(surface)
+            _push(_kata_to_hira(surface), accent)
+            i = j
+        elif ch.isdigit():
+            j = i
+            while j < n and s[j].isdigit():
+                j += 1
+            has_frac = (
+                j < n and s[j] == "." and j + 1 < n and s[j + 1].isdigit()
+            )
+            if has_frac:
+                j += 1
+                while j < n and s[j].isdigit():
+                    j += 1
+            digits = s[i:j]
+            nxt = s[j] if j < n else ""
+            if not has_frac and nxt in _COUNTERS and digits.isdigit() \
+                    and len(digits) <= 16 and digits[0] != "0":
+                _push(_number_with_counter(int(digits), nxt), 0)
+                i = j + 1
+            else:
+                _push(number_to_kana(digits), 0)
+                i = j
+        elif _HIRA_RE.match(ch):
+            j = i
+            while j < n and _HIRA_RE.match(s[j]):
+                j += 1
+            # keep a trailing お/ご for the next word's honorific prefix
+            # (…でお願いします → tail 'で', prefix 'お' + 願い)
+            if (
+                j - i > 1
+                and s[j - 1] in ("お", "ご")
+                and j < n
+                and (_KANJI_RE.match(s[j]) or _KATA_RE.match(s[j]))
+            ):
+                j -= 1
+            run = s[i:j]
+            i = j
+            after_content = bool(phrases)
+            while run:
+                if after_content:
+                    attached, rest = _split_tail(run)
+                    attached = _apply_tail_particles(
+                        attached, content_end=True
+                    )
+                    if not rest:
+                        attached = _TAIL_FINAL_WA.sub("わ", attached)
+                    phrases[-1].reading += attached
+                    run = rest
+                    after_content = False
+                    continue
+                # standalone kana word at the head of the run
+                matched = None
+                for ln in range(min(_MAX_KANA_LEN, len(run)), 1, -1):
+                    if run[:ln] in KANA_WORDS:
+                        matched = run[:ln]
+                        break
+                if matched:
+                    word = matched
+                    run = run[len(matched):]
+                    if not run:
+                        word = _TAIL_FINAL_WA.sub("わ", word)
+                    phrases.append(_Phrase(word, KANA_WORDS[matched]))
+                    after_content = True
+                else:
+                    head, rest = _split_tail(run)
+                    head = _apply_tail_particles(head, content_end=False)
+                    if not rest:
+                        head = _TAIL_FINAL_WA.sub("わ", head)
+                    phrases.append(_Phrase(head, 0))
+                    run = rest
+                    after_content = False
+        else:
+            i += 1  # latin or other: openjtalk would spell it; skip
+    if prefix:
+        phrases.append(_Phrase(prefix, 0))
+    return [p for p in phrases if p.reading]
+
+
+# ---------------------------------------------------------------------------
+# Mark emission (reference rules, japanese.py:97-110)
+# ---------------------------------------------------------------------------
+
+def _emit_phrase(phrase: _Phrase, is_last: bool) -> str:
+    moras = _mora_split(phrase.reading)
+    accent = _resolve_accent(phrase)
+    roms: List[str] = []
+    prev = ""
+    for mora in moras:
+        rom = _mora_romaji(mora, prev)
+        roms.append(rom)
+        if rom:
+            prev = rom
+    n = len(moras)
+
+    # devoicing: i/u with a voiceless consonant, followed by a voiceless
+    # consonant (or っ), not the accent nucleus, not after a devoiced mora;
+    # plus the utterance-final unaccented す (です/ます before pau)
+    devoiced_prev = False
+    for k, rom in enumerate(roms):
+        if not rom or rom[-1] not in "iu" or rom[:-1] not in _VOICELESS:
+            devoiced_prev = False
+            continue
+        mora_idx = k + 1
+        if mora_idx == accent or devoiced_prev:
+            devoiced_prev = False
+            continue
+        nxt = roms[k + 1] if k + 1 < len(roms) else None
+        voiceless_next = nxt is not None and (
+            nxt == "cl"
+            or nxt[:2] in _VOICELESS
+            or nxt[:1] in _VOICELESS
+        )
+        final_su = nxt is None and is_last and rom == "su"
+        if voiceless_next or final_su:
+            roms[k] = rom[:-1] + rom[-1].upper()
+            devoiced_prev = True
+        else:
+            devoiced_prev = False
+
+    out: List[str] = []
+    for m, rom in enumerate(roms, 1):
+        out.append(rom)
+        if m < n:
+            if accent == m:
+                out.append("↓")  # falling: a1==0 ∧ a2_next==a2+1
+            elif m == 1 and accent != 1:
+                out.append("↑")  # rising: a2==1 ∧ a2_next==2
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Public pipeline (same contract as the reference)
+# ---------------------------------------------------------------------------
+
 def japanese_to_romaji_with_accent(text: str) -> str:
-    """Japanese text → romaji phonemes, punctuation ascii-folded.
+    """Japanese text → romaji phonemes with ↑/↓ accent marks and spaces at
+    accent-phrase boundaries; punctuation ascii-folded.
 
     Same output contract as the reference function (ch→ʧ, sh→ʃ, cl→Q,
-    sentence chunks joined with spaces) minus pitch-accent marks.
+    sentence chunks joined with spaces; utils/g2p/japanese.py:74-113).
     """
     for sym, jp in _SYMBOLS_TO_JAPANESE:
         text = text.replace(sym, jp)
@@ -333,9 +658,12 @@ def japanese_to_romaji_with_accent(text: str) -> str:
         if re.match(_japanese_characters, sentence):
             if out != "":
                 out += " "
-            romaji = kana_to_romaji(
-                _particle_wa(_replace_kanji(_particle_wa_he_pre(sentence)))
-            )
+            phrases = _analyze(unicodedata.normalize("NFKC", sentence))
+            emitted = [
+                _emit_phrase(p, is_last=(k == len(phrases) - 1))
+                for k, p in enumerate(phrases)
+            ]
+            romaji = " ".join(e for e in emitted if e)
             romaji = (
                 romaji.replace("ch", "ʧ").replace("sh", "ʃ").replace("cl", "Q")
             )
@@ -347,26 +675,6 @@ def japanese_to_romaji_with_accent(text: str) -> str:
         "？", "?"
     )
     return out
-
-
-def _particle_wa(text: str) -> str:
-    """Safe subset of the は→わ topic-particle reading: sentence-final or
-    pre-punctuation は (greetings like こんにちは, …では。). Mid-sentence
-    topic particles need morphological analysis (openjtalk role)."""
-    return re.sub(r"は(?=[、。！？\s]|$)", "わ", text)
-
-
-def _particle_wa_he_pre(text: str) -> str:
-    """は/へ particle readings decidable BEFORE kanji replacement:
-    - は directly after a kanji is the topic particle (私は, 今日は) —
-      okurigana never starts with は in modern orthography;
-    - では/には are particle clusters (世界では, 日本には);
-    - へ after a kanji and not followed by hiragana is the direction
-      particle (東京へ行く)."""
-    text = re.sub(r"(?<=[\u4e00-\u9fff])は", "わ", text)
-    text = re.sub(r"(?<=[でに])は(?=[^はばぱ]|$)", "わ", text)
-    text = re.sub(r"(?<=[\u4e00-\u9fff])へ(?=[^ぁ-ん]|$)", "え", text)
-    return text
 
 
 # Sokuon/hatsuon rewrites (reference: utils/g2p/japanese.py:53-67)
