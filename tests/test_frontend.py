@@ -193,3 +193,61 @@ def test_japanese_topic_particles():
     )
     # sentence-final は (greeting) still → wa
     assert japanese_to_ipa2("こんにちは").endswith("wa")
+
+
+def test_english_oov_rate_below_2pct():
+    """VERDICT item 4: <2% of word tokens on a standard paragraph set may
+    fall through to letter-to-sound (reference uses full CMUdict via
+    eng_to_ipa, utils/g2p/english.py:176-181)."""
+    import re
+
+    from vallex_tpu.frontend.english import is_oov
+
+    paras = """
+    Just a few years ago, there were no legions of deep learning scientists
+    developing intelligent products and services at major companies and
+    startups. When we entered the field, machine learning did not command
+    headlines in daily newspapers. Our parents had no idea what machine
+    learning was, let alone why we might prefer it to a career in medicine.
+    The weather forecast for tomorrow promises sunshine with occasional
+    clouds in the afternoon. Temperatures will reach twenty five degrees
+    near the coast, while inland areas could experience thunderstorms by
+    evening. Residents are advised to carry umbrellas and avoid unnecessary
+    travel during the storm. She walked quietly through the ancient library,
+    running her fingers along the dusty shelves. Each book contained stories
+    of distant lands, forgotten kingdoms, and heroes whose names had faded
+    from memory. The librarian smiled warmly and recommended a collection of
+    poetry from the nineteenth century. Scientists recently discovered a
+    remarkable species of butterfly in the tropical rainforest. Its wings
+    display brilliant patterns of blue and gold that shimmer under sunlight.
+    Researchers believe this discovery could provide valuable insights into
+    evolution and the adaptation of insects to changing environments.
+    Economic growth slowed considerably during the third quarter, according
+    to government statistics released yesterday. Analysts attribute the
+    decline to reduced consumer spending and rising interest rates.
+    Nevertheless, employment figures remain stable, and experts predict a
+    gradual recovery beginning next spring. The committee announced an
+    ambitious proposal to renovate the historic downtown district. Local
+    businesses expressed cautious optimism about increased foot traffic and
+    tourism revenue. Construction is expected to begin in the autumn,
+    pending final approval from the city council and environmental agencies.
+    """.lower()
+    words = re.findall(r"[a-z']+", paras)
+    oov = [w for w in words if is_oov(w)]
+    rate = len(oov) / len(words)
+    assert rate < 0.02, f"OOV {100*rate:.2f}%: {sorted(set(oov))}"
+
+
+def test_english_morphology():
+    from vallex_tpu.frontend.english import word_to_ipa
+
+    assert word_to_ipa("making") == "ˈmeɪkɪŋ"      # e-restoration
+    assert word_to_ipa("studies") == "ˈstədiz"      # i→y + voiced plural
+    assert word_to_ipa("cats").endswith("s")        # voiceless plural
+    assert word_to_ipa("dogs").endswith("z")        # voiced plural
+    assert word_to_ipa("wishes").endswith("əz")     # sibilant plural
+    assert word_to_ipa("shifted").endswith("əd")    # t/d past
+    assert word_to_ipa("walked").endswith("t")      # voiceless past
+    assert word_to_ipa("carefully") == "ˈkɛrfəli"   # -lly collapse
+    assert word_to_ipa("unhappy") == "ənˈhæpi"      # prefix
+    assert word_to_ipa("sunlight") == "ˈsənˌlaɪt"   # compound

@@ -184,31 +184,111 @@ def _add_default_stress(ipa: str) -> str:
     return ipa
 
 
-def _handle_suffix(word: str):
-    """Try lexicon lookup with common inflectional suffixes stripped."""
-    if word.endswith("'s") and word[:-2] in LEXICON:
-        base = LEXICON[word[:-2]]
-        return base + ("əz" if base[-1] in "szʃʒʧʤ" else ("s" if base[-1] in "ptkfθ" else "z"))
-    if word.endswith("s") and word[:-1] in LEXICON:
-        base = LEXICON[word[:-1]]
-        return base + ("əz" if base[-1] in "szʃʒʧʤ" else ("s" if base[-1] in "ptkfθ" else "z"))
-    if word.endswith("ed") and word[:-2] in LEXICON:
-        base = LEXICON[word[:-2]]
-        return base + ("əd" if base[-1] in "td" else ("t" if base[-1] in "pkfθsʃʧ" else "d"))
-    if word.endswith("ing") and word[:-3] in LEXICON:
-        return LEXICON[word[:-3]] + "ɪŋ"
-    if word.endswith("ly") and word[:-2] in LEXICON:
-        return LEXICON[word[:-2]] + "li"
+def _plural(base: str) -> str:
+    return base + (
+        "əz" if base[-1] in "szʃʒʧʤ" else ("s" if base[-1] in "ptkfθ" else "z")
+    )
+
+
+def _past(base: str) -> str:
+    return base + (
+        "əd" if base[-1] in "td" else ("t" if base[-1] in "pkfθsʃʧ" else "d")
+    )
+
+
+def _stem_candidates(stem: str):
+    """Orthographic stems a suffix may have been attached to:
+    identity, e-restoration (mak→make), un-doubling (runn→run),
+    i→y restoration (studi→study, happi→happy)."""
+    yield stem
+    yield stem + "e"
+    if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in "aeiou":
+        yield stem[:-1]
+    if stem.endswith("i"):
+        yield stem[:-1] + "y"
+
+
+# suffix → function(base_ipa) -> ipa  (ordered longest-first)
+_SUFFIX_RULES = [
+    ("'s", _plural),
+    ("ments", lambda b: _plural(b + "mənt")),
+    ("ness", lambda b: b + "nəs"),
+    ("ment", lambda b: b + "mənt"),
+    ("less", lambda b: b + "ləs"),
+    ("ful", lambda b: b + "fəl"),
+    ("able", lambda b: b + "əbəl"),
+    ("ably", lambda b: b + "əbli"),
+    ("ings", lambda b: _plural(b + "ɪŋ")),
+    ("ing", lambda b: b + "ɪŋ"),
+    ("ers", lambda b: _plural(b + "ər")),
+    ("est", lambda b: b + "əst"),
+    ("er", lambda b: b + "ər"),
+    ("ed", _past),
+    ("ly", lambda b: (b[:-1] if b.endswith("l") else b) + "li"),
+    ("es", _plural),
+    ("s", _plural),
+    ("ish", lambda b: b + "ɪʃ"),
+    ("en", lambda b: b + "ən"),
+    ("y", lambda b: b + "i"),
+]
+
+# prefix → ipa prefix (attached to an independently-resolvable remainder)
+_PREFIX_RULES = [
+    ("counter", "ˌkaʊntər"), ("under", "ˌəndər"), ("inter", "ˌɪntər"),
+    ("over", "ˌoʊvər"), ("super", "ˌsupər"), ("multi", "ˌməlti"),
+    ("anti", "ˌænti"), ("semi", "ˌsɛmi"), ("trans", "trænz"),
+    ("micro", "ˌmaɪkroʊ"), ("ultra", "ˌəltrə"), ("non", "nɑn"),
+    ("out", "ˌaʊt"), ("mis", "mɪs"), ("pre", "pri"), ("sub", "səb"),
+    ("dis", "dɪs"), ("un", "ən"), ("re", "ri"), ("co", "koʊ"),
+    ("de", "di"),
+]
+
+
+def _lookup(word: str, depth: int = 0):
+    """Lexicon lookup with morphological decomposition. Returns IPA or
+    None (→ caller falls back to letter-to-sound)."""
+    if word in LEXICON:
+        return LEXICON[word]
+    if depth >= 3 or len(word) < 3:
+        return None
+
+    for suffix, attach in _SUFFIX_RULES:
+        if not word.endswith(suffix) or len(word) - len(suffix) < 2:
+            continue
+        for stem in _stem_candidates(word[: -len(suffix)]):
+            base = LEXICON.get(stem)
+            if base is None and depth == 0:
+                base = _lookup(stem, depth + 1)
+            if base is not None:
+                return attach(base)
+
+    for prefix, ipa in _PREFIX_RULES:
+        if word.startswith(prefix) and len(word) - len(prefix) >= 3:
+            rest = _lookup(word[len(prefix):], depth + 1)
+            if rest is not None:
+                return ipa + rest.replace("ˈ", "" if "ˈ" in ipa else "ˈ")
+
+    # closed compounds: both halves independently resolvable
+    if depth == 0 and len(word) >= 6:
+        for cut in range(len(word) - 2, 2, -1):
+            left, right = word[:cut], word[cut:]
+            if left in LEXICON and len(right) >= 3:
+                r = _lookup(right, depth + 1)
+                if r is not None:
+                    return LEXICON[left] + r.replace("ˈ", "ˌ")
     return None
+
+
+def is_oov(word: str) -> bool:
+    """True when the word falls through to rule-based letter-to-sound."""
+    return _lookup(word.lower()) is None
 
 
 def word_to_ipa(word: str) -> str:
     w = word.lower()
-    if w in LEXICON:
-        return LEXICON[w]
-    suffixed = _handle_suffix(w)
-    if suffixed is not None:
-        return suffixed
+    found = _lookup(w)
+    if found is not None:
+        return found
     ipa = letter_to_sound(w)
     return _add_default_stress(ipa)
 
