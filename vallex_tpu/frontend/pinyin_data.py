@@ -872,6 +872,42 @@ zhai2:宅择
 
 # Word-level overrides for frequent polyphones (checked before per-char).
 WORD_OVERRIDES: Dict[str, List[str]] = {
+    "挑战": ["tiao3", "zhan4"],
+    "挑衅": ["tiao3", "xin4"],
+    "调查": ["diao4", "cha2"],
+    "调整": ["tiao2", "zheng3"],
+    "调节": ["tiao2", "jie2"],
+    "空调": ["kong1", "tiao2"],
+    "强调": ["qiang2", "diao4"],
+    "音乐": ["yin1", "yue4"],
+    "乐器": ["yue4", "qi4"],
+    "快乐": ["kuai4", "le4"],
+    "乐观": ["le4", "guan1"],
+    "觉得": ["jue2", "de5"],
+    "睡觉": ["shui4", "jiao4"],
+    "还是": ["hai2", "shi4"],
+    "还有": ["hai2", "you3"],
+    "归还": ["gui1", "huan2"],
+    "便宜": ["pian2", "yi5"],
+    "方便": ["fang1", "bian4"],
+    "重要": ["zhong4", "yao4"],
+    "重复": ["chong2", "fu4"],
+    "重新": ["chong2", "xin1"],
+    "种植": ["zhong4", "zhi2"],
+    "得到": ["de2", "dao4"],
+    "觉悟": ["jue2", "wu4"],
+    "干活": ["gan4", "huo2"],
+    "干部": ["gan4", "bu4"],
+    "首都": ["shou3", "du1"],
+    "都市": ["du1", "shi4"],
+    "处理": ["chu3", "li3"],
+    "相处": ["xiang1", "chu3"],
+    "处于": ["chu3", "yu2"],
+    "长大": ["zhang3", "da4"],
+    "成长": ["cheng2", "zhang3"],
+    "长辈": ["zhang3", "bei4"],
+    "校长": ["xiao4", "zhang3"],
+    "增长": ["zeng1", "zhang3"],
     "不是": ["bu2", "shi4"],
     "一个": ["yi2", "ge4"],
     "一样": ["yi2", "yang4"],
@@ -1011,16 +1047,21 @@ PINYIN_TABLE: Dict[str, str] = {}
 
 
 def _build() -> None:
-    for line in _DATA.strip().splitlines():
-        line = line.strip()
-        if not line or ":" not in line:
-            continue
-        py, chars = line.split(":", 1)
-        py = py.strip()
-        if not py or not py[-1].isdigit():
-            continue
-        for ch in chars.strip():
-            PINYIN_TABLE.setdefault(ch, py)
+    from .pinyin_data2 import _DATA2
+
+    # base table first (its readings win for duplicated chars), then the
+    # GB-coverage extension
+    for data in (_DATA, _DATA2):
+        for line in data.strip().splitlines():
+            line = line.strip()
+            if not line or ":" not in line:
+                continue
+            py, chars = line.split(":", 1)
+            py = py.strip()
+            if not py or not py[-1].isdigit():
+                continue
+            for ch in chars.strip():
+                PINYIN_TABLE.setdefault(ch, py)
     for ch, py in _EXTRA_CHARS.items():
         PINYIN_TABLE.setdefault(ch, py)
 
