@@ -151,6 +151,12 @@ class EngineConfig:
     # fastest; dynamic per-row activation scales). Opt-in: A/B audio
     # fidelity with trained weights before enabling in production.
     quantize: str = "none"
+    # AR frames generated per fused-megakernel invocation. K > 1 runs K
+    # decode steps inside ONE pallas_call (ops/decode_block.py), amortizing
+    # the while_loop glue — EOS/logprob bookkeeping, y-buffer write, cache
+    # column writes, dispatch — by K×. Only the fused plain-sampling path
+    # uses it; other configs fall back to single-step.
+    decode_steps: int = 8
 
 
 DEFAULT_MODEL_CONFIG = ModelConfig()

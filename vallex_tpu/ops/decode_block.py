@@ -1,0 +1,645 @@
+"""Pallas block megakernel: K AR decode steps in ONE pallas_call.
+
+The single-step fused megakernel (ops/decode_step.py) left ~0.1 ms/step of
+XLA glue outside the kernel: the while_loop carry bookkeeping (EOS forcing,
+logprob accumulation), the y-buffer token write, the two cache-column
+dynamic_update_slices, and the per-iteration while_loop/dispatch overhead —
+~10 small fused kernels per generated frame. This kernel amortizes ALL of it
+by a factor of K:
+
+  grid = (K, num_layers, 2)   phase 0 = attention, phase 1 = FFN
+
+Each k iteration is one full decode step: embedding gather + PE row, all
+layers (two-phase weight streaming exactly as the single-step kernel), final
+norm, prediction head, sampling, and the reference's beam bookkeeping
+(EOS forcing / logprob masking / length-cap gating — models/vallex.py:572-577)
+as scalar SMEM state. The K new K/V columns of every layer live in a VMEM
+scratch block and are folded into each step's online softmax (the k-th step
+sees in-block columns j <= k); they are written back to the HBM caches as one
+[NL, K, N] output per call, so the XLA-side cache write happens once per K
+frames instead of once per frame.
+
+Numerics match the single-step fused path: same f32 accumulation, same
+per-step PRNG seeds (seed0 + k), same sampling; the only difference is the
+online-softmax fold order of the last <K positions (last-ulp f32).
+
+Masking contract (engine/ar.py layout): HBM cache row c is valid iff
+c < x_len (text) or s_text <= c < s_text + pos0 (audio generated in previous
+blocks); audio positions pos0..pos0+k-1 come from the in-block scratch.
+Constraints: s_text <= ABLK, s_text % 128 == 0, (C - K - s_text) % ABLK == 0
+(the caches carry K slack rows so the final block never writes out of
+bounds).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decode_step import ABLK
+
+ATTN, FFN = 0, 1
+
+
+def _kernel(
+    # scalar prefetch
+    x_len_ref,  # [1]
+    pos_ref,  # [1] audio position of the block's first step
+    tok_ref,  # [B] token to feed at step 0
+    seed_ref,  # [1] PRNG seed of step 0 (step k uses seed0 + k)
+    done_ref,  # [B] i32 beam-done flags entering the block
+    remaining_ref,  # [1] max_gen - step0: step k >= remaining is length-capped
+    # inputs
+    wqkv_ref,  # [1, D, 3D] block of [NL, D, 3D]
+    bqkv_ref,  # [1, 1, 3D]
+    wout_ref,  # [1, D, D]
+    bout_ref,  # [1, 1, D]
+    w1_ref,  # [1, D, F]
+    b1_ref,  # [1, 1, F]
+    w2_ref,  # [1, F, D]
+    b2_ref,  # [1, 1, D]
+    ln1s_ref,  # [1, 1, D]
+    ln1b_ref,  # [1, 1, D]
+    ln2s_ref,  # [1, 1, D]
+    ln2b_ref,  # [1, 1, D]
+    fns_ref,  # [1, D]
+    fnb_ref,  # [1, D]
+    wpred_ref,  # [D, VP]
+    sqkv_ref,  # [1, 1, 3D] int8 scales (quant mode; ones otherwise)
+    sout_ref,  # [1, 1, D]
+    s1_ref,  # [1, 1, F]
+    s2_ref,  # [1, 1, D]
+    spred_ref,  # [1, VP]
+    emb_ref,  # [VB, D]
+    alpha_temp_ref,  # [1, 2] SMEM: (pe alpha, temperature)
+    logp0_ref,  # [1, B] SMEM f32: logprob of tok0
+    sumlp0_ref,  # [1, B] SMEM f32: accumulated logprobs entering the block
+    cache_k_hbm,  # [NL, C, N] (C includes K slack rows)
+    cache_v_hbm,  # [NL, C, N]
+    # outputs
+    logits_ref,  # [B, VP] — last step's logits (debug/inspection)
+    ytok_ref,  # [K, B] SMEM (full array): the token FED at step k
+    tok_out_ref,  # [B, 1] SMEM — token to feed to the next block
+    logp_out_ref,  # [B, 1] SMEM f32
+    done_out_ref,  # [B, 1] SMEM i32 — done flags after the block
+    sum_out_ref,  # [B, 1] SMEM f32 — accumulated logprobs after the block
+    newk_ref,  # [NL, K, N] HBM — written by DMA at the final grid step
+    newv_ref,  # [NL, K, N] HBM
+    # scratch
+    h_acc,  # [B, D] f32
+    kbuf,  # [2, ABLK, N]
+    vbuf,  # [2, ABLK, N]
+    sems,  # DMA sems [2, 2]
+    kblk,  # [NL, K, N] cache-dtype — this block's K columns per layer
+    vblk,  # [NL, K, N] cache-dtype (same rounding as the HBM cache, so
+    #        the fold matches what the single-step path reads back)
+    out_sems,  # DMA sems [2] for the final write-back
+    cur_tok,  # SMEM [B] i32 — next token to feed
+    cur_logp,  # SMEM [B] f32
+    done_s,  # SMEM [B] i32
+    sum_s,  # SMEM [B] f32
+    *,
+    s_text: int,
+    num_heads: int,
+    vocab: int,
+    eos: int,
+    stochastic: bool,
+    quant: bool,
+    act_quant: bool,
+):
+    k_step = pl.program_id(0)
+    layer = pl.program_id(1)
+    phase = pl.program_id(2)
+    num_layers = pl.num_programs(1)
+    K = pl.num_programs(0)
+    B = h_acc.shape[0]
+    D = h_acc.shape[1]
+    C, N = cache_k_hbm.shape[1], cache_k_hbm.shape[2]
+    hd = D // num_heads
+    G = N // hd
+    x_len = x_len_ref[0]
+    pos0 = pos_ref[0]
+    pos = pos0 + k_step
+    scale = 1.0 / math.sqrt(hd)
+    eps = 1e-5
+
+    def ln(x, s, b):
+        m = jnp.mean(x, axis=-1, keepdims=True)
+        v = jnp.var(x, axis=-1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + eps) * s + b
+
+    def qmat(x, w_blk, srow):
+        ax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        sx = jnp.maximum(ax, 1e-6) * (1.0 / 127.0)
+        xq = jnp.clip(jnp.round(x / sx), -127.0, 127.0).astype(jnp.int8)
+        acc = jax.lax.dot(xq, w_blk, preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (sx * srow)
+
+    def mat(x, w_ref, s_ref):
+        if quant and act_quant:
+            return qmat(x, w_ref[0], s_ref[0, 0])
+        if quant:
+            return jax.lax.dot(
+                x.astype(jnp.bfloat16), w_ref[0].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * s_ref[0, 0]
+        return jax.lax.dot(
+            x.astype(w_ref.dtype), w_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+
+    # ---------------- phase 0: attention -----------------------------------
+    def _attention():
+        @pl.when(jnp.logical_and(k_step == 0, layer == 0))
+        def _():
+            for i in range(B):
+                cur_tok[i] = tok_ref[i]
+                cur_logp[i] = logp0_ref[0, i]
+                done_s[i] = done_ref[i]
+                sum_s[i] = sumlp0_ref[0, i]
+
+        @pl.when(layer == 0)
+        def _():
+            # --- feed bookkeeping (reference models/vallex.py:572-577) ---
+            # done beams keep emitting EOS; logprob accumulates only while
+            # alive; steps past the length cap are forced done.
+            capped = (k_step >= remaining_ref[0]).astype(jnp.int32)
+            fed_vals = []
+            for i in range(B):
+                d0 = jnp.bitwise_or(done_s[i], capped)
+                fed = jnp.where(d0 == 1, eos, cur_tok[i])
+                sum_s[i] = sum_s[i] + jnp.where(d0 == 1, 0.0, cur_logp[i])
+                done_s[i] = jnp.bitwise_or(
+                    d0, (fed == eos).astype(jnp.int32)
+                )
+                ytok_ref[k_step, i] = fed
+                fed_vals.append(fed)
+
+            # h0 = emb[fed] + alpha·PE[pos]
+            VB = emb_ref.shape[0]
+            vocab_ids = jax.lax.broadcasted_iota(jnp.int32, (B, VB), 1)
+            beam_ids = jax.lax.broadcasted_iota(jnp.int32, (B, VB), 0)
+            tok_col = jnp.zeros((B, VB), jnp.int32)
+            for i in range(B):
+                tok_col = jnp.where(beam_ids == i, fed_vals[i], tok_col)
+            onehot = (vocab_ids == tok_col).astype(emb_ref.dtype)
+            emb = jax.lax.dot(
+                onehot, emb_ref[...], preferred_element_type=jnp.float32
+            )
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+            freq = jnp.exp(
+                (lane // 2 * 2).astype(jnp.float32)
+                * (-math.log(10000.0) / D)
+            )
+            ang = pos.astype(jnp.float32) * freq
+            pe_row = jnp.where(lane % 2 == 0, jnp.sin(ang), jnp.cos(ang))
+            alpha = alpha_temp_ref[0, 0]
+            h_acc[...] = emb + alpha * pe_row
+
+        h = h_acc[...]
+        h1 = ln(
+            h,
+            ln1s_ref[0, 0].astype(jnp.float32),
+            ln1b_ref[0, 0].astype(jnp.float32),
+        )
+        qkv = mat(h1, wqkv_ref, sqkv_ref) + bqkv_ref[0, 0].astype(
+            jnp.float32
+        )
+        q = qkv[:, :D].reshape(1, N)
+        k_new = qkv[:, D : 2 * D].reshape(1, N)
+        v_new = qkv[:, 2 * D :].reshape(1, N)
+        # store this step's column into row k_step of the layer's scratch
+        # plane via a masked full-plane write (Mosaic cannot vector-store at
+        # a dynamic sublane index)
+        rowsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (K, N), 0) == k_step
+        )
+        kblk[layer] = jnp.where(
+            rowsel,
+            jnp.broadcast_to(k_new.astype(kblk.dtype), (K, N)),
+            kblk[layer],
+        )
+        vblk[layer] = jnp.where(
+            rowsel,
+            jnp.broadcast_to(v_new.astype(vblk.dtype), (K, N)),
+            vblk[layer],
+        )
+
+        lane_group = jax.lax.broadcasted_iota(jnp.int32, (N, G), 0) // hd
+        group_id = jax.lax.broadcasted_iota(jnp.int32, (N, G), 1)
+        sel = (lane_group == group_id).astype(jnp.float32)
+
+        n_audio = pos0 // ABLK + 1
+        total = 1 + n_audio  # ordinal 0 = text, 1.. = audio blocks
+
+        def text_dma(buf_slot):
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(0, s_text), :],
+                    kbuf.at[buf_slot, pl.ds(0, s_text), :],
+                    sems.at[buf_slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(0, s_text), :],
+                    vbuf.at[buf_slot, pl.ds(0, s_text), :],
+                    sems.at[buf_slot, 1],
+                ),
+            )
+
+        def audio_dma(i, buf_slot):
+            start = s_text + pl.multiple_of((i - 1) * ABLK, ABLK)
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(start, ABLK), :],
+                    kbuf.at[buf_slot], sems.at[buf_slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(start, ABLK), :],
+                    vbuf.at[buf_slot], sems.at[buf_slot, 1],
+                ),
+            )
+
+        def start_dma(i, buf_slot):
+            @pl.when(i == 0)
+            def _():
+                a, b = text_dma(buf_slot)
+                a.start()
+                b.start()
+
+            @pl.when(i != 0)
+            def _():
+                a, b = audio_dma(i, buf_slot)
+                a.start()
+                b.start()
+
+        def wait_dma(i, buf_slot):
+            @pl.when(i == 0)
+            def _():
+                a, b = text_dma(buf_slot)
+                a.wait()
+                b.wait()
+
+            @pl.when(i != 0)
+            def _():
+                a, b = audio_dma(i, buf_slot)
+                a.wait()
+                b.wait()
+
+        start_dma(0, 0)
+        qf = q[0]
+
+        def body(i, carry):
+            m_i, l_i, acc = carry
+            buf_slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < total)
+            def _():
+                start_dma(i + 1, jax.lax.rem(i + 1, 2))
+
+            wait_dma(i, buf_slot)
+            base = jnp.where(i == 0, 0, s_text + (i - 1) * ABLK)
+            rows = base + jax.lax.broadcasted_iota(jnp.int32, (ABLK, 1), 0)
+            is_text = i == 0
+            # audio rows generated by PREVIOUS blocks only (< s_text+pos0);
+            # this block's columns come from the VMEM scratch fold below
+            ok = jnp.logical_or(
+                jnp.logical_and(
+                    is_text, jnp.logical_and(rows < x_len, rows < s_text)
+                ),
+                jnp.logical_and(
+                    jnp.logical_not(is_text),
+                    jnp.logical_and(rows >= s_text, rows < s_text + pos0),
+                ),
+            )
+            kb = jnp.where(ok, kbuf[buf_slot].astype(jnp.float32), 0.0)
+            vb = jnp.where(ok, vbuf[buf_slot].astype(jnp.float32), 0.0)
+
+            s = jax.lax.dot(
+                kb * qf[None, :], sel, preferred_element_type=jnp.float32
+            ) * scale
+            s = jnp.where(ok, s, -1e30)
+
+            m_new = jnp.maximum(m_i, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp(m_i - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_i * alpha + jnp.sum(p, axis=0, keepdims=True)
+            p_lanes = jax.lax.dot(
+                p, sel.T, preferred_element_type=jnp.float32
+            )
+            alpha_lanes = jax.lax.dot(
+                alpha, sel.T, preferred_element_type=jnp.float32
+            )
+            acc_new = acc * alpha_lanes + jnp.sum(
+                p_lanes * vb, axis=0, keepdims=True
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((1, G), -1e30, jnp.float32)
+        l0 = jnp.zeros((1, G), jnp.float32)
+        a0 = jnp.zeros((1, N), jnp.float32)
+        m_i, l_i, acc = jax.lax.fori_loop(0, total, body, (m0, l0, a0))
+
+        # fold this block's PREVIOUS columns j < k_step (cache-dtype rounded,
+        # exactly what the single-step path would read back from HBM) ...
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+        okb = jrow < k_step
+        kbl = jnp.where(okb, kblk[layer].astype(jnp.float32), 0.0)
+        vbl = jnp.where(okb, vblk[layer].astype(jnp.float32), 0.0)
+        s_b = jax.lax.dot(
+            kbl * qf[None, :], sel, preferred_element_type=jnp.float32
+        ) * scale
+        s_b = jnp.where(okb, s_b, -1e30)
+        m_mid = jnp.maximum(m_i, jnp.max(s_b, axis=0, keepdims=True))
+        alpha = jnp.exp(m_i - m_mid)
+        p = jnp.exp(s_b - m_mid)
+        l_mid = l_i * alpha + jnp.sum(p, axis=0, keepdims=True)
+        p_lanes = jax.lax.dot(p, sel.T, preferred_element_type=jnp.float32)
+        alpha_lanes = jax.lax.dot(
+            alpha, sel.T, preferred_element_type=jnp.float32
+        )
+        acc = acc * alpha_lanes + jnp.sum(
+            p_lanes * vbl, axis=0, keepdims=True
+        )
+
+        # ... then this step's own k/v in unrounded f32 (as single-step does)
+        own_s = jax.lax.dot(
+            (qf * k_new[0])[None, :], sel,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m_new = jnp.maximum(m_mid, own_s)
+        alpha = jnp.exp(m_mid - m_new)
+        p_own = jnp.exp(own_s - m_new)
+        l_new = l_mid * alpha + p_own
+        alpha_lanes = jax.lax.dot(
+            alpha, sel.T, preferred_element_type=jnp.float32
+        )
+        p_own_lanes = jax.lax.dot(
+            p_own, sel.T, preferred_element_type=jnp.float32
+        )
+        acc = acc * alpha_lanes + p_own_lanes * v_new[0][None, :]
+        l_lanes = jax.lax.dot(
+            l_new, sel.T, preferred_element_type=jnp.float32
+        )
+        attn = (acc / l_lanes).reshape(B, D)
+
+        out_proj = mat(attn, wout_ref, sout_ref)
+        h_acc[...] = h + out_proj + bout_ref[0, 0].astype(jnp.float32)
+
+    # ---------------- phase 1: FFN (+ head + sampling on the last layer) ---
+    def _ffn():
+        h = h_acc[...]
+        h2 = ln(
+            h,
+            ln2s_ref[0, 0].astype(jnp.float32),
+            ln2b_ref[0, 0].astype(jnp.float32),
+        )
+        f = mat(h2, w1_ref, s1_ref) + b1_ref[0, 0].astype(jnp.float32)
+        f = jnp.maximum(f, 0.0)
+        down = mat(f, w2_ref, s2_ref)
+        h = h + down + b2_ref[0, 0].astype(jnp.float32)
+        h_acc[...] = h
+
+        @pl.when(layer == num_layers - 1)
+        def _():
+            hf = ln(
+                h,
+                fns_ref[0].astype(jnp.float32),
+                fnb_ref[0].astype(jnp.float32),
+            )
+            if quant:
+                logits = jax.lax.dot(
+                    hf.astype(jnp.bfloat16),
+                    wpred_ref[...].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ) * spred_ref[...]
+            else:
+                logits = jax.lax.dot(
+                    hf.astype(wpred_ref.dtype), wpred_ref[...],
+                    preferred_element_type=jnp.float32,
+                )
+            logits_ref[...] = logits.astype(logits_ref.dtype)
+
+            VP = logits.shape[1]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (B, VP), 1)
+            masked = jnp.where(lanes < vocab, logits, -1e30)
+            temp = jnp.maximum(alpha_temp_ref[0, 1], 1e-6)
+            scaled = masked / temp
+
+            if stochastic:
+                # signed int32 bits: mask to 24 low bits (see decode_step)
+                pltpu.prng_seed(seed_ref[0] + k_step)
+                bits = pltpu.prng_random_bits((B, VP))
+                u = (bits & 0xFFFFFF).astype(jnp.float32) * (
+                    1.0 / (1 << 24)
+                )
+                gumbel = -jnp.log(-jnp.log(u + 1e-10) + 1e-10)
+                score = scaled + gumbel
+            else:
+                score = masked
+            best = jnp.max(score, axis=1, keepdims=True)
+            tok = jnp.min(
+                jnp.where(score == best, lanes, VP), axis=1, keepdims=True
+            )
+            tok = jnp.minimum(tok, vocab - 1)
+            logp = scaled - jax.nn.logsumexp(scaled, axis=1, keepdims=True)
+            chosen = jnp.sum(
+                jnp.where(lanes == tok, logp, 0.0), axis=1, keepdims=True
+            )
+            for i in range(B):
+                cur_tok[i] = tok[i, 0].astype(jnp.int32)
+                cur_logp[i] = chosen[i, 0]
+                tok_out_ref[i, 0] = tok[i, 0].astype(jnp.int32)
+                logp_out_ref[i, 0] = chosen[i, 0]
+                done_out_ref[i, 0] = done_s[i]
+                sum_out_ref[i, 0] = sum_s[i]
+
+        @pl.when(
+            jnp.logical_and(k_step == K - 1, layer == num_layers - 1)
+        )
+        def _():
+            # write the block's K cache columns of every layer to the HBM
+            # outputs in one [K, N] plane DMA per (layer, k|v)
+            for li in range(kblk.shape[0]):
+                ck = pltpu.make_async_copy(
+                    kblk.at[li], newk_ref.at[li], out_sems.at[0]
+                )
+                cv = pltpu.make_async_copy(
+                    vblk.at[li], newv_ref.at[li], out_sems.at[1]
+                )
+                ck.start()
+                cv.start()
+                ck.wait()
+                cv.wait()
+
+    pl.when(phase == ATTN)(_attention)
+    pl.when(phase == FFN)(_ffn)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "steps", "s_text", "num_heads", "vocab", "eos", "stochastic",
+        "quant", "act_quant",
+    ),
+)
+def decode_block_fused(
+    tokens: jnp.ndarray,  # [B] token to feed at step 0
+    logprobs: jnp.ndarray,  # [B] f32 its logprob
+    done: jnp.ndarray,  # [B] bool beam-done flags
+    sum_logprobs: jnp.ndarray,  # [B] f32
+    layer_weights,  # pack_layer_weights dict
+    cache_k: jnp.ndarray,  # [NL, C, N] with K slack rows
+    cache_v: jnp.ndarray,
+    x_len: jnp.ndarray,
+    audio_pos: jnp.ndarray,  # [] position of step 0
+    seed: jnp.ndarray,  # [] i32 seed of step 0
+    remaining: jnp.ndarray,  # [] i32 steps left before the length cap
+    temperature: jnp.ndarray,
+    pe_alpha: jnp.ndarray,
+    *,
+    steps: int,
+    s_text: int,
+    num_heads: int,
+    vocab: int,
+    eos: int,
+    stochastic: bool,
+    quant: bool = False,
+    act_quant: bool = False,
+):
+    """K fused decode steps → (fed_tokens [K,B], next_tok [B], next_logp [B],
+    done' [B], sum_logprobs' [B], cache_k', cache_v')."""
+    B = tokens.shape[0]
+    lw = layer_weights
+    NL, C, N = cache_k.shape
+    D = lw["wqkv"].shape[1]
+    F = lw["w1"].shape[-1]
+    VP = lw["wpred"].shape[-1]
+    VB = lw["emb"].shape[0]
+    K = steps
+    assert s_text <= ABLK and (C - K - s_text) % ABLK == 0, (C, K, s_text)
+    assert s_text % 128 == 0
+
+    attn_idx = lambda k, l, p, *_: (l, 0, 0)  # noqa: E731
+    ffn_idx = lambda k, l, p, *_: (jnp.maximum(l - 1 + p, 0), 0, 0)  # noqa: E731
+    const2 = lambda k, l, p, *_: (0, 0)  # noqa: E731
+    grid = (K, NL, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D, 3 * D), attn_idx),
+            pl.BlockSpec((1, 1, 3 * D), attn_idx),
+            pl.BlockSpec((1, D, D), attn_idx),
+            pl.BlockSpec((1, 1, D), attn_idx),
+            pl.BlockSpec((1, D, F), ffn_idx),
+            pl.BlockSpec((1, 1, F), ffn_idx),
+            pl.BlockSpec((1, F, D), ffn_idx),
+            pl.BlockSpec((1, 1, D), ffn_idx),
+            pl.BlockSpec((1, 1, D), attn_idx),
+            pl.BlockSpec((1, 1, D), attn_idx),
+            pl.BlockSpec((1, 1, D), ffn_idx),
+            pl.BlockSpec((1, 1, D), ffn_idx),
+            pl.BlockSpec((1, D), const2),
+            pl.BlockSpec((1, D), const2),
+            pl.BlockSpec((D, VP), const2),
+            pl.BlockSpec((1, 1, 3 * D), attn_idx),
+            pl.BlockSpec((1, 1, D), attn_idx),
+            pl.BlockSpec((1, 1, F), ffn_idx),
+            pl.BlockSpec((1, 1, D), ffn_idx),
+            pl.BlockSpec((1, VP), const2),
+            pl.BlockSpec((VB, D), const2),
+            pl.BlockSpec((1, 2), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, VP), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.float32),
+            pltpu.VMEM((2, ABLK, N), cache_k.dtype),
+            pltpu.VMEM((2, ABLK, N), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NL, K, N), cache_k.dtype),
+            pltpu.VMEM((NL, K, N), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((B,), jnp.int32),
+            pltpu.SMEM((B,), jnp.float32),
+            pltpu.SMEM((B,), jnp.int32),
+            pltpu.SMEM((B,), jnp.float32),
+        ],
+    )
+
+    alpha_temp = jnp.stack(
+        [pe_alpha.astype(jnp.float32), temperature.astype(jnp.float32)]
+    )[None]
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel, s_text=s_text, num_heads=num_heads, vocab=vocab,
+            eos=eos, stochastic=stochastic, quant=quant,
+            act_quant=act_quant,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, VP), jnp.float32),
+            jax.ShapeDtypeStruct((K, B), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((NL, K, N), cache_k.dtype),
+            jax.ShapeDtypeStruct((NL, K, N), cache_v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+    )(
+        x_len.astype(jnp.int32)[None],
+        audio_pos.astype(jnp.int32)[None],
+        tokens.astype(jnp.int32),
+        seed.astype(jnp.int32)[None],
+        done.astype(jnp.int32),
+        remaining.astype(jnp.int32)[None],
+        lw["wqkv"], lw["bqkv"], lw["wout"], lw["bout"],
+        lw["w1"], lw["b1"], lw["w2"], lw["b2"],
+        lw["ln1s"], lw["ln1b"], lw["ln2s"], lw["ln2b"],
+        lw["fns"], lw["fnb"], lw["wpred"],
+        lw["sqkv"], lw["sout"], lw["s1"], lw["s2"], lw["spred"],
+        lw["emb"],
+        alpha_temp,
+        logprobs.astype(jnp.float32)[None],
+        sum_logprobs.astype(jnp.float32)[None],
+        cache_k, cache_v,
+    )
+    (_, ytok, tok_out, logp_out, done_out, sum_out, newk, newv) = outs
+    slot = s_text + audio_pos.astype(jnp.int32)
+    ck = jax.lax.dynamic_update_slice(
+        cache_k, newk.astype(cache_k.dtype), (0, slot, 0)
+    )
+    cv = jax.lax.dynamic_update_slice(
+        cache_v, newv.astype(cache_v.dtype), (0, slot, 0)
+    )
+    return (
+        ytok,
+        tok_out[:, 0],
+        logp_out[:, 0],
+        done_out[:, 0].astype(bool),
+        sum_out[:, 0],
+        ck,
+        cv,
+    )

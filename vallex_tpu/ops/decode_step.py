@@ -419,10 +419,15 @@ def _kernel(
                 scaled = masked / temp
 
                 if stochastic:
-                    # Gumbel-max categorical via the on-core PRNG
+                    # Gumbel-max categorical via the on-core PRNG.
+                    # prng_random_bits returns SIGNED int32 on TPU: mask to
+                    # the low 24 bits (an arithmetic >>8 of a negative value
+                    # would make u negative → log(neg) = NaN gumbel)
                     pltpu.prng_seed(seed_ref[0])
                     bits = pltpu.prng_random_bits((B, VP))
-                    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+                    u = (bits & 0xFFFFFF).astype(jnp.float32) * (
+                        1.0 / (1 << 24)
+                    )
                     gumbel = -jnp.log(-jnp.log(u + 1e-10) + 1e-10)
                     score = scaled + gumbel
                 else:
