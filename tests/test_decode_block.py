@@ -36,13 +36,18 @@ def _interpret(monkeypatch):
     )
     from vallex_tpu.ops import decode_block as DB
     from vallex_tpu.ops import decode_step as DS
+    from vallex_tpu.ops import decode_verify as DV
 
     importlib.reload(DS)
     importlib.reload(DB)
+    importlib.reload(DV)
     importlib.reload(AR)
 
 
-def _generate(params, steps, *, greedy, beams=1, seed=3, prompt=None):
+def _generate(
+    params, steps, *, greedy, beams=1, seed=3, prompt=None,
+    speculative="off",
+):
     rng = np.random.RandomState(5)
     S = 12
     text = rng.randint(5, 100, size=S).astype(np.int32)
@@ -50,7 +55,7 @@ def _generate(params, steps, *, greedy, beams=1, seed=3, prompt=None):
     e = EngineConfig(
         text_buckets=(128,), audio_buckets=(512,),
         compute_dtype="float32", decode_mode="megakernel",
-        decode_steps=steps, best_of=beams,
+        decode_steps=steps, best_of=beams, speculative=speculative,
     )
     eng = AR.AREngine(params, CFG, e)
     gen, buf = eng.generate(
@@ -78,6 +83,38 @@ def test_block_matches_single_step(params, monkeypatch, greedy):
         _reload()
 
 
+def test_speculative_matches_plain_greedy(params, monkeypatch):
+    """Greedy speculative decoding (int8 draft + bf16 verify) must emit
+    EXACTLY the tokens of the per-token greedy path — acceptance logic,
+    EOS forcing and cache rewind included."""
+    _interpret(monkeypatch)
+    try:
+        gen1, buf1 = _generate(params, 1, greedy=True, speculative="off")
+        gens, bufs = _generate(params, 4, greedy=True, speculative="auto")
+        assert gen1.shape == gens.shape, (gen1.shape, gens.shape)
+        np.testing.assert_array_equal(gen1, gens)
+    finally:
+        monkeypatch.undo()
+        _reload()
+
+
+def test_speculative_matches_plain_greedy_with_prompt(params, monkeypatch):
+    _interpret(monkeypatch)
+    try:
+        rng = np.random.RandomState(9)
+        prompt = rng.randint(0, 1024, size=17).astype(np.int32)
+        gen1, _ = _generate(
+            params, 1, greedy=True, prompt=prompt, speculative="off"
+        )
+        gens, _ = _generate(
+            params, 4, greedy=True, prompt=prompt, speculative="auto"
+        )
+        np.testing.assert_array_equal(gen1, gens)
+    finally:
+        monkeypatch.undo()
+        _reload()
+
+
 def test_block_matches_single_step_with_prompt_and_beams(params, monkeypatch):
     _interpret(monkeypatch)
     try:
@@ -94,7 +131,9 @@ def test_block_matches_single_step_with_prompt_and_beams(params, monkeypatch):
 def _reload():
     from vallex_tpu.ops import decode_block as DB
     from vallex_tpu.ops import decode_step as DS
+    from vallex_tpu.ops import decode_verify as DV
 
     importlib.reload(DS)
     importlib.reload(DB)
+    importlib.reload(DV)
     importlib.reload(AR)

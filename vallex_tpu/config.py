@@ -157,6 +157,13 @@ class EngineConfig:
     # column writes, dispatch — by K×. Only the fused plain-sampling path
     # uses it; other configs fall back to single-step.
     decode_steps: int = 8
+    # Greedy speculative decoding for the bf16 strict-parity serving mode
+    # ("auto"/"on"/"off"): draft decode_steps-1 frames with int8 weights,
+    # confirm with ONE bf16 pass over all positions (ops/decode_verify.py).
+    # Output is exactly per-token bf16 greedy; the 302 MB weight stream is
+    # paid once per ~K accepted frames instead of per frame. Applies when
+    # quantize=="none", top_k==1 and best_of==1; otherwise ignored.
+    speculative: str = "auto"
 
 
 DEFAULT_MODEL_CONFIG = ModelConfig()

@@ -68,8 +68,12 @@ def make_batched_synthesis(
             ),
             greedy=bool(ecfg.top_k == 1),
             quantize=getattr(ecfg, "quantize", "none"),
+            decode_steps=getattr(ecfg, "decode_steps", 1),
+            speculative=getattr(ecfg, "speculative", "auto")
+            in ("auto", "on", True),
         )
-        y = res.tokens[res.best_beam]
+        # the AR buffer may carry K slack rows past t_audio
+        y = res.tokens[res.best_beam][:t_audio]
         cb0 = jnp.concatenate([y[1:], jnp.full((1,), eos, y.dtype)])
         codes_in = prompt_codes.at[..., 0].set(cb0[None])
         t_len = prompt_len[0] + res.gen_len.astype(jnp.int32)
@@ -123,13 +127,16 @@ def batch_synthesize(
     t_audio = _bucket(
         min(max_tp + 1 + 16 * max_s + 1, ecfg.audio_buckets[-1]),
         ecfg.audio_buckets,
+        granularity=512,
     )
     p_audio = min(p_audio, t_audio)
 
     text = np.zeros((n_dev, s_text), np.int32)
     lang = np.zeros((n_dev, s_text), np.int32)
     x_lens = np.ones((n_dev,), np.int32)
-    pcb0 = np.zeros((n_dev, p_audio - 1), np.int32)
+    # EOS-pad the codebook-0 prompt slots (see AREngine.generate: unwritten
+    # pad slots must not count as generated frames)
+    pcb0 = np.full((n_dev, p_audio - 1), cfg.eos_id, np.int32)
     pcodes = np.zeros((n_dev, t_audio, cfg.num_quantizers), np.int32)
     plens = np.zeros((n_dev,), np.int32)
     seed_arr = np.arange(n_dev, dtype=np.int32)

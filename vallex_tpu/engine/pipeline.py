@@ -35,7 +35,9 @@ def _assemble_nar_input(
 ):
     """→ codes_in [1, t_audio, 8]: cb0 from the AR buffer (BOS stripped),
     cb1..7 from the prompt rows."""
-    y = ar_tokens[best]  # [t_audio]
+    # the AR buffer may carry K slack rows past t_audio (block/speculative
+    # decode write windows) — only the first t_audio positions matter here
+    y = ar_tokens[best][:t_audio]
     cb0 = jnp.concatenate([y[1:], jnp.full((1,), eos, y.dtype)])
     return prompt_codes_pad.at[..., 0].set(cb0[None])
 
@@ -115,7 +117,8 @@ class SynthesisPipeline:
         Tp = len(prompt)
         p_audio = _bucket(Tp + 1, e.audio_buckets)
         t_audio = _bucket(
-            min(Tp + 1 + 16 * S + 1, e.audio_buckets[-1]), e.audio_buckets
+            min(Tp + 1 + 16 * S + 1, e.audio_buckets[-1]), e.audio_buckets,
+            granularity=512,
         )
         p_audio = min(p_audio, t_audio)
 
@@ -123,7 +126,9 @@ class SynthesisPipeline:
         text_pad[0, :S] = text_ids
         lang_pad = np.zeros((1, s_text), np.int32)
         lang_pad[0, :S] = lang_ids
-        prompt_pad = np.zeros((1, p_audio - 1), np.int32)
+        # EOS-pad prompt slots (see AREngine.generate: unwritten pad slots
+        # must not count as generated frames)
+        prompt_pad = np.full((1, p_audio - 1), cfg.eos_id, np.int32)
         prompt_pad[0, :Tp] = prompt[:, 0]
         prompt_codes_pad = np.zeros((1, t_audio, cfg.num_quantizers), np.int32)
         prompt_codes_pad[0, :Tp] = prompt
@@ -148,6 +153,9 @@ class SynthesisPipeline:
                 ),
                 greedy=bool(top_k == 1),
                 quantize=getattr(e, "quantize", "none"),
+                decode_steps=getattr(e, "decode_steps", 1),
+                speculative=getattr(e, "speculative", "auto")
+                in ("auto", "on", True),
             )
 
         # --- NAR (device handoff) -------------------------------------------

@@ -215,18 +215,21 @@ def _kernel(
         v_new = qkv[:, 2 * D :].reshape(1, N)
         # store this step's column into row k_step of the layer's scratch
         # plane via a masked full-plane write (Mosaic cannot vector-store at
-        # a dynamic sublane index)
+        # a dynamic sublane index). Planes carry KP >= K rows (KP a multiple
+        # of 8) so the final write-back DMA is sublane-aligned; rows >= K
+        # are never marked valid.
+        KP = kblk.shape[1]
         rowsel = (
-            jax.lax.broadcasted_iota(jnp.int32, (K, N), 0) == k_step
+            jax.lax.broadcasted_iota(jnp.int32, (KP, N), 0) == k_step
         )
         kblk[layer] = jnp.where(
             rowsel,
-            jnp.broadcast_to(k_new.astype(kblk.dtype), (K, N)),
+            jnp.broadcast_to(k_new.astype(kblk.dtype), (KP, N)),
             kblk[layer],
         )
         vblk[layer] = jnp.where(
             rowsel,
-            jnp.broadcast_to(v_new.astype(vblk.dtype), (K, N)),
+            jnp.broadcast_to(v_new.astype(vblk.dtype), (KP, N)),
             vblk[layer],
         )
 
@@ -346,7 +349,7 @@ def _kernel(
 
         # fold this block's PREVIOUS columns j < k_step (cache-dtype rounded,
         # exactly what the single-step path would read back from HBM) ...
-        jrow = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (KP, 1), 0)
         okb = jrow < k_step
         kbl = jnp.where(okb, kblk[layer].astype(jnp.float32), 0.0)
         vbl = jnp.where(okb, vblk[layer].astype(jnp.float32), 0.0)
@@ -521,8 +524,14 @@ def decode_block_fused(
     VP = lw["wpred"].shape[-1]
     VB = lw["emb"].shape[0]
     K = steps
-    assert s_text <= ABLK and (C - K - s_text) % ABLK == 0, (C, K, s_text)
-    assert s_text % 128 == 0
+    KP = -(-K // 8) * 8  # sublane-aligned scratch/write-back plane rows
+    # The engine allocates the caches as [s_text + t_audio + slack] with
+    # t_audio % ABLK == 0; audio-block DMA bounds are guaranteed by the
+    # engine's pos0 <= t_audio - 1 invariant. slack >= KP covers the
+    # KP-row column write (rows K..KP-1 are stale garbage that the next
+    # block/verify pass overwrites before their positions become valid).
+    assert s_text <= ABLK and s_text % 128 == 0
+    assert C - s_text >= ABLK + KP, (C, K, s_text)
 
     attn_idx = lambda k, l, p, *_: (l, 0, 0)  # noqa: E731
     ffn_idx = lambda k, l, p, *_: (jnp.maximum(l - 1 + p, 0), 0, 0)  # noqa: E731
@@ -575,8 +584,8 @@ def decode_block_fused(
             pltpu.VMEM((2, ABLK, N), cache_k.dtype),
             pltpu.VMEM((2, ABLK, N), cache_v.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((NL, K, N), cache_k.dtype),
-            pltpu.VMEM((NL, K, N), cache_v.dtype),
+            pltpu.VMEM((NL, KP, N), cache_k.dtype),
+            pltpu.VMEM((NL, KP, N), cache_v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((B,), jnp.int32),
             pltpu.SMEM((B,), jnp.float32),
@@ -602,8 +611,8 @@ def decode_block_fused(
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((NL, K, N), cache_k.dtype),
-            jax.ShapeDtypeStruct((NL, K, N), cache_v.dtype),
+            jax.ShapeDtypeStruct((NL, KP, N), cache_k.dtype),
+            jax.ShapeDtypeStruct((NL, KP, N), cache_v.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
