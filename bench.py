@@ -42,28 +42,38 @@ def main():
         "cat watches from a sunny window sill nearby."
     )
 
-    def measure(quantize: str):
+    def measure(quantize: str, *, best_of=1, top_k=1, runs=(1, 2, 3)):
         ecfg = EngineConfig(
             text_buckets=(256,), audio_buckets=(1024,), quantize=quantize
         )
         api.preload_models("./checkpoints", random_weights=True, ecfg=ecfg)
         # warm-up: compile every program in the pipeline
-        api.generate_audio(text, prompt="paimon", top_k=1, seed=0)
+        api.generate_audio(
+            text, prompt="paimon", top_k=top_k, best_of=best_of, seed=0
+        )
         times, dur = [], None
-        for seed in (1, 2, 3):
+        for seed in runs:
             t0 = time.time()
             wave = api.generate_audio(
-                text, prompt="paimon", top_k=1, seed=seed
+                text, prompt="paimon", top_k=top_k, best_of=best_of,
+                seed=seed,
             )
             times.append(time.time() - t0)
             dur = len(wave) / SAMPLE_RATE
-        return min(times), dur
+        times.sort()
+        p50 = times[len(times) // 2]
+        return min(times), p50, dur
 
     # int8 (W8A16) is the serving configuration — per-output-channel weight
     # quantization halves the decode loop's HBM weight traffic; bf16 is the
-    # strict-parity mode, reported alongside.
-    wall, dur = measure("int8")
-    wall_bf16, _ = measure("none")
+    # strict-parity mode (greedy runs it as speculative decode: int8 draft
+    # + one bf16 verify pass, output exactly per-token bf16 greedy).
+    wall, p50, dur = measure("int8", runs=(1, 2, 3, 4, 5))
+    wall_bf16, _, _ = measure("none")
+    # reference-UI signature mode: best_of=5 beam decoding (launch-ui.py:295)
+    wall_b5, _, dur_b5 = measure("int8", best_of=5)
+    # sampled serving (reference default top_k=-100 => unfiltered categorical)
+    wall_sm, _, dur_sm = measure("int8", top_k=-100)
 
     rtf = wall / dur
     result = {
@@ -75,8 +85,11 @@ def main():
             "audio_seconds": round(dur, 2),
             "wall_seconds": round(wall, 3),
             "xrt": round(dur / wall, 1),
+            "p50_ms": round(p50 * 1000.0, 1),
             "bf16_rtf": round(wall_bf16 / dur, 4),
             "bf16_xrt": round(dur / wall_bf16, 1),
+            "best_of5_rtf": round(wall_b5 / dur_b5, 4),
+            "sampled_rtf": round(wall_sm / dur_sm, 4),
         },
     }
     print(json.dumps(result))
