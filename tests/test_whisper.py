@@ -1,0 +1,162 @@
+"""JAX Whisper port: HF-model parity through the converter, mel front-end
+parity, and greedy KV-cache self-consistency (all random weights — no
+Whisper checkpoint ships in this image; reference utils/prompt_making.py
+uses whisper medium for transcript-less make_prompt)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vallex_tpu.asr import whisper as W
+
+TINY = W.WhisperConfig(
+    d_model=64, num_heads=4, encoder_layers=2, decoder_layers=2,
+    vocab=640, eot=500, sot=501, translate=502, transcribe=503,
+    no_timestamps=504, lang_base=510,
+)
+
+
+def test_mel_matches_hf_feature_extractor():
+    """Whisper's log-mel front end (here: DFT matmuls) must match the
+    HF WhisperFeatureExtractor (numpy reference implementation)."""
+    from transformers import WhisperFeatureExtractor
+
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(16000 * 2) * 0.1).astype(np.float32)  # 2 s
+    fe = WhisperFeatureExtractor()
+    ref = fe(wav, sampling_rate=16000, return_tensors="np").input_features[0]
+    ours = np.asarray(W.log_mel_spectrogram(jnp.asarray(W.pad_or_trim(wav))))
+    assert ours.shape == ref.shape == (80, 3000)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperModel
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=TINY.vocab, num_mel_bins=80,
+        d_model=TINY.d_model,
+        encoder_layers=TINY.encoder_layers,
+        encoder_attention_heads=TINY.num_heads,
+        decoder_layers=TINY.decoder_layers,
+        decoder_attention_heads=TINY.num_heads,
+        encoder_ffn_dim=4 * TINY.d_model,
+        decoder_ffn_dim=4 * TINY.d_model,
+        max_source_positions=TINY.max_source_positions,
+        max_target_positions=TINY.max_target_positions,
+        pad_token_id=0, bos_token_id=0, eos_token_id=TINY.eot,
+        decoder_start_token_id=TINY.sot, suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    model = WhisperModel(hf_cfg)
+    model.eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = W.convert_hf_state_dict(sd, TINY)
+    return model, params
+
+
+def test_encoder_parity_vs_hf(hf_pair):
+    import torch
+
+    model, params = hf_pair
+    rng = np.random.RandomState(1)
+    mel = rng.randn(80, 3000).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = model.encoder(
+            torch.tensor(mel[None])
+        ).last_hidden_state[0].numpy()
+    ours = np.asarray(W.encode(params, TINY, jnp.asarray(mel)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_decoder_parity_vs_hf(hf_pair):
+    import torch
+
+    model, params = hf_pair
+    rng = np.random.RandomState(2)
+    mel = rng.randn(80, 3000).astype(np.float32) * 0.5
+    toks = rng.randint(0, 400, size=7)
+    with torch.no_grad():
+        out = model(
+            torch.tensor(mel[None]),
+            decoder_input_ids=torch.tensor(toks[None]),
+        )
+        # logits with the tied projection, as our decoder_forward returns
+        emb = model.decoder.embed_tokens.weight
+        ref = (out.last_hidden_state[0] @ emb.T).numpy()
+    enc = W.encode(params, TINY, jnp.asarray(mel))
+    ours = np.asarray(
+        W.decoder_forward(params, TINY, jnp.asarray(toks, jnp.int32), enc)
+    )
+    np.testing.assert_allclose(ours, ref, atol=3e-4)
+
+
+def test_greedy_decode_selfconsistent():
+    """The KV-cached greedy loop must reproduce teacher-forced argmax — a
+    full end-to-end transcript-less path with random weights."""
+    params = W.init_whisper(jax.random.PRNGKey(5), TINY)
+    rng = np.random.RandomState(3)
+    wav = (rng.randn(16000) * 0.1).astype(np.float32)
+    ids, lang = W.transcribe_ids(params, TINY, wav, max_len=12)
+    assert lang in W._LANG_ORDER
+    assert all(0 <= t < TINY.vocab for t in ids)
+
+    # teacher-forced check of every emitted token
+    mel = W.log_mel_spectrogram(jnp.asarray(W.pad_or_trim(wav)))
+    enc = W.encode(params, TINY, mel)
+    lang_id = W.lang_token(TINY, lang)
+    prefix = [TINY.sot, lang_id, TINY.transcribe, TINY.no_timestamps]
+    seq = prefix + list(ids)
+    logits = W.decoder_forward(
+        params, TINY, jnp.asarray(seq, jnp.int32), enc
+    )
+    ref_next = np.asarray(jnp.argmax(logits, axis=-1))
+    for j, tok in enumerate(ids):
+        assert ref_next[len(prefix) - 1 + j] == tok, (j, tok)
+
+
+def test_make_prompt_transcriptless_end_to_end(tmp_path, monkeypatch):
+    """Transcript-less make_prompt: wav → JAX Whisper (random weights) →
+    detok stub → G2P → EnCodec → .npz, end to end."""
+    from vallex_tpu import api
+    from vallex_tpu.config import EngineConfig, ModelConfig
+    from vallex_tpu.utils import whisper_transcribe as WT
+    from vallex_tpu.utils.audio import save_wav
+
+    api.preload_models(
+        str(tmp_path / "ck"), random_weights=True,
+        cfg=ModelConfig(d_model=64, num_heads=4, num_layers=2, ffn_dim=256),
+        ecfg=EngineConfig(
+            text_buckets=(64,), audio_buckets=(128, 256),
+            compute_dtype="float32",
+        ),
+    )
+
+    params = W.init_whisper(jax.random.PRNGKey(1), TINY)
+
+    class StubTokenizer:
+        def decode(self, ids, skip_special_tokens=True):
+            # random-weight ids aren't meaningful text; a fixed transcript
+            # keeps the downstream G2P deterministic while the whole JAX
+            # model (mel → encoder → detect_language → greedy) still runs
+            return "a short test clip"
+
+    monkeypatch.setattr(WT, "_cached", (params, TINY, StubTokenizer()))
+    # detected language comes from the random model: force en for lang2token
+    monkeypatch.setattr(
+        WT, "_WHISPER_LANGS", {k: "en" for k in W._LANG_ORDER}
+    )
+
+    wav = (0.1 * np.sin(np.arange(24000) * 0.05)).astype(np.float32)
+    p = str(tmp_path / "clip.wav")
+    save_wav(p, wav)
+    out = api.make_prompt("voiceless", p, transcript=None,
+                          out_dir=str(tmp_path))
+    data = np.load(out)
+    assert data["audio_tokens"].shape[2] == 8
+    assert data["text_tokens"].ndim == 2 and data["text_tokens"].size > 2

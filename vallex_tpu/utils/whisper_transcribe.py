@@ -1,10 +1,14 @@
 """Whisper transcription for transcript-less `make_prompt`.
 
-The reference runs openai-whisper medium (utils/prompt_making.py:87-109).
-Here we use HuggingFace transformers' Whisper when local weights exist
-(WHISPER_MODEL_DIR env or ./checkpoints/whisper-medium); this image has no
-network egress, so without local weights a clear error asks the caller to
-pass a transcript instead.
+The reference runs openai-whisper medium (utils/prompt_making.py:87-109):
+detect_language on the 30 s mel, then decode. Here the model runs as the
+TPU-native JAX port (asr/whisper.py — jitted encoder, KV-cached greedy
+decoder); HuggingFace is used only to read the checkpoint file and to
+detokenize ids → text. This image has no network egress, so without local
+weights (WHISPER_MODEL_DIR env or ./checkpoints/whisper-medium) a clear
+error asks the caller to pass a transcript instead; the architecture itself
+is verified against a reconstructed random-init torch Whisper in
+tests/test_whisper.py.
 """
 
 from __future__ import annotations
@@ -13,6 +17,8 @@ import os
 from typing import Tuple
 
 _WHISPER_LANGS = {"en": "en", "zh": "zh", "ja": "ja"}
+
+_cached = None  # (params, cfg, tokenizer)
 
 
 def _find_model_dir() -> str:
@@ -29,27 +35,61 @@ def _find_model_dir() -> str:
     )
 
 
+def _load_model():
+    global _cached
+    if _cached is not None:
+        return _cached
+    model_dir = _find_model_dir()
+    import json
+
+    import numpy as np
+
+    from ..asr import whisper as W
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hc = json.load(f)
+    cfg = W.WhisperConfig(
+        d_model=hc["d_model"],
+        num_heads=hc["encoder_attention_heads"],
+        encoder_layers=hc["encoder_layers"],
+        decoder_layers=hc["decoder_layers"],
+        vocab=hc["vocab_size"],
+        max_source_positions=hc["max_source_positions"],
+        max_target_positions=hc["max_target_positions"],
+    )
+    st_path = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        sd = load_file(st_path)
+    else:
+        import torch
+
+        sd = {
+            k: v.numpy()
+            for k, v in torch.load(
+                os.path.join(model_dir, "pytorch_model.bin"),
+                map_location="cpu", weights_only=True,
+            ).items()
+        }
+    params = W.convert_hf_state_dict(
+        {k: np.asarray(v) for k, v in sd.items()}, cfg
+    )
+    from transformers import WhisperTokenizer
+
+    tokenizer = WhisperTokenizer.from_pretrained(model_dir)
+    _cached = (params, cfg, tokenizer)
+    return _cached
+
+
 def transcribe(audio_path: str) -> Tuple[str, str]:
     """→ (transcript text, detected language code in {en, zh, ja})."""
-    model_dir = _find_model_dir()
-    import torch  # CPU-only in this image
-    from transformers import WhisperForConditionalGeneration, WhisperProcessor
+    params, cfg, tokenizer = _load_model()
 
+    from ..asr import whisper as W
     from .audio import load_wav
 
     wav, _ = load_wav(audio_path, target_sr=16000)
-    processor = WhisperProcessor.from_pretrained(model_dir)
-    model = WhisperForConditionalGeneration.from_pretrained(model_dir)
-    model.eval()
-
-    inputs = processor(wav, sampling_rate=16000, return_tensors="pt")
-    with torch.no_grad():
-        # language detection + decode (reference uses temperature=1.0,
-        # best_of=5; HF generate with sampling disabled is the stable analog)
-        ids = model.generate(inputs.input_features, max_new_tokens=200)
-    text = processor.batch_decode(ids, skip_special_tokens=True)[0].strip()
-
-    from ..frontend.langid import classify
-
-    lang = classify(text)
+    ids, lang = W.transcribe_ids(params, cfg, wav, max_len=224)
+    text = tokenizer.decode(ids, skip_special_tokens=True).strip()
     return text, _WHISPER_LANGS.get(lang, "en")
