@@ -1,9 +1,12 @@
-"""Real-TPU checks for the block decode kernel (not run under pytest —
-tests force CPU; this exercises the Mosaic-compiled kernels on the chip).
+"""Real-TPU checks for the decode kernels (not run under pytest — tests
+force CPU; this exercises the Mosaic-compiled kernels on the chip).
 
 1. Block (K-step) vs single-step fused megakernel: exact token parity,
    greedy AND stochastic, at the shipped model size.
-2. Per-step timing: single-step loop vs K-step block loop.
+2. Verify megakernel (speculative decode): teacher-forced logits vs the
+   single-step kernel on identical fed tokens — argmax must agree.
+3. Speculative engine path vs plain greedy: early token agreement.
+4. Per-step timing.
 
 Usage: python tools/tpu_checks.py
 """
@@ -86,6 +89,67 @@ def main():
             ok = ok and div >= 10
         else:
             ok = ok and same
+    # ---- verify kernel: teacher-forced logits vs single-step kernel ------
+    import jax.numpy as jnp
+
+    from vallex_tpu.models import layers as L
+    from vallex_tpu.ops import decode_step as DS
+    from vallex_tpu.ops import decode_verify as DV
+    from vallex_tpu.ops.decode_attention import pack_cache
+
+    key = jax.random.PRNGKey(0)
+    NL, B, H, D, F = 2, 1, 4, 256, 512
+    hd = D // H
+    s_text, K, C1 = 128, 8, 640
+    N = B * H * hd
+    dt = jnp.bfloat16
+    lys = [
+        L.init_encoder_layer(k, D, F, adaptive=False)
+        for k in jax.random.split(key, NL)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *lys)
+    fnorm = {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))}
+    wpred = jax.random.normal(jax.random.PRNGKey(9), (D, 1025)) * 0.05
+    emb = jax.random.normal(jax.random.PRNGKey(10), (1026, D))
+    lw = DS.pack_layer_weights(
+        stacked, dtype=dt, final_norm=fnorm, predict_w=wpred,
+        audio_embedding=emb,
+    )
+    c0 = jax.random.normal(jax.random.PRNGKey(2), (NL, B, H, C1, hd)).astype(dt)
+    v0 = jax.random.normal(jax.random.PRNGKey(3), (NL, B, H, C1, hd)).astype(dt)
+    ck1 = jnp.stack([pack_cache(c0[i]) for i in range(NL)])
+    cv1 = jnp.stack([pack_cache(v0[i]) for i in range(NL)])
+    ckB = jnp.zeros((NL, C1 + K, N), dt).at[:, :C1].set(ck1)
+    cvB = jnp.zeros((NL, C1 + K, N), dt).at[:, :C1].set(cv1)
+    x_len, pos0 = jnp.asarray(100), 3
+    fed = jnp.asarray([7, 500, 200, 999, 3, 42, 877, 101], jnp.int32)
+    cks, cvs = ck1, cv1
+    slog = []
+    for t in range(K):
+        logits, _, _, cks, cvs = DS._call_kernel(
+            lw, cks, cvs, jnp.zeros((B, D), dt),
+            fed[t][None], jnp.asarray(0, jnp.int32),
+            jnp.asarray(1, jnp.int32),
+            jnp.asarray([[1.0, 1.0]], jnp.float32),
+            x_len, jnp.asarray(pos0 + t),
+            s_text=s_text, num_heads=H, fused=True, vocab=1025,
+        )
+        slog.append(np.asarray(logits[0]))
+    vlog, _, _ = DV.decode_verify(
+        fed, lw, ckB, cvB, x_len, jnp.asarray(pos0),
+        jnp.asarray(1.0, jnp.float32), steps=K, s_text=s_text, num_heads=H,
+    )
+    vlog = np.asarray(vlog)
+    max_d, agree = 0.0, True
+    for t in range(K):
+        max_d = max(max_d, float(np.abs(vlog[t, :1025] - slog[t][:1025]).max()))
+        agree = agree and (
+            vlog[t, :1025].argmax() == slog[t][:1025].argmax()
+        )
+    print(f"verify kernel teacher-forced: max|dlogits|={max_d:.4f} "
+          f"argmax agree={agree}")
+    ok = ok and agree and max_d < 0.05
+
     print("TPU CHECKS", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
