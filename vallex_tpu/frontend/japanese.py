@@ -699,8 +699,11 @@ _ROMAJI_TO_IPA2 = [
 ]
 
 
-def japanese_to_ipa2(text: str) -> str:
-    text = japanese_to_romaji_with_accent(text).replace("...", "…")
+def post_romaji_to_ipa2(text: str) -> str:
+    """The deterministic tail of ``japanese_to_ipa2``: accented romaji →
+    IPA2 (sokuon/hatsuon assimilation + romaji→IPA table). Split out so
+    tests can pin it against the reference's regex tables
+    (utils/g2p/japanese.py:36-67,139-145)."""
     for regex, repl in _REAL_SOKUON:
         text = regex.sub(repl, text)
     for regex, repl in _REAL_HATSUON:
@@ -708,3 +711,9 @@ def japanese_to_ipa2(text: str) -> str:
     for pat, repl in _ROMAJI_TO_IPA2:
         text = text.replace(pat, repl)
     return text
+
+
+def japanese_to_ipa2(text: str) -> str:
+    return post_romaji_to_ipa2(
+        japanese_to_romaji_with_accent(text).replace("...", "…")
+    )

@@ -248,12 +248,12 @@ def chinese_to_bopomofo(text: str) -> str:
     return out
 
 
-def chinese_to_ipa(text: str) -> str:
-    text = number_to_chinese(text)
-    text = chinese_to_bopomofo(text)
-    text = latin_to_bopomofo(text)
+def post_bopomofo_to_ipa(text: str) -> str:
+    """The deterministic tail of ``chinese_to_ipa``: bopomofo (+ latin
+    letter-names already folded) → IPA with glide and syllabic-fricative
+    fixups (reference: mandarin.py:302-312). Split out so tests can pin it
+    against the reference's regex tables syllable-by-syllable."""
     text = bopomofo_to_ipa(text)
-    # glide + syllabic-fricative fixups (reference: mandarin.py:302-312)
     text = re.sub("i([aoe])", r"j\1", text)
     text = re.sub("u([aoəe])", r"w\1", text)
     text = re.sub(
@@ -261,3 +261,10 @@ def chinese_to_ipa(text: str) -> str:
     ).replace("ɻ", "ɹ`")
     text = re.sub(r"([s][⁼ʰ]?)([→↓↑ ]+|$)", r"\1ɹ\2", text)
     return text
+
+
+def chinese_to_ipa(text: str) -> str:
+    text = number_to_chinese(text)
+    text = chinese_to_bopomofo(text)
+    text = latin_to_bopomofo(text)
+    return post_bopomofo_to_ipa(text)
