@@ -128,6 +128,22 @@ def test_block_matches_single_step_with_prompt_and_beams(params, monkeypatch):
         _reload()
 
 
+def test_block_beams_long_prompt_shared_prefix(params, monkeypatch):
+    """Beams with a >=128-frame prompt drive the B>1 shared-prefix DMA
+    schedule (lane-sliced text + 128-row shared prompt sub-blocks + tail
+    sub-blocks) — must match the single-step path exactly."""
+    _interpret(monkeypatch)
+    try:
+        rng = np.random.RandomState(21)
+        prompt = rng.randint(0, 1024, size=150).astype(np.int32)
+        gen1, _ = _generate(params, 1, greedy=True, beams=3, prompt=prompt)
+        gen4, _ = _generate(params, 4, greedy=True, beams=3, prompt=prompt)
+        np.testing.assert_array_equal(gen1, gen4)
+    finally:
+        monkeypatch.undo()
+        _reload()
+
+
 def _reload():
     from vallex_tpu.ops import decode_block as DB
     from vallex_tpu.ops import decode_step as DS

@@ -68,7 +68,37 @@ def main():
                 f"({wall / max(len(gen2), 1) * 1000:.3f} ms/frame)"
             )
 
+    # ---- beams: block kernel (B>1 shared-prefix schedule) vs single-step --
+    beam_results = {}
+    for steps in (1, 8):
+        e = EngineConfig(
+            text_buckets=(128,), audio_buckets=(1024,),
+            decode_mode="megakernel", decode_steps=steps, quantize="int8",
+            best_of=5,
+        )
+        eng = AREngine(params, cfg, e)
+        gen, _ = eng.generate(
+            text, lang, prompt, top_k=-100, temperature=1.0, seed=42
+        )
+        beam_results[steps] = gen
+        t0 = time.time()
+        gen2, _ = eng.generate(
+            text, lang, prompt, top_k=-100, temperature=1.0, seed=43
+        )
+        wall = time.time() - t0
+        print(
+            f"steps={steps} beams=5 stochastic int8: gen_len={len(gen)} "
+            f"second-run wall={wall:.3f}s "
+            f"({wall / max(len(gen2), 1) * 1000:.3f} ms/frame)"
+        )
+
     ok = True
+    a, b = beam_results[1], beam_results[8]
+    same = len(a) == len(b) and (a == b).all()
+    print(f"parity beams=5 stochastic: K=1 len={len(a)} K=8 len={len(b)} "
+          f"exact={same}")
+    ok = ok and same
+
     for (greedy, quant), by_steps in results.items():
         a, b = by_steps[1], by_steps[8]
         same = len(a) == len(b) and (a == b).all()

@@ -54,6 +54,8 @@ def _kernel(
     seed_ref,  # [1] PRNG seed of step 0 (step k uses seed0 + k)
     done_ref,  # [B] i32 beam-done flags entering the block
     remaining_ref,  # [1] max_gen - step0: step k >= remaining is length-capped
+    plen_ref,  # [1] prompt_len: audio rows [0, prompt_len] are the shared
+    #            prefix (BOS+prompt, identical across beams; B>1 schedule)
     # inputs
     wqkv_ref,  # [1, D, 3D] block of [NL, D, 3D]
     bqkv_ref,  # [1, 1, 3D]
@@ -103,6 +105,9 @@ def _kernel(
     cur_logp,  # SMEM [B] f32
     done_s,  # SMEM [B] i32
     sum_s,  # SMEM [B] f32
+    ksh,  # [2, ABLK, D] cache-dtype — shared-prefix planes (B>1; dummy B=1)
+    vsh,
+    sems_sh,  # DMA sems [2, 2] for the shared-prefix copies
     *,
     s_text: int,
     num_heads: int,
@@ -121,7 +126,6 @@ def _kernel(
     D = h_acc.shape[1]
     C, N = cache_k_hbm.shape[1], cache_k_hbm.shape[2]
     hd = D // num_heads
-    G = N // hd
     x_len = x_len_ref[0]
     pos0 = pos_ref[0]
     pos = pos0 + k_step
@@ -210,7 +214,6 @@ def _kernel(
         qkv = mat(h1, wqkv_ref, sqkv_ref) + bqkv_ref[0, 0].astype(
             jnp.float32
         )
-        q = qkv[:, :D].reshape(1, N)
         k_new = qkv[:, D : 2 * D].reshape(1, N)
         v_new = qkv[:, 2 * D :].reshape(1, N)
         # store this step's column into row k_step of the layer's scratch
@@ -233,10 +236,140 @@ def _kernel(
             vblk[layer],
         )
 
-        lane_group = jax.lax.broadcasted_iota(jnp.int32, (N, G), 0) // hd
-        group_id = jax.lax.broadcasted_iota(jnp.int32, (N, G), 1)
+        # Per-beam head selector [D, H]. Scores/projections are computed
+        # per beam on static 128-aligned lane slices kb[:, b*D:(b+1)*D]:
+        # a single [N, G] selector matmul over the beam-packed lanes is
+        # block-diagonal, so it wastes (1 - 1/B^2) of its MXU FLOPs on
+        # structural zeros — at B=5 that's 25x the needed work.
+        Hh = num_heads
+        lane_group = jax.lax.broadcasted_iota(jnp.int32, (D, Hh), 0) // hd
+        group_id = jax.lax.broadcasted_iota(jnp.int32, (D, Hh), 1)
         sel = (lane_group == group_id).astype(jnp.float32)
 
+        def fold(kb, vb, ok, state, shared=False):
+            """Fold one sanitized key/value plane into the per-beam
+            online-softmax state tuple ((m, l, acc) * B). ok: [R, 1] bool.
+            shared=True: kb/vb are [R, D] prefix rows IDENTICAL across
+            beams (text / acoustic prompt) — every beam scores the same
+            plane; shared=False: kb/vb are beam-lane-packed [R, N]."""
+            out = []
+            for b in range(B):
+                m_b, l_b, acc_b = state[b]
+                if shared:
+                    kb_b, vb_b = kb, vb
+                else:
+                    kb_b = kb[:, b * D : (b + 1) * D]
+                    vb_b = vb[:, b * D : (b + 1) * D]
+                q_b = qkv[b : b + 1, :D]  # [1, D] f32
+                s = jax.lax.dot(
+                    kb_b * q_b, sel, preferred_element_type=jnp.float32
+                ) * scale  # [R, H]
+                s = jnp.where(ok, s, -1e30)
+                m_new = jnp.maximum(m_b, jnp.max(s, axis=0, keepdims=True))
+                alpha = jnp.exp(m_b - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = l_b * alpha + jnp.sum(p, axis=0, keepdims=True)
+                p_lanes = jax.lax.dot(
+                    p, sel.T, preferred_element_type=jnp.float32
+                )
+                alpha_lanes = jax.lax.dot(
+                    alpha, sel.T, preferred_element_type=jnp.float32
+                )
+                acc_new = acc_b * alpha_lanes + jnp.sum(
+                    p_lanes * vb_b, axis=0, keepdims=True
+                )
+                out.append((m_new, l_new, acc_new))
+            return tuple(out)
+
+        if B > 1:
+            # Wide-matmul fold for beam-lane-packed planes: one
+            # [R, N]x[N, G] score matmul + one [R, G]x[G, N] spread beat B
+            # narrow per-beam matmuls on the MXU (measured — the narrow
+            # ones run at 16/128 output-lane utilization), so full-lane
+            # blocks use the packed-selector formulation and only repack
+            # the m/l/acc state per beam.
+            G = N // hd
+            lgN = jax.lax.broadcasted_iota(jnp.int32, (N, G), 0) // hd
+            gidN = jax.lax.broadcasted_iota(jnp.int32, (N, G), 1)
+            selN = (lgN == gidN).astype(jnp.float32)
+            qf = qkv[:, :D].reshape(1, N)
+
+            def fold_wide(kb, vb, ok, state):
+                s_all = jax.lax.dot(
+                    kb * qf, selN, preferred_element_type=jnp.float32
+                ) * scale  # [R, G]
+                s_all = jnp.where(ok, s_all, -1e30)
+                s_max = jnp.max(s_all, axis=0, keepdims=True)  # [1, G]
+                m_olds = jnp.concatenate(
+                    [m_b for (m_b, _, _) in state], axis=1
+                )  # [1, G]
+                m_new = jnp.maximum(m_olds, s_max)
+                alpha = jnp.exp(m_olds - m_new)  # [1, G]
+                p = jnp.exp(s_all - m_new)  # [R, G]
+                l_sum = jnp.sum(p, axis=0, keepdims=True)
+                p_lanes = jax.lax.dot(
+                    p, selN.T, preferred_element_type=jnp.float32
+                )  # [R, N]
+                alpha_lanes = jax.lax.dot(
+                    alpha, selN.T, preferred_element_type=jnp.float32
+                )  # [1, N]
+                pv = jnp.sum(p_lanes * vb, axis=0, keepdims=True)  # [1, N]
+                out = []
+                for b in range(B):
+                    hsl = slice(b * num_heads, (b + 1) * num_heads)
+                    dsl = slice(b * D, (b + 1) * D)
+                    _, l_b, acc_b = state[b]
+                    out.append((
+                        m_new[:, hsl],
+                        l_b * alpha[:, hsl] + l_sum[:, hsl],
+                        acc_b * alpha_lanes[:, dsl] + pv[:, dsl],
+                    ))
+                return tuple(out)
+        else:
+            fold_wide = fold
+
+        state0 = tuple(
+            (
+                jnp.full((1, Hh), -1e30, jnp.float32),
+                jnp.zeros((1, Hh), jnp.float32),
+                jnp.zeros((1, D), jnp.float32),
+            )
+            for _ in range(B)
+        )
+
+        if B == 1:
+            state = _hbm_fold_single(fold, state0)
+        else:
+            state = _hbm_fold_beams(fold, fold_wide, state0)
+
+        # fold this block's PREVIOUS columns j < k_step (cache-dtype rounded,
+        # exactly what the single-step path would read back from HBM) ...
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (KP, 1), 0)
+        okb = jrow < k_step
+        kbl = jnp.where(okb, kblk[layer].astype(jnp.float32), 0.0)
+        vbl = jnp.where(okb, vblk[layer].astype(jnp.float32), 0.0)
+        state = fold_wide(kbl, vbl, okb, state)
+
+        # ... then this step's own k/v in unrounded f32 (as single-step does)
+        ok_own = jnp.ones((1, 1), bool)
+        state = fold_wide(k_new, v_new, ok_own, state)
+
+        attn = jnp.concatenate(
+            [
+                acc_b / jax.lax.dot(
+                    l_b, sel.T, preferred_element_type=jnp.float32
+                )
+                for (_, l_b, acc_b) in state
+            ],
+            axis=0,
+        )  # [B, D]
+
+        out_proj = mat(attn, wout_ref, sout_ref)
+        h_acc[...] = h + out_proj + bout_ref[0, 0].astype(jnp.float32)
+
+    def _hbm_fold_single(fold, state0):
+        """B=1 HBM cache fold: full-lane [ABLK, N] double-buffered blocks
+        (one static text block + pos0//ABLK+1 audio blocks)."""
         n_audio = pos0 // ABLK + 1
         total = 1 + n_audio  # ordinal 0 = text, 1.. = audio blocks
 
@@ -294,10 +427,8 @@ def _kernel(
                 b.wait()
 
         start_dma(0, 0)
-        qf = q[0]
 
-        def body(i, carry):
-            m_i, l_i, acc = carry
+        def body(i, state):
             buf_slot = jax.lax.rem(i, 2)
 
             @pl.when(i + 1 < total)
@@ -321,77 +452,199 @@ def _kernel(
             )
             kb = jnp.where(ok, kbuf[buf_slot].astype(jnp.float32), 0.0)
             vb = jnp.where(ok, vbuf[buf_slot].astype(jnp.float32), 0.0)
+            return fold(kb, vb, ok, state)
 
-            s = jax.lax.dot(
-                kb * qf[None, :], sel, preferred_element_type=jnp.float32
-            ) * scale
-            s = jnp.where(ok, s, -1e30)
+        return jax.lax.fori_loop(0, total, body, state0)
 
-            m_new = jnp.maximum(m_i, jnp.max(s, axis=0, keepdims=True))
-            alpha = jnp.exp(m_i - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = l_i * alpha + jnp.sum(p, axis=0, keepdims=True)
-            p_lanes = jax.lax.dot(
-                p, sel.T, preferred_element_type=jnp.float32
+    def _hbm_fold_beams(fold, fold_wide, state0):
+        """B>1 HBM cache fold with prefix deduplication. The text and
+        acoustic-prompt rows are IDENTICAL across beams (prefill broadcasts
+        one prefix; generated rows start at audio position prompt_len+1), so
+        reading their full beam-lane-packed planes would stream the same
+        bytes B times. Schedule:
+
+          vblock 0              text rows [0, s_text), beam-0 lanes only
+          vblocks 1..n_sh       128-row prompt sub-blocks, beam-0 lanes
+          then nfull            ABLK-row full-lane generated blocks
+          then ntail            128-row full-lane tail sub-blocks (the
+                                last <ABLK rows — avoids DMAing up to 511
+                                masked garbage rows every step)
+
+        One issue() dispatcher prefetches vblock i+1 (whatever its
+        category) while i is folded, so the double-buffer pipeline never
+        breaks across category boundaries."""
+        SBLK = 128
+        plen = plen_ref[0]
+        n_sh = (plen + 1) // SBLK  # audio rows [0, 128·n_sh) are shared
+        gen_lo = n_sh * SBLK  # first full-lane audio row
+        L = pos0 - gen_lo  # full-lane rows to read
+        nfull = L // ABLK
+        ntail = (L - nfull * ABLK + SBLK - 1) // SBLK
+        is0 = 1 + n_sh  # first full/tail vblock index
+        total = is0 + nfull + ntail
+
+        def text_pair(slot):
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(0, s_text), pl.ds(0, D)],
+                    ksh.at[slot, pl.ds(0, s_text), :], sems_sh.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(0, s_text), pl.ds(0, D)],
+                    vsh.at[slot, pl.ds(0, s_text), :], sems_sh.at[slot, 1],
+                ),
             )
-            alpha_lanes = jax.lax.dot(
-                alpha, sel.T, preferred_element_type=jnp.float32
+
+        def prompt_pair(j, slot):
+            start = s_text + pl.multiple_of(j * SBLK, SBLK)
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(start, SBLK), pl.ds(0, D)],
+                    ksh.at[slot, pl.ds(0, SBLK), :], sems_sh.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(start, SBLK), pl.ds(0, D)],
+                    vsh.at[slot, pl.ds(0, SBLK), :], sems_sh.at[slot, 1],
+                ),
             )
-            acc_new = acc * alpha_lanes + jnp.sum(
-                p_lanes * vb, axis=0, keepdims=True
+
+        def full_pair(g, slot):
+            start = s_text + pl.multiple_of(gen_lo + g * ABLK, SBLK)
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(start, ABLK), :],
+                    kbuf.at[slot], sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(start, ABLK), :],
+                    vbuf.at[slot], sems.at[slot, 1],
+                ),
             )
-            return m_new, l_new, acc_new
 
-        m0 = jnp.full((1, G), -1e30, jnp.float32)
-        l0 = jnp.zeros((1, G), jnp.float32)
-        a0 = jnp.zeros((1, N), jnp.float32)
-        m_i, l_i, acc = jax.lax.fori_loop(0, total, body, (m0, l0, a0))
+        def tail_pair(t, slot):
+            start = s_text + pl.multiple_of(
+                gen_lo + nfull * ABLK + t * SBLK, SBLK
+            )
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(start, SBLK), :],
+                    kbuf.at[slot, pl.ds(0, SBLK), :], sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(start, SBLK), :],
+                    vbuf.at[slot, pl.ds(0, SBLK), :], sems.at[slot, 1],
+                ),
+            )
 
-        # fold this block's PREVIOUS columns j < k_step (cache-dtype rounded,
-        # exactly what the single-step path would read back from HBM) ...
-        jrow = jax.lax.broadcasted_iota(jnp.int32, (KP, 1), 0)
-        okb = jrow < k_step
-        kbl = jnp.where(okb, kblk[layer].astype(jnp.float32), 0.0)
-        vbl = jnp.where(okb, vblk[layer].astype(jnp.float32), 0.0)
-        s_b = jax.lax.dot(
-            kbl * qf[None, :], sel, preferred_element_type=jnp.float32
-        ) * scale
-        s_b = jnp.where(okb, s_b, -1e30)
-        m_mid = jnp.maximum(m_i, jnp.max(s_b, axis=0, keepdims=True))
-        alpha = jnp.exp(m_i - m_mid)
-        p = jnp.exp(s_b - m_mid)
-        l_mid = l_i * alpha + jnp.sum(p, axis=0, keepdims=True)
-        p_lanes = jax.lax.dot(p, sel.T, preferred_element_type=jnp.float32)
-        alpha_lanes = jax.lax.dot(
-            alpha, sel.T, preferred_element_type=jnp.float32
-        )
-        acc = acc * alpha_lanes + jnp.sum(
-            p_lanes * vbl, axis=0, keepdims=True
-        )
+        def issue(i):
+            """Start vblock i's DMA pair, whatever its category. Shared
+            vblocks alternate ksh/vsh slots by i, full/tail vblocks
+            alternate kbuf/vbuf slots by (i - is0) — each buffer's
+            consecutive users always land on opposite slots."""
 
-        # ... then this step's own k/v in unrounded f32 (as single-step does)
-        own_s = jax.lax.dot(
-            (qf * k_new[0])[None, :], sel,
-            preferred_element_type=jnp.float32,
-        ) * scale
-        m_new = jnp.maximum(m_mid, own_s)
-        alpha = jnp.exp(m_mid - m_new)
-        p_own = jnp.exp(own_s - m_new)
-        l_new = l_mid * alpha + p_own
-        alpha_lanes = jax.lax.dot(
-            alpha, sel.T, preferred_element_type=jnp.float32
-        )
-        p_own_lanes = jax.lax.dot(
-            p_own, sel.T, preferred_element_type=jnp.float32
-        )
-        acc = acc * alpha_lanes + p_own_lanes * v_new[0][None, :]
-        l_lanes = jax.lax.dot(
-            l_new, sel.T, preferred_element_type=jnp.float32
-        )
-        attn = (acc / l_lanes).reshape(B, D)
+            @pl.when(i == 0)
+            def _():
+                a, b = text_pair(0)
+                a.start()
+                b.start()
 
-        out_proj = mat(attn, wout_ref, sout_ref)
-        h_acc[...] = h + out_proj + bout_ref[0, 0].astype(jnp.float32)
+            @pl.when(jnp.logical_and(i >= 1, i < is0))
+            def _():
+                a, b = prompt_pair(i - 1, jax.lax.rem(i, 2))
+                a.start()
+                b.start()
+
+            g = i - is0
+
+            @pl.when(jnp.logical_and(i >= is0, g < nfull))
+            def _():
+                a, b = full_pair(g, jax.lax.rem(g, 2))
+                a.start()
+                b.start()
+
+            @pl.when(jnp.logical_and(i >= is0, g >= nfull))
+            def _():
+                a, b = tail_pair(g - nfull, jax.lax.rem(g, 2))
+                a.start()
+                b.start()
+
+        issue(0)
+        # total >= 2 always: pos0 >= 1 so there is at least one
+        # prompt/full/tail vblock after the text block
+        issue(1)
+
+        # --- text block (always exactly one; static row count) -----------
+        a, b = text_pair(0)
+        a.wait()
+        b.wait()
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s_text, 1), 0)
+        ok = rows < x_len
+        kb = jnp.where(ok, ksh[0, :s_text].astype(jnp.float32), 0.0)
+        vb = jnp.where(ok, vsh[0, :s_text].astype(jnp.float32), 0.0)
+        state = fold(kb, vb, ok, state0, shared=True)
+
+        # --- shared prompt sub-blocks (rows all valid by construction) ----
+        ones_sh = jnp.ones((SBLK, 1), bool)
+
+        def body_p(j, state):
+            i = j + 1
+
+            @pl.when(i + 1 < total)
+            def _():
+                issue(i + 1)
+
+            a, b = prompt_pair(j, jax.lax.rem(i, 2))
+            a.wait()
+            b.wait()
+            slot = jax.lax.rem(i, 2)
+            kb = ksh[slot, :SBLK].astype(jnp.float32)
+            vb = vsh[slot, :SBLK].astype(jnp.float32)
+            return fold(kb, vb, ones_sh, state, shared=True)
+
+        state = jax.lax.fori_loop(0, n_sh, body_p, state)
+
+        # --- full-lane generated blocks (rows all valid) ------------------
+        ones_full = jnp.ones((ABLK, 1), bool)
+
+        def body_f(g, state):
+            i = is0 + g
+
+            @pl.when(i + 1 < total)
+            def _():
+                issue(i + 1)
+
+            slot = jax.lax.rem(g, 2)
+            a, b = full_pair(g, slot)
+            a.wait()
+            b.wait()
+            kb = kbuf[slot].astype(jnp.float32)
+            vb = vbuf[slot].astype(jnp.float32)
+            return fold_wide(kb, vb, ones_full, state)
+
+        state = jax.lax.fori_loop(0, nfull, body_f, state)
+
+        # --- full-lane tail sub-blocks (partially valid) ------------------
+        def body_t(t, state):
+            i = is0 + nfull + t
+
+            @pl.when(i + 1 < total)
+            def _():
+                issue(i + 1)
+
+            slot = jax.lax.rem(nfull + t, 2)
+            a, b = tail_pair(t, slot)
+            a.wait()
+            b.wait()
+            idx = (
+                gen_lo + nfull * ABLK + t * SBLK
+                + jax.lax.broadcasted_iota(jnp.int32, (SBLK, 1), 0)
+            )
+            ok = idx < pos0
+            kb = jnp.where(ok, kbuf[slot, :SBLK].astype(jnp.float32), 0.0)
+            vb = jnp.where(ok, vbuf[slot, :SBLK].astype(jnp.float32), 0.0)
+            return fold_wide(kb, vb, ok, state)
+
+        return jax.lax.fori_loop(0, ntail, body_t, state)
 
     # ---------------- phase 1: FFN (+ head + sampling on the last layer) ---
     def _ffn():
@@ -500,6 +753,9 @@ def decode_block_fused(
     cache_v: jnp.ndarray,
     x_len: jnp.ndarray,
     audio_pos: jnp.ndarray,  # [] position of step 0
+    prompt_len: jnp.ndarray,  # [] valid acoustic-prompt frames (audio rows
+    #   [0, prompt_len] = BOS+prompt are beam-identical; drives the B>1
+    #   shared-prefix DMA schedule. Ignored at B=1.)
     seed: jnp.ndarray,  # [] i32 seed of step 0
     remaining: jnp.ndarray,  # [] i32 steps left before the length cap
     temperature: jnp.ndarray,
@@ -539,7 +795,7 @@ def decode_block_fused(
     grid = (K, NL, 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, D, 3 * D), attn_idx),
@@ -591,6 +847,15 @@ def decode_block_fused(
             pltpu.SMEM((B,), jnp.float32),
             pltpu.SMEM((B,), jnp.int32),
             pltpu.SMEM((B,), jnp.float32),
+            # shared-prefix double buffers (real only under the B>1
+            # deduplicated schedule; token-sized placeholders at B=1)
+            pltpu.VMEM(
+                (2, ABLK, D) if B > 1 else (2, 8, 128), cache_k.dtype
+            ),
+            pltpu.VMEM(
+                (2, ABLK, D) if B > 1 else (2, 8, 128), cache_v.dtype
+            ),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
@@ -624,6 +889,7 @@ def decode_block_fused(
         seed.astype(jnp.int32)[None],
         done.astype(jnp.int32),
         remaining.astype(jnp.int32)[None],
+        prompt_len.astype(jnp.int32)[None],
         lw["wqkv"], lw["bqkv"], lw["wout"], lw["bout"],
         lw["w1"], lw["b1"], lw["w2"], lw["b2"],
         lw["ln1s"], lw["ln1b"], lw["ln2s"], lw["ln2b"],
