@@ -64,11 +64,38 @@ def main():
         p50 = times[len(times) // 2]
         return min(times), p50, dur
 
+    def measure_batch(R, runs=(1, 2, 3)):
+        """Multi-request batched serving (api.generate_audio_batch): R
+        independent texts share every decode step's weight stream on one
+        chip. Returns aggregate RTF = wall / total audio seconds."""
+        texts = [
+            text,
+            "A gentle rain fell over the quiet harbor as fishing boats "
+            "rocked slowly against the wooden pier in the early light.",
+            "Bright autumn leaves drifted across the empty playground "
+            "while children laughed beyond the old stone wall nearby.",
+            "The midnight train rolled through the sleeping valley "
+            "carrying letters and parcels to towns along the coast.",
+        ][:R]
+        prompts = ["paimon"] * R
+        api.generate_audio_batch(texts, prompts, top_k=1, seed=0)
+        best = None
+        for seed in runs:
+            t0 = time.time()
+            waves = api.generate_audio_batch(
+                texts, prompts, top_k=1, seed=seed
+            )
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        total = sum(len(w) for w in waves) / SAMPLE_RATE
+        return best / total
+
     # int8 (W8A16) is the serving configuration — per-output-channel weight
     # quantization halves the decode loop's HBM weight traffic; bf16 is the
     # strict-parity mode (greedy runs it as speculative decode: int8 draft
     # + one bf16 verify pass, output exactly per-token bf16 greedy).
     wall, p50, dur = measure("int8", runs=(1, 2, 3, 4, 5))
+    batch4_rtf = measure_batch(4)
     wall_bf16, _, _ = measure("none")
     # reference-UI signature mode: best_of=5 beam decoding (launch-ui.py:295)
     wall_b5, _, dur_b5 = measure("int8", best_of=5)
@@ -90,6 +117,8 @@ def main():
             "bf16_xrt": round(dur / wall_bf16, 1),
             "best_of5_rtf": round(wall_b5 / dur_b5, 4),
             "sampled_rtf": round(wall_sm / dur_sm, 4),
+            "batch4_agg_rtf": round(batch4_rtf, 4),
+            "batch4_xrt": round(1.0 / batch4_rtf, 1),
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,131 @@
+"""Single-chip multi-request batched AR decode (engine/ar.py::
+ar_generate_batch) vs per-request single runs.
+
+Requests pack along the lane axis and share one weight stream; each has
+its own text length, prompt length, PE phase, EOS bookkeeping and length
+cap. Greedy decode must produce EXACTLY the same tokens as running each
+request alone through the verified single-request engine.
+"""
+
+import importlib
+
+import numpy as np
+import pytest
+import jax
+
+from vallex_tpu.config import EngineConfig, ModelConfig
+from vallex_tpu.engine import ar as AR
+from vallex_tpu.models import vallex as V
+
+D, H, NL = 256, 4, 2
+CFG = ModelConfig(d_model=D, num_heads=H, num_layers=NL, ffn_dim=2 * D)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return V.init_vallex(jax.random.PRNGKey(11), CFG)
+
+
+def _interpret(monkeypatch):
+    import jax.experimental.pallas as pl_mod
+
+    orig = pl_mod.pallas_call
+    monkeypatch.setattr(
+        pl_mod, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    from vallex_tpu.ops import decode_block as DB
+    from vallex_tpu.ops import decode_step as DS
+    from vallex_tpu.ops import decode_verify as DV
+
+    importlib.reload(DS)
+    importlib.reload(DB)
+    importlib.reload(DV)
+    importlib.reload(AR)
+
+
+def _reload():
+    from vallex_tpu.ops import decode_block as DB
+    from vallex_tpu.ops import decode_step as DS
+    from vallex_tpu.ops import decode_verify as DV
+
+    importlib.reload(DS)
+    importlib.reload(DB)
+    importlib.reload(DV)
+    importlib.reload(AR)
+
+
+def _requests():
+    rng = np.random.RandomState(5)
+    reqs = []
+    for S, Tp in ((12, 17), (9, 150), (14, 0)):
+        text = rng.randint(5, 100, size=S).astype(np.int32)
+        lang = np.zeros(S, np.int32)
+        prompt = (
+            rng.randint(0, 1024, size=Tp).astype(np.int32) if Tp else None
+        )
+        reqs.append((text, lang, prompt))
+    return reqs
+
+
+def test_api_generate_audio_batch(monkeypatch):
+    """Public batched API end-to-end (AR batch → batched NAR → Vocos) vs
+    per-request generate_audio — waveforms must match."""
+    _interpret(monkeypatch)
+    try:
+        from vallex_tpu import api
+
+        e = EngineConfig(
+            text_buckets=(128,), audio_buckets=(512,),
+            compute_dtype="float32", decode_mode="megakernel",
+            decode_steps=4, speculative="off",
+        )
+        cfg = ModelConfig(
+            d_model=D, num_heads=H, num_layers=NL, ffn_dim=2 * D
+        )
+        api.preload_models(
+            "/tmp/nonexistent-ck", random_weights=True, cfg=cfg, ecfg=e
+        )
+        texts = ["Hi there.", "Go now."]
+        prompts = ["paimon", None]
+        waves = api.generate_audio_batch(
+            texts, prompts, top_k=1, seed=5
+        )
+        for text, prompt, wave_b in zip(texts, prompts, waves):
+            wave_s = api.generate_audio(
+                text, prompt, top_k=1, best_of=1, seed=5
+            )
+            assert wave_b.shape == wave_s.shape, (
+                wave_b.shape, wave_s.shape,
+            )
+            np.testing.assert_allclose(wave_b, wave_s, atol=1e-4)
+    finally:
+        api._bundle = None
+        monkeypatch.undo()
+        _reload()
+
+
+def test_batched_matches_single_requests(params, monkeypatch):
+    _interpret(monkeypatch)
+    try:
+        e = EngineConfig(
+            text_buckets=(128,), audio_buckets=(512,),
+            compute_dtype="float32", decode_mode="megakernel",
+            decode_steps=4, speculative="off",
+        )
+        eng = AR.AREngine(params, CFG, e)
+        reqs = _requests()
+        batched = eng.generate_batch(reqs, top_k=1, temperature=1.0, seed=3)
+        assert len(batched) == len(reqs)
+        for r, (text, lang, prompt) in enumerate(reqs):
+            single, _ = eng.generate(
+                text, lang, prompt, top_k=1, temperature=1.0, seed=3,
+                best_of=1,
+            )
+            np.testing.assert_array_equal(
+                batched[r], single,
+                err_msg=f"request {r} diverged from its single run",
+            )
+    finally:
+        monkeypatch.undo()
+        _reload()

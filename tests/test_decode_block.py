@@ -144,6 +144,94 @@ def test_block_beams_long_prompt_shared_prefix(params, monkeypatch):
         _reload()
 
 
+def test_beams_divergent_lanes_shared_prefix(params, monkeypatch):
+    """Kernel-level check with DIVERGENT beam lanes: greedy engine beams
+    are identical (same argmax per beam), so the engine tests can't see a
+    cross-lane indexing bug in the B>1 shared-prefix schedule. Here the
+    generated-region cache rows and fed tokens DIFFER per beam; the block
+    kernel must track per-step decode_step_fused on every lane."""
+    _interpret(monkeypatch)
+    try:
+        import jax.numpy as jnp
+
+        from vallex_tpu.models import layers as L
+        from vallex_tpu.ops import decode_block as DB
+        from vallex_tpu.ops import decode_step as DS
+        from vallex_tpu.ops.decode_attention import pack_cache
+
+        key = jax.random.PRNGKey(0)
+        NL_, B, H_, D_, F_ = 2, 3, 4, 256, 512
+        hd = D_ // H_
+        s_text, K = 128, 4
+        plen, pos0 = 150, 300  # n_sh = 1 shared prompt sub-block
+        t_audio = 512
+        C1 = s_text + t_audio
+        lys = [
+            L.init_encoder_layer(k, D_, F_, adaptive=False)
+            for k in jax.random.split(key, NL_)
+        ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *lys)
+        fnorm = {"scale": jnp.ones((D_,)), "bias": jnp.zeros((D_,))}
+        wpred = jax.random.normal(jax.random.PRNGKey(9), (D_, 1025)) * 0.05
+        emb = jax.random.normal(jax.random.PRNGKey(10), (1026, D_))
+        lw = DS.pack_layer_weights(
+            stacked, dtype=jnp.float32, final_norm=fnorm, predict_w=wpred,
+            audio_embedding=emb,
+        )
+        # cache: prefix rows (text + audio <= plen) IDENTICAL across
+        # beams (engine invariant); generated rows distinct per beam
+        ck4 = jax.random.normal(jax.random.PRNGKey(2), (NL_, B, H_, C1, hd))
+        cv4 = jax.random.normal(jax.random.PRNGKey(3), (NL_, B, H_, C1, hd))
+        pref = s_text + plen + 1
+        ck4 = ck4.at[:, :, :, :pref].set(ck4[:, :1, :, :pref])
+        cv4 = cv4.at[:, :, :, :pref].set(cv4[:, :1, :, :pref])
+        N = B * H_ * hd
+        ckB = jnp.zeros((NL_, C1 + 128, N), jnp.float32)
+        cvB = jnp.zeros((NL_, C1 + 128, N), jnp.float32)
+        ckB = ckB.at[:, :C1].set(
+            jnp.stack([pack_cache(ck4[i]) for i in range(NL_)])
+        )
+        cvB = cvB.at[:, :C1].set(
+            jnp.stack([pack_cache(cv4[i]) for i in range(NL_)])
+        )
+        x_len = jnp.asarray(100, jnp.int32)
+        tok0 = jnp.asarray([7, 500, 901], jnp.int32)  # divergent feeds
+
+        ytok, _, _, _, _, _, _ = DB.decode_block_fused(
+            tok0, jnp.zeros((B,), jnp.float32),
+            jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32),
+            lw, ckB, cvB, x_len, jnp.asarray(pos0),
+            jnp.asarray(plen, jnp.int32),
+            seed=jnp.asarray(1, jnp.int32),
+            remaining=jnp.asarray(2**30, jnp.int32),
+            temperature=jnp.asarray(1.0, jnp.float32),
+            pe_alpha=jnp.asarray(1.0, jnp.float32),
+            steps=K, s_text=s_text, num_heads=H_, vocab=1025, eos=1024,
+            stochastic=False,
+        )
+        # reference: per-step single-step fused kernel on the same state
+        cks = ckB[:, :C1]
+        cvs = cvB[:, :C1]
+        toks = tok0
+        fed_ref = []
+        for t in range(K):
+            fed_ref.append(np.asarray(toks))
+            logits, tok_out, _, cks, cvs = DS._call_kernel(
+                lw, cks, cvs, jnp.zeros((B, D_), jnp.float32),
+                toks, jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
+                jnp.asarray([[1.0, 1.0]], jnp.float32),
+                x_len, jnp.asarray(pos0 + t),
+                s_text=s_text, num_heads=H_, fused=True, vocab=1025,
+            )
+            toks = tok_out[:, 0]
+        np.testing.assert_array_equal(
+            np.asarray(ytok), np.stack(fed_ref),
+        )
+    finally:
+        monkeypatch.undo()
+        _reload()
+
+
 def _reload():
     from vallex_tpu.ops import decode_block as DB
     from vallex_tpu.ops import decode_step as DS

@@ -304,6 +304,50 @@ def generate_audio(
     return wave
 
 
+def generate_audio_batch(
+    texts: List[str],
+    prompts: Optional[List[Optional[str]]] = None,
+    language: str = "auto",
+    accent: str = "no-accent",
+    *,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    seed: int = 0,
+) -> List[np.ndarray]:
+    """Synthesize SEVERAL independent utterances in one batched pass on a
+    single chip (green-field beyond the reference): all requests share
+    every decode step's weight stream, so aggregate throughput scales with
+    the batch until cache DMA dominates (engine/ar.py::ar_generate_batch).
+    Requests may use different texts, languages and voice prompts; greedy
+    (top_k=1) or unfiltered sampling (top_k<=0) only.
+    → list of float waveforms @ 24 kHz, one per text."""
+    bundle = _require_bundle()
+    if prompts is None:
+        prompts = [None] * len(texts)
+    if len(prompts) != len(texts):
+        raise ValueError("prompts must match texts (or be None)")
+    requests = []
+    for text, prompt in zip(texts, prompts):
+        audio_prompt, text_prompt, lang_pr = _load_prompt(prompt)
+        text_ids, lang_ids = _prepare_text(
+            bundle, text, text_prompt, lang_pr, language, accent
+        )
+        requests.append((
+            text_ids, lang_ids,
+            audio_prompt if len(audio_prompt) else None,
+        ))
+    results = bundle.pipeline.synthesize_batch(
+        requests, temperature=temperature, top_k=top_k, seed=seed,
+        return_wave=bundle.vocos_params is not None,
+    )
+    waves = []
+    for codes, wave in results:
+        waves.append(
+            wave if wave is not None else codes_to_wave(bundle, codes)
+        )
+    return waves
+
+
 def generate_audio_from_long_text(
     text: str,
     prompt: Optional[str] = None,

@@ -60,9 +60,15 @@ def nar_generate(
         params, cfg, text_ids, lang_ids, "nar", pe, dtype, add_lang
     )
 
+    # x_len / t_len / prompt_len may be scalars (single request) or [R]
+    # vectors (batched synthesis — engine/ar.py::ar_generate_batch)
+    xl_v = jnp.reshape(jnp.atleast_1d(x_len), (-1, 1))
+    tl_v = jnp.reshape(jnp.atleast_1d(t_len), (-1, 1))
+    pl_v = jnp.reshape(jnp.atleast_1d(prompt_len), (-1, 1))
+
     rows = jnp.arange(t_audio)[None, :]  # audio position per slot
-    in_prompt = (rows < prompt_len)[..., None]  # [1, TA, 1]
-    in_suffix = jnp.logical_and(rows >= prompt_len, rows < t_len)[..., None]
+    in_prompt = (rows < pl_v)[..., None]  # [R, TA, 1]
+    in_suffix = jnp.logical_and(rows >= pl_v, rows < tl_v)[..., None]
 
     # running embedding: codebook-0 over everything…
     y_emb = jnp.take(emb_tables[0], codes_in[..., 0], axis=0).astype(dtype)
@@ -71,13 +77,13 @@ def nar_generate(
         ej = jnp.take(emb_tables[j], codes_in[..., j], axis=0).astype(dtype)
         y_emb = y_emb + jnp.where(in_prompt, ej, 0)
 
-    # key-padding mask: valid text cols + valid audio slots
-    cols = jnp.arange(s_text + t_audio)
+    # key-padding mask: valid text cols + valid audio slots (per request)
+    cols = jnp.arange(s_text + t_audio)[None, :]
     ok = jnp.where(
-        cols < s_text, cols < x_len, (cols - s_text) < t_len
-    )
+        cols < s_text, cols < xl_v, (cols - s_text) < tl_v
+    )  # [R, C]
     mask = jnp.where(ok, 0.0, V.NEG_INF).astype(jnp.float32)[
-        None, None, None, :
+        :, None, None, :
     ]
 
     nar_alpha = params["nar_audio_position"]["alpha"]

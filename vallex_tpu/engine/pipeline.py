@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig, ModelConfig
-from .ar import ARResult, _bucket, ar_generate
+from ..ops.decode_step import ABLK
+from .ar import ARResult, _bucket, ar_generate, ar_generate_batch
 from .nar import nar_generate
 
 Params = Dict[str, Any]
@@ -54,6 +55,44 @@ def _shift_out_prompt(
     shifted = jnp.roll(codes, -prompt_len, axis=1)
     rows = jnp.arange(shifted.shape[1])[None, :, None]
     return jnp.where(rows < gen_len, shifted, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("t_audio",))
+def _assemble_nar_input_batch(
+    y_gen: jnp.ndarray,  # [R, t_gen + K] generated cb0, aligned at col 0
+    prompt_codes_pad: jnp.ndarray,  # [R, t_audio, 8] prompt rows filled
+    prompt_lens: jnp.ndarray,  # [R]
+    *,
+    t_audio: int,
+):
+    """Per-request NAR input: audio position j carries the prompt's codes
+    for j < plen_r and the request's generated cb0 at j - plen_r after."""
+    R = y_gen.shape[0]
+    rows = jnp.arange(t_audio)[None, :]  # [1, TA]
+    gen_idx = jnp.clip(
+        rows - prompt_lens[:, None], 0, y_gen.shape[1] - 1
+    )
+    cb0_gen = jnp.take_along_axis(y_gen, gen_idx, axis=1)  # [R, TA]
+    in_prompt = rows < prompt_lens[:, None]
+    cb0 = jnp.where(
+        in_prompt, prompt_codes_pad[..., 0], cb0_gen
+    ).astype(jnp.int32)
+    return prompt_codes_pad.at[..., 0].set(cb0)
+
+
+@jax.jit
+def _shift_out_prompt_batch(
+    codes: jnp.ndarray,  # [R, TA, 8]
+    prompt_lens: jnp.ndarray,  # [R]
+    gen_lens: jnp.ndarray,  # [R]
+):
+    """Per-request prompt shift-out: row i ← row i + plen_r, rows beyond
+    each request's gen_len zeroed (see _shift_out_prompt)."""
+    TA = codes.shape[1]
+    rows = jnp.arange(TA)[None, :]
+    src = jnp.clip(rows + prompt_lens[:, None], 0, TA - 1)
+    shifted = jnp.take_along_axis(codes, src[..., None], axis=1)
+    return jnp.where(rows[..., None] < gen_lens[:, None, None], shifted, 0)
 
 
 class SynthesisPipeline:
@@ -197,3 +236,129 @@ class SynthesisPipeline:
             wave = np.asarray(wave_dev[0, : gen_len * HOP])
             return codes_np, wave
         return codes_np, None
+
+    def synthesize_batch(
+        self,
+        requests,  # list of (text_ids [S], lang_ids [S], prompt [Tp,8]|None)
+        *,
+        top_k: Optional[int] = None,
+        temperature: Optional[float] = None,
+        seed: int = 0,
+        return_wave: bool = True,
+    ):
+        """Batched multi-request synthesis on one chip: the AR decode packs
+        all requests along the lane axis (engine/ar.py::ar_generate_batch)
+        so the per-step weight stream is paid ONCE for the batch; NAR and
+        Vocos run batched; one host sync at the end.
+        → list of (codes [T_r, 8], wave_r or None)."""
+        e = self.ecfg
+        cfg = self.cfg
+        top_k = e.top_k if top_k is None else top_k
+        temperature = e.temperature if temperature is None else temperature
+        if not (top_k <= 0 or top_k == 1):
+            raise ValueError(
+                "batched synthesis supports greedy (top_k=1) or unfiltered "
+                "sampling (top_k<=0) only"
+            )
+        R = len(requests)
+        S_max = max(len(t) for t, _, _ in requests)
+        s_text = _bucket(S_max, e.text_buckets)
+        prompts = [
+            np.zeros((0, cfg.num_quantizers), np.int32)
+            if p is None else np.asarray(p, np.int32)
+            for _, _, p in requests
+        ]
+        Tp_max = max(len(p) for p in prompts)
+        p_audio = -(-(Tp_max + 1) // ABLK) * ABLK
+        t_gen = _bucket(
+            min(16 * S_max + 1, e.audio_buckets[-1]), e.audio_buckets,
+            granularity=512,
+        )
+        t_audio = _bucket(
+            min(Tp_max + 1 + 16 * S_max + 1, e.audio_buckets[-1]),
+            e.audio_buckets, granularity=512,
+        )
+
+        text_pad = np.zeros((R, s_text), np.int32)
+        lang_pad = np.zeros((R, s_text), np.int32)
+        x_lens = np.zeros((R,), np.int32)
+        prompt_pad = np.full((R, p_audio - 1), cfg.eos_id, np.int32)
+        prompt_lens = np.zeros((R,), np.int32)
+        prompt_codes_pad = np.zeros(
+            (R, t_audio, cfg.num_quantizers), np.int32
+        )
+        for r, (t, lg, _) in enumerate(requests):
+            text_pad[r, : len(t)] = t
+            lang_pad[r, : len(lg)] = lg
+            x_lens[r] = len(t)
+            p = prompts[r]
+            if len(p):
+                prompt_pad[r, : len(p)] = p[:, 0]
+                prompt_lens[r] = len(p)
+                prompt_codes_pad[r, : len(p)] = p
+
+        timer = self.timer
+        x_lens_dev = jnp.asarray(x_lens)
+        plens_dev = jnp.asarray(prompt_lens)
+        caps = np.asarray([
+            _bucket(
+                min(int(pl_) + 1 + 16 * int(xl) + 1, e.audio_buckets[-1]),
+                e.audio_buckets, granularity=512,
+            ) - int(pl_) - 2
+            for pl_, xl in zip(prompt_lens, x_lens)
+        ], np.int32)
+        with timer.phase("ar"):
+            y_gen, gen_len, _ = ar_generate_batch(
+                self.params, cfg,
+                jnp.asarray(text_pad), jnp.asarray(lang_pad), x_lens_dev,
+                jnp.asarray(prompt_pad), plens_dev,
+                jnp.asarray(caps),
+                jax.random.PRNGKey(seed),
+                jnp.asarray(top_k, jnp.int32),
+                jnp.asarray(temperature, jnp.float32),
+                s_text=s_text, p_audio=p_audio, t_gen=t_gen,
+                compute_dtype=e.compute_dtype,
+                greedy=bool(top_k == 1),
+                quantize=getattr(e, "quantize", "none"),
+                decode_steps=max(2, getattr(e, "decode_steps", 8)),
+            )
+
+        with timer.phase("nar"):
+            codes_in = _assemble_nar_input_batch(
+                y_gen, jnp.asarray(prompt_codes_pad), plens_dev,
+                t_audio=t_audio,
+            )
+            gen_len = gen_len.astype(jnp.int32)
+            t_len = plens_dev + gen_len
+            codes = nar_generate(
+                self.params, cfg,
+                jnp.asarray(text_pad), jnp.asarray(lang_pad), x_lens_dev,
+                codes_in, t_len, plens_dev,
+                s_text=s_text, t_audio=t_audio,
+                compute_dtype=e.compute_dtype,
+            )
+            gen_codes = _shift_out_prompt_batch(codes, plens_dev, gen_len)
+
+        wave_dev = None
+        if return_wave and self.vocos_params is not None:
+            with timer.phase("vocos"):
+                wave_dev = self._vocos_jit(
+                    self.vocos_params, gen_codes, bandwidth_id=2
+                )
+
+        with timer.phase("sync"):
+            lens = np.asarray(gen_len)
+        codes_np = np.asarray(gen_codes)
+        out = []
+        if wave_dev is not None:
+            from ..codec.vocos import HOP
+
+            waves = np.asarray(wave_dev)
+            for r in range(R):
+                out.append(
+                    (codes_np[r, : lens[r]], waves[r, : lens[r] * HOP])
+                )
+        else:
+            for r in range(R):
+                out.append((codes_np[r, : lens[r]], None))
+        return out

@@ -116,6 +116,8 @@ def _kernel(
     stochastic: bool,
     quant: bool,
     act_quant: bool,
+    batched: bool,
+    p_audio: int,
 ):
     k_step = pl.program_id(0)
     layer = pl.program_id(1)
@@ -172,9 +174,9 @@ def _kernel(
             # --- feed bookkeeping (reference models/vallex.py:572-577) ---
             # done beams keep emitting EOS; logprob accumulates only while
             # alive; steps past the length cap are forced done.
-            capped = (k_step >= remaining_ref[0]).astype(jnp.int32)
             fed_vals = []
             for i in range(B):
+                capped = (k_step >= remaining_ref[i]).astype(jnp.int32)
                 d0 = jnp.bitwise_or(done_s[i], capped)
                 fed = jnp.where(d0 == 1, eos, cur_tok[i])
                 sum_s[i] = sum_s[i] + jnp.where(d0 == 1, 0.0, cur_logp[i])
@@ -195,12 +197,22 @@ def _kernel(
             emb = jax.lax.dot(
                 onehot, emb_ref[...], preferred_element_type=jnp.float32
             )
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1)
             freq = jnp.exp(
                 (lane // 2 * 2).astype(jnp.float32)
                 * (-math.log(10000.0) / D)
             )
-            ang = pos.astype(jnp.float32) * freq
+            if batched:
+                # per-request audio position: plen_r + 1 + t0 + k_step
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, D), 0)
+                pos_col = jnp.zeros((B, D), jnp.int32)
+                for i in range(B):
+                    pos_col = jnp.where(
+                        row_ids == i, plen_ref[i] + 1 + pos, pos_col
+                    )
+                ang = pos_col.astype(jnp.float32) * freq
+            else:
+                ang = pos.astype(jnp.float32) * freq
             pe_row = jnp.where(lane % 2 == 0, jnp.sin(ang), jnp.cos(ang))
             alpha = alpha_temp_ref[0, 0]
             h_acc[...] = emb + alpha * pe_row
@@ -339,6 +351,8 @@ def _kernel(
 
         if B == 1:
             state = _hbm_fold_single(fold, state0)
+        elif batched:
+            state = _hbm_fold_batched(fold_wide, state0)
         else:
             state = _hbm_fold_beams(fold, fold_wide, state0)
 
@@ -646,6 +660,198 @@ def _kernel(
 
         return jax.lax.fori_loop(0, ntail, body_t, state)
 
+    def _hbm_fold_batched(fold_wide, state0):
+        """Batched-request HBM fold (B independent requests in lanes).
+        Cache row layout (engine ar_generate_batch): text [0, s_text);
+        per-request BOS+prompt at audio rows [0, p_audio); generated frame
+        t at STATIC row p_audio + t for every request. Text/prompt
+        validity varies per request (per-GROUP masks from the x_len /
+        prompt_len vectors); generated rows are valid for every request
+        (done requests keep feeding EOS, exactly like beams). pos0 is the
+        number of generated frames before this block."""
+        SBLK = 128
+        G_ = N // hd
+        s_gen = s_text + p_audio  # static, % 128 == 0
+
+        # per-group (request) valid lengths
+        gi = jax.lax.broadcasted_iota(jnp.int32, (1, G_), 1) // num_heads
+        xl_g = jnp.zeros((1, G_), jnp.int32)
+        pl_g = jnp.zeros((1, G_), jnp.int32)
+        mp = plen_ref[0]
+        for i in range(B):
+            xl_g = jnp.where(gi == i, x_len_ref[i], xl_g)
+            pl_g = jnp.where(gi == i, plen_ref[i], pl_g)
+            mp = jnp.maximum(mp, plen_ref[i])
+
+        P_B = p_audio // ABLK  # static bound on prompt blocks
+        n_prompt = jnp.minimum(mp // ABLK + 1, P_B)
+        nfull = pos0 // ABLK
+        ntail = (pos0 - nfull * ABLK + SBLK - 1) // SBLK
+        is0 = 1 + n_prompt
+        total = is0 + nfull + ntail
+
+        def text_pair(slot):
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(0, s_text), :],
+                    kbuf.at[slot, pl.ds(0, s_text), :], sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(0, s_text), :],
+                    vbuf.at[slot, pl.ds(0, s_text), :], sems.at[slot, 1],
+                ),
+            )
+
+        def prompt_pair(j, slot):
+            start = s_text + pl.multiple_of(j * ABLK, ABLK)
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(start, ABLK), :],
+                    kbuf.at[slot], sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(start, ABLK), :],
+                    vbuf.at[slot], sems.at[slot, 1],
+                ),
+            )
+
+        def full_pair(g, slot):
+            start = s_gen + pl.multiple_of(g * ABLK, ABLK)
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(start, ABLK), :],
+                    kbuf.at[slot], sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(start, ABLK), :],
+                    vbuf.at[slot], sems.at[slot, 1],
+                ),
+            )
+
+        def tail_pair(t, slot):
+            start = s_gen + pl.multiple_of(
+                nfull * ABLK + t * SBLK, SBLK
+            )
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(start, SBLK), :],
+                    kbuf.at[slot, pl.ds(0, SBLK), :], sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(start, SBLK), :],
+                    vbuf.at[slot, pl.ds(0, SBLK), :], sems.at[slot, 1],
+                ),
+            )
+
+        def issue(i):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i == 0)
+            def _():
+                a, b = text_pair(slot)
+                a.start()
+                b.start()
+
+            @pl.when(jnp.logical_and(i >= 1, i < is0))
+            def _():
+                a, b = prompt_pair(i - 1, slot)
+                a.start()
+                b.start()
+
+            g = i - is0
+
+            @pl.when(jnp.logical_and(i >= is0, g < nfull))
+            def _():
+                a, b = full_pair(g, slot)
+                a.start()
+                b.start()
+
+            @pl.when(jnp.logical_and(i >= is0, g >= nfull))
+            def _():
+                a, b = tail_pair(g - nfull, slot)
+                a.start()
+                b.start()
+
+        issue(0)
+        issue(1)  # total >= 2: pos0 >= 1 so a full/tail block follows
+
+        # --- text (rows < x_len_r per request) ----------------------------
+        a, b = text_pair(0)
+        a.wait()
+        b.wait()
+        rows_t = jax.lax.broadcasted_iota(jnp.int32, (s_text, G_), 0)
+        ok_t = rows_t < xl_g
+        state = fold_wide(
+            kbuf[0, :s_text].astype(jnp.float32),
+            vbuf[0, :s_text].astype(jnp.float32),
+            ok_t, state0,
+        )
+
+        # --- prompt blocks (audio row <= prompt_len_r) --------------------
+        rows_p = jax.lax.broadcasted_iota(jnp.int32, (ABLK, G_), 0)
+
+        def body_p(j, state):
+            i = j + 1
+
+            @pl.when(i + 1 < total)
+            def _():
+                issue(i + 1)
+
+            slot = jax.lax.rem(i, 2)
+            a, b = prompt_pair(j, slot)
+            a.wait()
+            b.wait()
+            ok = (j * ABLK + rows_p) <= pl_g
+            return fold_wide(
+                kbuf[slot].astype(jnp.float32),
+                vbuf[slot].astype(jnp.float32), ok, state,
+            )
+
+        state = jax.lax.fori_loop(0, n_prompt, body_p, state)
+
+        # --- generated region (row idx < pos0, request-independent) -------
+        ones_full = jnp.ones((ABLK, 1), bool)
+
+        def body_f(g, state):
+            i = is0 + g
+
+            @pl.when(i + 1 < total)
+            def _():
+                issue(i + 1)
+
+            slot = jax.lax.rem(i, 2)
+            a, b = full_pair(g, slot)
+            a.wait()
+            b.wait()
+            return fold_wide(
+                kbuf[slot].astype(jnp.float32),
+                vbuf[slot].astype(jnp.float32), ones_full, state,
+            )
+
+        state = jax.lax.fori_loop(0, nfull, body_f, state)
+
+        def body_t(t, state):
+            i = is0 + nfull + t
+
+            @pl.when(i + 1 < total)
+            def _():
+                issue(i + 1)
+
+            slot = jax.lax.rem(i, 2)
+            a, b = tail_pair(t, slot)
+            a.wait()
+            b.wait()
+            idx = (
+                nfull * ABLK + t * SBLK
+                + jax.lax.broadcasted_iota(jnp.int32, (SBLK, 1), 0)
+            )
+            ok = idx < pos0
+            kb = jnp.where(ok, kbuf[slot, :SBLK].astype(jnp.float32), 0.0)
+            vb = jnp.where(ok, vbuf[slot, :SBLK].astype(jnp.float32), 0.0)
+            return fold_wide(kb, vb, ok, state)
+
+        return jax.lax.fori_loop(0, ntail, body_t, state)
+
     # ---------------- phase 1: FFN (+ head + sampling on the last layer) ---
     def _ffn():
         h = h_acc[...]
@@ -740,7 +946,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "steps", "s_text", "num_heads", "vocab", "eos", "stochastic",
-        "quant", "act_quant",
+        "quant", "act_quant", "batched", "p_audio",
     ),
 )
 def decode_block_fused(
@@ -769,6 +975,8 @@ def decode_block_fused(
     stochastic: bool,
     quant: bool = False,
     act_quant: bool = False,
+    batched: bool = False,
+    p_audio: int = 0,
 ):
     """K fused decode steps → (fed_tokens [K,B], next_tok [B], next_logp [B],
     done' [B], sum_logprobs' [B], cache_k', cache_v')."""
@@ -788,6 +996,21 @@ def decode_block_fused(
     # block/verify pass overwrites before their positions become valid).
     assert s_text <= ABLK and s_text % 128 == 0
     assert C - s_text >= ABLK + KP, (C, K, s_text)
+    if batched:
+        assert p_audio % ABLK == 0 and p_audio >= ABLK, p_audio
+        assert B > 1, "batched mode packs requests in lanes; use the"\
+            " single-request path for B == 1"
+    # x_len / remaining / prompt_len may be scalars (single request /
+    # beams: every lane-group shares them) or [B] vectors (batched mode)
+    xlv = jnp.broadcast_to(
+        jnp.atleast_1d(x_len.astype(jnp.int32)), (B,)
+    )
+    rmv = jnp.broadcast_to(
+        jnp.atleast_1d(remaining.astype(jnp.int32)), (B,)
+    )
+    plv = jnp.broadcast_to(
+        jnp.atleast_1d(prompt_len.astype(jnp.int32)), (B,)
+    )
 
     attn_idx = lambda k, l, p, *_: (l, 0, 0)  # noqa: E731
     ffn_idx = lambda k, l, p, *_: (jnp.maximum(l - 1 + p, 0), 0, 0)  # noqa: E731
@@ -866,7 +1089,7 @@ def decode_block_fused(
         functools.partial(
             _kernel, s_text=s_text, num_heads=num_heads, vocab=vocab,
             eos=eos, stochastic=stochastic, quant=quant,
-            act_quant=act_quant,
+            act_quant=act_quant, batched=batched, p_audio=p_audio,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -883,13 +1106,13 @@ def decode_block_fused(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
     )(
-        x_len.astype(jnp.int32)[None],
+        xlv,
         audio_pos.astype(jnp.int32)[None],
         tokens.astype(jnp.int32),
         seed.astype(jnp.int32)[None],
         done.astype(jnp.int32),
-        remaining.astype(jnp.int32)[None],
-        prompt_len.astype(jnp.int32)[None],
+        rmv,
+        plv,
         lw["wqkv"], lw["bqkv"], lw["wout"], lw["bout"],
         lw["w1"], lw["b1"], lw["w2"], lw["b2"],
         lw["ln1s"], lw["ln1b"], lw["ln2s"], lw["ln2b"],
@@ -902,7 +1125,8 @@ def decode_block_fused(
         cache_k, cache_v,
     )
     (_, ytok, tok_out, logp_out, done_out, sum_out, newk, newv) = outs
-    slot = s_text + audio_pos.astype(jnp.int32)
+    slot = s_text + p_audio + audio_pos.astype(jnp.int32) if batched \
+        else s_text + audio_pos.astype(jnp.int32)
     ck = jax.lax.dynamic_update_slice(
         cache_k, newk.astype(cache_k.dtype), (0, slot, 0)
     )
