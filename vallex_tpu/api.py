@@ -370,6 +370,46 @@ def generate_audio_from_long_text(
     sentences = split_text_into_sentences(text)
     audio_prompt, text_prompt, lang_pr = _load_prompt(prompt)
 
+    # fixed-prompt sentences are independent given the (fixed) prompt —
+    # synthesize them through the single-chip batched path so they share
+    # every decode step's weight stream (~1.8x faster at batch 4; exact
+    # for greedy, distributionally equivalent for sampling)
+    e = bundle.ecfg
+    if (
+        mode == "fixed-prompt"
+        and len(sentences) > 1
+        and (best_of is None or best_of == 1)
+        and (e.top_k <= 0 or e.top_k == 1)
+        and bundle.pipeline.decode_mode == "megakernel"
+    ):
+        requests = []
+        for sent in sentences:
+            text_ids, lang_ids = _prepare_text(
+                bundle, sent, text_prompt, lang_pr, language, accent
+            )
+            requests.append((
+                text_ids, lang_ids,
+                audio_prompt if len(audio_prompt) else None,
+            ))
+        batched_codes: List[np.ndarray] = []
+        BATCH = 4
+        for i in range(0, len(requests), BATCH):
+            chunk = requests[i : i + BATCH]
+            if len(chunk) == 1:
+                codes, _ = bundle.pipeline.synthesize(
+                    chunk[0][0], chunk[0][1], chunk[0][2],
+                    best_of=1, seed=seed + i, return_wave=False,
+                )
+                batched_codes.append(codes)
+            else:
+                for codes, _ in bundle.pipeline.synthesize_batch(
+                    chunk, seed=seed + i, return_wave=False
+                ):
+                    batched_codes.append(codes)
+        return codes_to_wave(
+            bundle, np.concatenate(batched_codes, axis=0)
+        )
+
     rng = np.random.RandomState(seed)
     all_codes: List[np.ndarray] = []
     cur_audio, cur_text, cur_lang = audio_prompt, text_prompt, lang_pr
