@@ -261,6 +261,16 @@ class SynthesisPipeline:
                 "sampling (top_k<=0) only"
             )
         R = len(requests)
+        if R == 1:
+            # the batched kernel packs requests in lanes and needs R >= 2;
+            # a lone request is exactly the single-request pipeline
+            t, lg, p = requests[0]
+            codes, wave = self.synthesize(
+                t, lg, p, best_of=1, top_k=top_k,
+                temperature=temperature, seed=seed,
+                return_wave=return_wave,
+            )
+            return [(codes, wave)]
         S_max = max(len(t) for t, _, _ in requests)
         s_text = _bucket(S_max, e.text_buckets)
         prompts = [
