@@ -105,6 +105,57 @@ def test_api_generate_audio_batch(monkeypatch):
         _reload()
 
 
+def test_int8kv_runs_all_paths(params, monkeypatch):
+    """int8 KV cache mode (quantize='int8kv'): static per-(layer, head)
+    scales fold into q / the output accumulator, the cache and in-kernel
+    K/V writes go int8. Functional check across single / beams / batched;
+    quality is measured on hardware by tools/quant_fidelity.py."""
+    _interpret(monkeypatch)
+    try:
+        rng = np.random.RandomState(5)
+        S = 12
+        text = rng.randint(5, 100, size=S).astype(np.int32)
+        lang = np.zeros(S, np.int32)
+        prompt = rng.randint(0, 1024, size=150).astype(np.int32)
+        outs = {}
+        for q in ("int8", "int8kv"):
+            e = EngineConfig(
+                text_buckets=(128,), audio_buckets=(512,),
+                compute_dtype="float32", decode_mode="megakernel",
+                decode_steps=4, quantize=q, speculative="off",
+            )
+            eng = AR.AREngine(params, CFG, e)
+            gen, _ = eng.generate(
+                text, lang, prompt, top_k=1, temperature=1.0, seed=3
+            )
+            outs[q] = gen
+        # int8-KV noise is small: greedy must track plain-int8 for a while
+        a, b = outs["int8"], outs["int8kv"]
+        n = min(len(a), len(b))
+        div = int(np.argmax(a[:n] != b[:n])) if (a[:n] != b[:n]).any() else n
+        assert div >= 10, f"int8kv diverged from int8 at frame {div}"
+
+        e = EngineConfig(
+            text_buckets=(128,), audio_buckets=(512,),
+            compute_dtype="float32", decode_mode="megakernel",
+            decode_steps=4, quantize="int8kv", best_of=3,
+            speculative="off",
+        )
+        eng = AR.AREngine(params, CFG, e)
+        gen, _ = eng.generate(
+            text, lang, prompt, top_k=1, temperature=1.0, seed=3
+        )
+        assert len(gen) > 0
+        outs_b = eng.generate_batch(
+            [(text, lang, prompt), (text[:9], lang[:9], None)],
+            top_k=1, temperature=1.0, seed=3,
+        )
+        assert all(len(o) > 0 for o in outs_b)
+    finally:
+        monkeypatch.undo()
+        _reload()
+
+
 def test_batched_matches_single_requests(params, monkeypatch):
     _interpret(monkeypatch)
     try:

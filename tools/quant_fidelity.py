@@ -5,7 +5,8 @@ strict-parity mode, with random weights (no trained checkpoint reachable
 from this image — re-run with converted weights when available):
 
 1. generation-level: for N seeds, synthesize the same utterance with
-   bf16 / int8 (W8A16) / w8a8 under identical per-step sampling seeds
+   bf16 / int8 (W8A16) / w8a8 / int8kv (int8 weights + int8 KV
+   cache) under identical per-step sampling seeds
    (the in-kernel Gumbel PRNG is seeded identically, so token divergence
    isolates logits differences) and record the first diverging frame;
 2. teacher-forced: per-position argmax agreement of int8-simulated logits
@@ -61,7 +62,7 @@ def main():
     print(f"{'mode':6s} {'seed':>4s} {'len_bf16':>8s} {'len_q':>6s} "
           f"{'first_div':>9s} {'prefix%':>8s}")
     summary = {}
-    for mode in ("int8", "w8a8"):
+    for mode in ("int8", "w8a8", "int8kv"):
         runs = token_runs(mode, seeds)
         divs, prefixes = [], []
         for s in seeds:

@@ -148,8 +148,12 @@ class EngineConfig:
     # (W8A16 — per-output-channel scales, ~half the HBM weight traffic per
     # step) or "w8a8" (int8 activations too: the matmuls run natively on
     # the MXU in int8, skipping the W8A16 path's int8→bf16 weight cast —
-    # fastest; dynamic per-row activation scales). Opt-in: A/B audio
-    # fidelity with trained weights before enabling in production.
+    # fastest; dynamic per-row activation scales) or "int8kv" (int8
+    # weights + int8 KV cache with static per-(layer, head) scales —
+    # halves the cache DMA on top of int8; the big win for beams/batched
+    # serving, block-kernel path only, elsewhere behaves like "int8").
+    # Opt-in: A/B audio fidelity with trained weights before enabling in
+    # production (tools/quant_fidelity.py).
     quantize: str = "none"
     # AR frames generated per fused-megakernel invocation. K > 1 runs K
     # decode steps inside ONE pallas_call (ops/decode_block.py), amortizing

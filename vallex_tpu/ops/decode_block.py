@@ -78,6 +78,9 @@ def _kernel(
     s2_ref,  # [1, 1, D]
     spred_ref,  # [1, VP]
     emb_ref,  # [VB, D]
+    kscale_ref,  # [1, 1, N] per-(layer, head) int8 KV scales (kv_quant;
+    #              lane n carries scale[layer, head(n)]; ones otherwise)
+    vscale_ref,  # [1, 1, N]
     alpha_temp_ref,  # [1, 2] SMEM: (pe alpha, temperature)
     logp0_ref,  # [1, B] SMEM f32: logprob of tok0
     sumlp0_ref,  # [1, B] SMEM f32: accumulated logprobs entering the block
@@ -118,6 +121,7 @@ def _kernel(
     act_quant: bool,
     batched: bool,
     p_audio: int,
+    kv_quant: bool,
 ):
     k_step = pl.program_id(0)
     layer = pl.program_id(1)
@@ -228,6 +232,23 @@ def _kernel(
         )
         k_new = qkv[:, D : 2 * D].reshape(1, N)
         v_new = qkv[:, 2 * D :].reshape(1, N)
+        if kv_quant:
+            # static per-(layer, head) scales: fold the k-scale into q and
+            # the v-scale into the final attention output, so the cache
+            # (and all folds) work in int8 quantization units for free
+            ksc_N = kscale_ref[0].astype(jnp.float32)  # [1, N]
+            vsc_N = vscale_ref[0].astype(jnp.float32)
+            k_store = jnp.clip(jnp.round(k_new / ksc_N), -127.0, 127.0)
+            v_store = jnp.clip(jnp.round(v_new / vsc_N), -127.0, 127.0)
+            q_cache = qkv[:, :D] * kscale_ref[0, 0:1, 0:D].astype(
+                jnp.float32
+            )
+            own_k = k_new / ksc_N
+            own_v = v_new / vsc_N
+        else:
+            k_store, v_store = k_new, v_new
+            q_cache = qkv[:, :D]
+            own_k, own_v = k_new, v_new
         # store this step's column into row k_step of the layer's scratch
         # plane via a masked full-plane write (Mosaic cannot vector-store at
         # a dynamic sublane index). Planes carry KP >= K rows (KP a multiple
@@ -239,12 +260,12 @@ def _kernel(
         )
         kblk[layer] = jnp.where(
             rowsel,
-            jnp.broadcast_to(k_new.astype(kblk.dtype), (KP, N)),
+            jnp.broadcast_to(k_store.astype(kblk.dtype), (KP, N)),
             kblk[layer],
         )
         vblk[layer] = jnp.where(
             rowsel,
-            jnp.broadcast_to(v_new.astype(vblk.dtype), (KP, N)),
+            jnp.broadcast_to(v_store.astype(vblk.dtype), (KP, N)),
             vblk[layer],
         )
 
@@ -272,7 +293,7 @@ def _kernel(
                 else:
                     kb_b = kb[:, b * D : (b + 1) * D]
                     vb_b = vb[:, b * D : (b + 1) * D]
-                q_b = qkv[b : b + 1, :D]  # [1, D] f32
+                q_b = q_cache[b : b + 1]  # [1, D] f32
                 s = jax.lax.dot(
                     kb_b * q_b, sel, preferred_element_type=jnp.float32
                 ) * scale  # [R, H]
@@ -304,7 +325,7 @@ def _kernel(
             lgN = jax.lax.broadcasted_iota(jnp.int32, (N, G), 0) // hd
             gidN = jax.lax.broadcasted_iota(jnp.int32, (N, G), 1)
             selN = (lgN == gidN).astype(jnp.float32)
-            qf = qkv[:, :D].reshape(1, N)
+            qf = q_cache.reshape(1, N)
 
             def fold_wide(kb, vb, ok, state):
                 s_all = jax.lax.dot(
@@ -364,9 +385,10 @@ def _kernel(
         vbl = jnp.where(okb, vblk[layer].astype(jnp.float32), 0.0)
         state = fold_wide(kbl, vbl, okb, state)
 
-        # ... then this step's own k/v in unrounded f32 (as single-step does)
+        # ... then this step's own k/v in unrounded f32 (as single-step
+        # does; kv_quant: divided into cache units, rescaled at the end)
         ok_own = jnp.ones((1, 1), bool)
-        state = fold_wide(k_new, v_new, ok_own, state)
+        state = fold_wide(own_k, own_v, ok_own, state)
 
         attn = jnp.concatenate(
             [
@@ -377,6 +399,8 @@ def _kernel(
             ],
             axis=0,
         )  # [B, D]
+        if kv_quant:
+            attn = attn * vscale_ref[0, 0:1, 0:D].astype(jnp.float32)
 
         out_proj = mat(attn, wout_ref, sout_ref)
         h_acc[...] = h + out_proj + bout_ref[0, 0].astype(jnp.float32)
@@ -977,6 +1001,7 @@ def decode_block_fused(
     act_quant: bool = False,
     batched: bool = False,
     p_audio: int = 0,
+    kv_scales=None,  # (kscale_lane, vscale_lane) each [NL, 1, N] f32
 ):
     """K fused decode steps → (fed_tokens [K,B], next_tok [B], next_logp [B],
     done' [B], sum_logprobs' [B], cache_k', cache_v')."""
@@ -1042,6 +1067,8 @@ def decode_block_fused(
             pl.BlockSpec((1, 1, D), ffn_idx),
             pl.BlockSpec((1, VP), const2),
             pl.BlockSpec((VB, D), const2),
+            pl.BlockSpec((1, 1, N), attn_idx),
+            pl.BlockSpec((1, 1, N), attn_idx),
             pl.BlockSpec((1, 2), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B), const2, memory_space=pltpu.SMEM),
@@ -1085,11 +1112,20 @@ def decode_block_fused(
     alpha_temp = jnp.stack(
         [pe_alpha.astype(jnp.float32), temperature.astype(jnp.float32)]
     )[None]
+    kv_quant = kv_scales is not None
+    if kv_quant:
+        ksc_in = kv_scales[0].astype(jnp.float32)
+        vsc_in = kv_scales[1].astype(jnp.float32)
+        assert ksc_in.shape == (NL, 1, N), ksc_in.shape
+    else:
+        ksc_in = jnp.ones((NL, 1, N), jnp.float32)
+        vsc_in = jnp.ones((NL, 1, N), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(
             _kernel, s_text=s_text, num_heads=num_heads, vocab=vocab,
             eos=eos, stochastic=stochastic, quant=quant,
             act_quant=act_quant, batched=batched, p_audio=p_audio,
+            kv_quant=kv_quant,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -1119,6 +1155,8 @@ def decode_block_fused(
         lw["fns"], lw["fnb"], lw["wpred"],
         lw["sqkv"], lw["sout"], lw["s1"], lw["s2"], lw["spred"],
         lw["emb"],
+        ksc_in,
+        vsc_in,
         alpha_temp,
         logprobs.astype(jnp.float32)[None],
         sum_logprobs.astype(jnp.float32)[None],
