@@ -64,11 +64,15 @@ def main():
         p50 = times[len(times) // 2]
         return min(times), p50, dur
 
-    def measure_batch(R, runs=(1, 2, 3)):
+    def measure_batch(R, quantize="int8", runs=(1, 2, 3)):
         """Multi-request batched serving (api.generate_audio_batch): R
         independent texts share every decode step's weight stream on one
         chip. Returns aggregate RTF = wall / total audio seconds."""
-        texts = [
+        ecfg = EngineConfig(
+            text_buckets=(256,), audio_buckets=(1024,), quantize=quantize
+        )
+        api.preload_models("./checkpoints", random_weights=True, ecfg=ecfg)
+        texts = ([
             text,
             "A gentle rain fell over the quiet harbor as fishing boats "
             "rocked slowly against the wooden pier in the early light.",
@@ -76,7 +80,7 @@ def main():
             "while children laughed beyond the old stone wall nearby.",
             "The midnight train rolled through the sleeping valley "
             "carrying letters and parcels to towns along the coast.",
-        ][:R]
+        ] * 2)[:R]
         prompts = ["paimon"] * R
         api.generate_audio_batch(texts, prompts, top_k=1, seed=0)
         best = None
@@ -94,8 +98,10 @@ def main():
     # quantization halves the decode loop's HBM weight traffic; bf16 is the
     # strict-parity mode (greedy runs it as speculative decode: int8 draft
     # + one bf16 verify pass, output exactly per-token bf16 greedy).
-    wall, p50, dur = measure("int8", runs=(1, 2, 3, 4, 5))
     batch4_rtf = measure_batch(4)
+    # int8 KV cache halves cache DMA + kernel VMEM: batch=8 scales
+    batch8kv_rtf = measure_batch(8, quantize="int8kv")
+    wall, p50, dur = measure("int8", runs=(1, 2, 3, 4, 5))
     wall_bf16, _, _ = measure("none")
     # reference-UI signature mode: best_of=5 beam decoding (launch-ui.py:295)
     wall_b5, _, dur_b5 = measure("int8", best_of=5)
@@ -119,6 +125,8 @@ def main():
             "sampled_rtf": round(wall_sm / dur_sm, 4),
             "batch4_agg_rtf": round(batch4_rtf, 4),
             "batch4_xrt": round(1.0 / batch4_rtf, 1),
+            "batch8_int8kv_agg_rtf": round(batch8kv_rtf, 4),
+            "batch8_int8kv_xrt": round(1.0 / batch8kv_rtf, 1),
         },
     }
     print(json.dumps(result))

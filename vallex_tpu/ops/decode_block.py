@@ -1098,12 +1098,15 @@ def decode_block_fused(
             pltpu.SMEM((B,), jnp.int32),
             pltpu.SMEM((B,), jnp.float32),
             # shared-prefix double buffers (real only under the B>1
-            # deduplicated schedule; token-sized placeholders at B=1)
+            # beams schedule; token-sized placeholders at B=1 and in
+            # batched mode, whose prefixes are per-request full-lane)
             pltpu.VMEM(
-                (2, ABLK, D) if B > 1 else (2, 8, 128), cache_k.dtype
+                (2, ABLK, D) if (B > 1 and not batched) else (2, 8, 128),
+                cache_k.dtype,
             ),
             pltpu.VMEM(
-                (2, ABLK, D) if B > 1 else (2, 8, 128), cache_v.dtype
+                (2, ABLK, D) if (B > 1 and not batched) else (2, 8, 128),
+                cache_v.dtype,
             ),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
