@@ -22,10 +22,79 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import EngineConfig, ModelConfig
-from .ar import ar_generate, _bucket
+from ..ops.decode_step import ABLK
+from .ar import ar_generate, ar_generate_batch, _bucket
 from .nar import nar_generate
 
 Params = Dict[str, Any]
+
+
+def make_chunked_synthesis(
+    params: Params,
+    cfg: ModelConfig,
+    ecfg: EngineConfig,
+    mesh: Mesh,
+    *,
+    s_text: int,
+    p_audio: int,  # % ABLK == 0 (ar_generate_batch layout)
+    t_gen: int,
+    t_audio: int,
+    per_chip: int,
+):
+    """Mesh-sharded synthesis with IN-CHIP batching: each device runs the
+    multi-request batched engine (ar_generate_batch) over its own chunk of
+    per_chip requests, so the fleet serves devices x per_chip concurrent
+    streams — each chip pays its decode weight stream once per step for
+    its whole chunk. Greedy / unfiltered sampling only (the batched
+    engine's contract).
+
+    Returns fn(text [N,S], lang [N,S], x_lens [N], prompt_cb0
+    [N,p_audio-1], prompt_codes [N,t_audio,8], prompt_lens [N],
+    gen_caps [N], seeds [N]) → (codes [N,t_audio,8], gen_lens [N]) with
+    N = devices · per_chip; shard_map splits the leading axis."""
+    from .pipeline import _assemble_nar_input_batch
+
+    def chunk(
+        text_ids, lang_ids, x_lens, prompt_cb0, prompt_codes,
+        prompt_lens, gen_caps, seeds
+    ):
+        # per-device slices: [per_chip, ...]
+        y_gen, gen_len, _ = ar_generate_batch(
+            params, cfg, text_ids, lang_ids, x_lens,
+            prompt_cb0, prompt_lens, gen_caps,
+            jax.random.fold_in(jax.random.PRNGKey(0), seeds[0]),
+            jnp.asarray(ecfg.top_k, jnp.int32),
+            jnp.asarray(ecfg.temperature, jnp.float32),
+            s_text=s_text, p_audio=p_audio, t_gen=t_gen,
+            compute_dtype=ecfg.compute_dtype,
+            greedy=bool(ecfg.top_k == 1),
+            quantize=getattr(ecfg, "quantize", "none"),
+            decode_steps=max(2, getattr(ecfg, "decode_steps", 8)),
+        )
+        codes_in = _assemble_nar_input_batch(
+            y_gen, prompt_codes, prompt_lens, t_audio=t_audio
+        )
+        gen_len = gen_len.astype(jnp.int32)
+        t_len = prompt_lens + gen_len
+        codes = nar_generate(
+            params, cfg, text_ids, lang_ids, x_lens,
+            codes_in, t_len, prompt_lens,
+            s_text=s_text, t_audio=t_audio,
+            compute_dtype=ecfg.compute_dtype,
+        )
+        return codes, gen_len
+
+    sharded = jax.shard_map(
+        chunk,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None), P("dp", None), P("dp"),
+            P("dp", None), P("dp", None, None), P("dp"), P("dp"), P("dp"),
+        ),
+        out_specs=(P("dp", None, None), P("dp")),
+        check_vma=False,  # see make_batched_synthesis
+    )
+    return jax.jit(sharded)
 
 
 def make_batched_synthesis(
@@ -111,35 +180,53 @@ def batch_synthesize(
     *,
     seeds: Optional[Sequence[int]] = None,
     decode_mode: str = "xla",
+    per_chip: int = 1,
 ) -> List[np.ndarray]:
     """Synthesize N (text_ids, lang_ids, prompt_codes|None) requests across
-    the mesh → list of [T_i, 8] code arrays."""
+    the mesh → list of [T_i, 8] code arrays.
+
+    per_chip > 1 composes the mesh sharding with in-chip multi-request
+    batching: each device serves its own chunk of per_chip requests through
+    ar_generate_batch (devices × per_chip concurrent streams). Requires the
+    megakernel decode path (real TPU, or interpret-mode in tests)."""
     n_dev = mesh.devices.size
     N = len(requests)
-    assert N <= n_dev, f"{N} requests > {n_dev} devices (chunk the batch)"
+    n_rows = n_dev * per_chip
+    assert N <= n_rows, (
+        f"{N} requests > {n_dev} devices x {per_chip} per chip "
+        "(chunk the batch)"
+    )
 
     max_s = max(len(t) for t, _, _ in requests)
     max_tp = max(
         (0 if p is None else len(p)) for _, _, p in requests
     )
     s_text = _bucket(max_s, ecfg.text_buckets)
-    p_audio = _bucket(max_tp + 1, ecfg.audio_buckets)
+    if per_chip > 1:
+        p_audio = -(-(max_tp + 1) // ABLK) * ABLK
+    else:
+        p_audio = _bucket(max_tp + 1, ecfg.audio_buckets)
+    t_gen = _bucket(
+        min(16 * max_s + 1, ecfg.audio_buckets[-1]), ecfg.audio_buckets,
+        granularity=512,
+    )
     t_audio = _bucket(
         min(max_tp + 1 + 16 * max_s + 1, ecfg.audio_buckets[-1]),
         ecfg.audio_buckets,
         granularity=512,
     )
-    p_audio = min(p_audio, t_audio)
+    if per_chip == 1:
+        p_audio = min(p_audio, t_audio)
 
-    text = np.zeros((n_dev, s_text), np.int32)
-    lang = np.zeros((n_dev, s_text), np.int32)
-    x_lens = np.ones((n_dev,), np.int32)
+    text = np.zeros((n_rows, s_text), np.int32)
+    lang = np.zeros((n_rows, s_text), np.int32)
+    x_lens = np.ones((n_rows,), np.int32)
     # EOS-pad the codebook-0 prompt slots (see AREngine.generate: unwritten
     # pad slots must not count as generated frames)
-    pcb0 = np.full((n_dev, p_audio - 1), cfg.eos_id, np.int32)
-    pcodes = np.zeros((n_dev, t_audio, cfg.num_quantizers), np.int32)
-    plens = np.zeros((n_dev,), np.int32)
-    seed_arr = np.arange(n_dev, dtype=np.int32)
+    pcb0 = np.full((n_rows, p_audio - 1), cfg.eos_id, np.int32)
+    pcodes = np.zeros((n_rows, t_audio, cfg.num_quantizers), np.int32)
+    plens = np.zeros((n_rows,), np.int32)
+    seed_arr = np.arange(n_rows, dtype=np.int32)
     if seeds is not None:
         seed_arr[: len(seeds)] = seeds
 
@@ -152,17 +239,36 @@ def batch_synthesize(
             pcodes[i, : len(p)] = p
             plens[i] = len(p)
 
-    fn = make_batched_synthesis(
-        params, cfg, ecfg, mesh,
-        s_text=s_text, p_audio=p_audio, t_audio=t_audio,
-        decode_mode=decode_mode,
-    )
     sharding = NamedSharding(mesh, P("dp"))
     put = lambda a: jax.device_put(a, sharding)  # noqa: E731
-    codes, gen_lens = fn(
-        put(text), put(lang), put(x_lens), put(pcb0), put(pcodes),
-        put(plens), put(seed_arr),
-    )
+    if per_chip > 1:
+        caps = np.asarray([
+            _bucket(
+                min(int(pl_) + 1 + 16 * int(xl) + 1,
+                    ecfg.audio_buckets[-1]),
+                ecfg.audio_buckets, granularity=512,
+            ) - int(pl_) - 2
+            for pl_, xl in zip(plens, x_lens)
+        ], np.int32)
+        fn = make_chunked_synthesis(
+            params, cfg, ecfg, mesh,
+            s_text=s_text, p_audio=p_audio, t_gen=t_gen, t_audio=t_audio,
+            per_chip=per_chip,
+        )
+        codes, gen_lens = fn(
+            put(text), put(lang), put(x_lens), put(pcb0), put(pcodes),
+            put(plens), put(caps), put(seed_arr),
+        )
+    else:
+        fn = make_batched_synthesis(
+            params, cfg, ecfg, mesh,
+            s_text=s_text, p_audio=p_audio, t_audio=t_audio,
+            decode_mode=decode_mode,
+        )
+        codes, gen_lens = fn(
+            put(text), put(lang), put(x_lens), put(pcb0), put(pcodes),
+            put(plens), put(seed_arr),
+        )
     codes = np.asarray(codes)
     gen_lens = np.asarray(gen_lens)
     out = []
