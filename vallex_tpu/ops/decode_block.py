@@ -279,6 +279,17 @@ def _kernel(
         group_id = jax.lax.broadcasted_iota(jnp.int32, (D, Hh), 1)
         sel = (lane_group == group_id).astype(jnp.float32)
 
+        # Quantized B>1 modes run the score/spread matmuls with bf16
+        # operands (f32 accumulation): multi-beam/batched attention is
+        # MXU-bound and the ~1e-3 score rounding is immaterial on top of
+        # int8 weights. quantize="none" keeps full f32 everywhere, so the
+        # bf16 strict mode and the batched-equals-single guarantee hold
+        # exactly there. decode_step.py applies the same casts so the two
+        # kernels stay in lockstep.
+        score16 = B > 1 and quant
+        sel_s = sel.astype(jnp.bfloat16) if score16 else sel
+        selT_s = sel.T.astype(jnp.bfloat16) if score16 else sel.T
+
         def fold(kb, vb, ok, state, shared=False):
             """Fold one sanitized key/value plane into the per-beam
             online-softmax state tuple ((m, l, acc) * B). ok: [R, 1] bool.
@@ -294,8 +305,10 @@ def _kernel(
                     kb_b = kb[:, b * D : (b + 1) * D]
                     vb_b = vb[:, b * D : (b + 1) * D]
                 q_b = q_cache[b : b + 1]  # [1, D] f32
+                kq = kb_b * q_b
                 s = jax.lax.dot(
-                    kb_b * q_b, sel, preferred_element_type=jnp.float32
+                    kq.astype(jnp.bfloat16) if score16 else kq, sel_s,
+                    preferred_element_type=jnp.float32,
                 ) * scale  # [R, H]
                 s = jnp.where(ok, s, -1e30)
                 m_new = jnp.maximum(m_b, jnp.max(s, axis=0, keepdims=True))
@@ -303,7 +316,8 @@ def _kernel(
                 p = jnp.exp(s - m_new)
                 l_new = l_b * alpha + jnp.sum(p, axis=0, keepdims=True)
                 p_lanes = jax.lax.dot(
-                    p, sel.T, preferred_element_type=jnp.float32
+                    p.astype(jnp.bfloat16) if score16 else p, selT_s,
+                    preferred_element_type=jnp.float32,
                 )
                 alpha_lanes = jax.lax.dot(
                     alpha, sel.T, preferred_element_type=jnp.float32
@@ -327,9 +341,18 @@ def _kernel(
             selN = (lgN == gidN).astype(jnp.float32)
             qf = q_cache.reshape(1, N)
 
+            selN_s = selN.astype(jnp.bfloat16) if score16 else selN
+            selNT_s = (
+                selN.T.astype(jnp.bfloat16) if score16 else selN.T
+            )
+
+            def cast_s(x):
+                return x.astype(jnp.bfloat16) if score16 else x
+
             def fold_wide(kb, vb, ok, state):
                 s_all = jax.lax.dot(
-                    kb * qf, selN, preferred_element_type=jnp.float32
+                    cast_s(kb * qf), selN_s,
+                    preferred_element_type=jnp.float32,
                 ) * scale  # [R, G]
                 s_all = jnp.where(ok, s_all, -1e30)
                 s_max = jnp.max(s_all, axis=0, keepdims=True)  # [1, G]
@@ -341,7 +364,7 @@ def _kernel(
                 p = jnp.exp(s_all - m_new)  # [R, G]
                 l_sum = jnp.sum(p, axis=0, keepdims=True)
                 p_lanes = jax.lax.dot(
-                    p, selN.T, preferred_element_type=jnp.float32
+                    cast_s(p), selNT_s, preferred_element_type=jnp.float32
                 )  # [R, N]
                 alpha_lanes = jax.lax.dot(
                     alpha, selN.T, preferred_element_type=jnp.float32

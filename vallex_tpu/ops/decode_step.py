@@ -204,6 +204,15 @@ def _kernel(
         lane_group = jax.lax.broadcasted_iota(jnp.int32, (N, G), 0) // hd
         group_id = jax.lax.broadcasted_iota(jnp.int32, (N, G), 1)
         sel = (lane_group == group_id).astype(jnp.float32)
+        # quantized B>1: bf16 score/spread matmul operands (f32
+        # accumulation) — in lockstep with ops/decode_block.py's folds;
+        # B=1 and the strict quantize="none" modes keep f32
+        score16 = B > 1 and quant
+        sel_s = sel.astype(jnp.bfloat16) if score16 else sel
+        selT_s = sel.T.astype(jnp.bfloat16) if score16 else sel.T
+
+        def cast_s(x):
+            return x.astype(jnp.bfloat16) if score16 else x
 
         n_audio = pos // ABLK + 1
         total = 1 + n_audio  # ordinal 0 = text, 1.. = audio blocks
@@ -291,7 +300,8 @@ def _kernel(
             vb = jnp.where(ok, vbuf[buf_slot].astype(jnp.float32), 0.0)
 
             s = jax.lax.dot(
-                kb * qf[None, :], sel, preferred_element_type=jnp.float32
+                cast_s(kb * qf[None, :]), sel_s,
+                preferred_element_type=jnp.float32,
             ) * scale  # [ABLK, G]
             s = jnp.where(ok, s, -1e30)
 
@@ -300,7 +310,7 @@ def _kernel(
             p = jnp.exp(s - m_new)
             l_new = l_i * alpha + jnp.sum(p, axis=0, keepdims=True)
             p_lanes = jax.lax.dot(
-                p, sel.T, preferred_element_type=jnp.float32
+                cast_s(p), selT_s, preferred_element_type=jnp.float32
             )
             alpha_lanes = jax.lax.dot(
                 alpha, sel.T, preferred_element_type=jnp.float32
@@ -317,7 +327,7 @@ def _kernel(
 
         # fold in this step's own k/v (the slot column, excluded above)
         own_s = jax.lax.dot(
-            (qf * k_new[0])[None, :], sel,
+            cast_s((qf * k_new[0])[None, :]), sel_s,
             preferred_element_type=jnp.float32,
         ) * scale
         m_new = jnp.maximum(m_i, own_s)
@@ -328,7 +338,7 @@ def _kernel(
             alpha, sel.T, preferred_element_type=jnp.float32
         )
         p_own_lanes = jax.lax.dot(
-            p_own, sel.T, preferred_element_type=jnp.float32
+            cast_s(p_own), selT_s, preferred_element_type=jnp.float32
         )
         acc = acc * alpha_lanes + p_own_lanes * v_new[0][None, :]
         l_lanes = jax.lax.dot(
