@@ -103,6 +103,12 @@ def main():
     batch8kv_rtf = measure_batch(8, quantize="int8kv")
     wall, p50, dur = measure("int8", runs=(1, 2, 3, 4, 5))
     wall_bf16, _, _ = measure("none")
+    # bf16 strict SAMPLED mode: distribution-exact speculative sampling
+    # (int8 draft proposes from q, one bf16 verify gives p, Leviathan
+    # accept/resample — ops/sampling.py::speculative_accept). seed 3 is a
+    # run-to-the-cap seed under random weights (stable ~11 s utterance;
+    # early-EOS seeds would let fixed costs dominate the ratio).
+    wall_bfsm, _, dur_bfsm = measure("none", top_k=-100, runs=(3, 3, 3))
     # reference-UI signature mode: best_of=5 beam decoding (launch-ui.py:295)
     wall_b5, _, dur_b5 = measure("int8", best_of=5)
     # sampled serving (reference default top_k=-100 => unfiltered categorical)
@@ -121,6 +127,7 @@ def main():
             "p50_ms": round(p50 * 1000.0, 1),
             "bf16_rtf": round(wall_bf16 / dur, 4),
             "bf16_xrt": round(dur / wall_bf16, 1),
+            "bf16_sampled_rtf": round(wall_bfsm / dur_bfsm, 4),
             "best_of5_rtf": round(wall_b5 / dur_b5, 4),
             "sampled_rtf": round(wall_sm / dur_sm, 4),
             "batch4_agg_rtf": round(batch4_rtf, 4),

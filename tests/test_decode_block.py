@@ -197,7 +197,7 @@ def test_beams_divergent_lanes_shared_prefix(params, monkeypatch):
         x_len = jnp.asarray(100, jnp.int32)
         tok0 = jnp.asarray([7, 500, 901], jnp.int32)  # divergent feeds
 
-        ytok, _, _, _, _, _, _ = DB.decode_block_fused(
+        ytok, *_ = DB.decode_block_fused(
             tok0, jnp.zeros((B,), jnp.float32),
             jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32),
             lw, ckB, cvB, x_len, jnp.asarray(pos0),
@@ -227,6 +227,72 @@ def test_beams_divergent_lanes_shared_prefix(params, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(ytok), np.stack(fed_ref),
         )
+    finally:
+        monkeypatch.undo()
+        _reload()
+
+
+def test_step_logits_output_consistent(params, monkeypatch):
+    """The block kernel's per-step logits output (the draft side of
+    speculative sampling) must be the distribution each step sampled
+    from: in greedy mode, argmax(step_logits[j]) == the token fed at
+    step j+1."""
+    _interpret(monkeypatch)
+    try:
+        import jax.numpy as jnp
+
+        from vallex_tpu.models import layers as L
+        from vallex_tpu.ops import decode_block as DB
+        from vallex_tpu.ops import decode_step as DS
+        from vallex_tpu.ops.decode_attention import pack_cache
+
+        key = jax.random.PRNGKey(0)
+        NL_, B, H_, D_, F_ = 2, 1, 4, 256, 512
+        hd = D_ // H_
+        s_text, K = 128, 4
+        plen, pos0 = 20, 100
+        C1 = s_text + 512
+        lys = [
+            L.init_encoder_layer(k, D_, F_, adaptive=False)
+            for k in jax.random.split(key, NL_)
+        ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *lys)
+        lw = DS.pack_layer_weights(
+            stacked, dtype=jnp.float32,
+            final_norm={"scale": jnp.ones((D_,)), "bias": jnp.zeros((D_,))},
+            predict_w=jax.random.normal(jax.random.PRNGKey(9), (D_, 1025))
+            * 0.05,
+            audio_embedding=jax.random.normal(
+                jax.random.PRNGKey(10), (1026, D_)
+            ),
+        )
+        N = B * H_ * hd
+        ck4 = jax.random.normal(jax.random.PRNGKey(2), (NL_, B, H_, C1, hd))
+        cv4 = jax.random.normal(jax.random.PRNGKey(3), (NL_, B, H_, C1, hd))
+        ckB = jnp.zeros((NL_, C1 + 128, N), jnp.float32).at[:, :C1].set(
+            jnp.stack([pack_cache(ck4[i]) for i in range(NL_)])
+        )
+        cvB = jnp.zeros((NL_, C1 + 128, N), jnp.float32).at[:, :C1].set(
+            jnp.stack([pack_cache(cv4[i]) for i in range(NL_)])
+        )
+        ytok, next_tok, _, _, _, _, _, slog = DB.decode_block_fused(
+            jnp.asarray([7], jnp.int32), jnp.zeros((1,), jnp.float32),
+            jnp.zeros((1,), bool), jnp.zeros((1,), jnp.float32),
+            lw, ckB, cvB, jnp.asarray(100, jnp.int32), jnp.asarray(pos0),
+            jnp.asarray(plen, jnp.int32),
+            seed=jnp.asarray(1, jnp.int32),
+            remaining=jnp.asarray(2**30, jnp.int32),
+            temperature=jnp.asarray(1.0, jnp.float32),
+            pe_alpha=jnp.asarray(1.0, jnp.float32),
+            steps=K, s_text=s_text, num_heads=H_, vocab=1025, eos=1024,
+            stochastic=False,
+        )
+        slog = np.asarray(slog)  # [K, 1, VP]
+        fed = np.asarray(ytok[:, 0])
+        nxt = int(next_tok[0])
+        greedy = np.argmax(slog[:, 0, :1025], axis=-1)
+        np.testing.assert_array_equal(greedy[:-1], fed[1:])
+        assert greedy[-1] == nxt
     finally:
         monkeypatch.undo()
         _reload()

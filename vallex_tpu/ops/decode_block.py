@@ -95,6 +95,8 @@ def _kernel(
     sum_out_ref,  # [B, 1] SMEM f32 — accumulated logprobs after the block
     newk_ref,  # [NL, K, N] HBM — written by DMA at the final grid step
     newv_ref,  # [NL, K, N] HBM
+    slog_ref,  # [1, B, VP] block (k_step-indexed): EVERY step's logits —
+    #            feeds the draft side of speculative sampling
     # scratch
     h_acc,  # [B, D] f32
     kbuf,  # [2, ABLK, N]
@@ -932,6 +934,7 @@ def _kernel(
                     preferred_element_type=jnp.float32,
                 )
             logits_ref[...] = logits.astype(logits_ref.dtype)
+            slog_ref[0] = logits.astype(slog_ref.dtype)
 
             VP = logits.shape[1]
             lanes = jax.lax.broadcasted_iota(jnp.int32, (B, VP), 1)
@@ -1107,6 +1110,7 @@ def decode_block_fused(
             pl.BlockSpec((B, 1), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, B, VP), lambda k, l, p, *_: (k, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.float32),
@@ -1163,6 +1167,7 @@ def decode_block_fused(
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((NL, KP, N), cache_k.dtype),
             jax.ShapeDtypeStruct((NL, KP, N), cache_v.dtype),
+            jax.ShapeDtypeStruct((K, B, VP), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
@@ -1188,7 +1193,10 @@ def decode_block_fused(
         sum_logprobs.astype(jnp.float32)[None],
         cache_k, cache_v,
     )
-    (_, ytok, tok_out, logp_out, done_out, sum_out, newk, newv) = outs
+    (
+        _, ytok, tok_out, logp_out, done_out, sum_out, newk, newv,
+        step_logits,
+    ) = outs
     slot = s_text + p_audio + audio_pos.astype(jnp.int32) if batched \
         else s_text + audio_pos.astype(jnp.int32)
     ck = jax.lax.dynamic_update_slice(
@@ -1205,4 +1213,5 @@ def decode_block_fused(
         sum_out[:, 0],
         ck,
         cv,
+        step_logits,
     )

@@ -58,6 +58,61 @@ def top_p_filter(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(top_p < 1.0, filtered, logits)
 
 
+def speculative_accept(
+    rng: jax.Array,
+    draft_tokens: jnp.ndarray,  # [K-1] tokens the draft model sampled
+    q_logits: jnp.ndarray,  # [K-1, V] draft logits at those positions
+    p_logits: jnp.ndarray,  # [K, V] target logits at positions 0..K-1
+    temperature: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Distribution-exact speculative sampling (Leviathan et al. 2023;
+    Chen et al. 2023): accept draft token j with probability
+    min(1, p_j(x)/q_j(x)); at the first rejection emit a sample from the
+    residual normalize(max(p_j - q_j, 0)); if every draft is accepted
+    emit a bonus sample from p_{K-1}. The emitted sequence is distributed
+    EXACTLY as per-token sampling from p.
+
+    → (emit [K], logp [K], m): emit[j] is the token emitted at position
+    j assuming positions < j were all accepted (the engine commits
+    m_accepted+1 of them); logp[j] = log p_j(emit[j]); m = number of
+    accepted draft tokens (0..K-1)."""
+    Km1, V = q_logits.shape
+    t = jnp.maximum(temperature, 1e-6)
+    logp_p = jax.nn.log_softmax(p_logits / t, axis=-1)  # [K, V]
+    logp_q = jax.nn.log_softmax(q_logits / t, axis=-1)  # [K-1, V]
+    r_accept, r_resid, r_bonus = jax.random.split(rng, 3)
+
+    # acceptance tests u_j < p_j(x_j) / q_j(x_j)
+    lp_px = jnp.take_along_axis(
+        logp_p[:Km1], draft_tokens[:, None], axis=-1
+    )[:, 0]
+    lp_qx = jnp.take_along_axis(
+        logp_q, draft_tokens[:, None], axis=-1
+    )[:, 0]
+    u = jax.random.uniform(r_accept, (Km1,), minval=1e-9)
+    accept = jnp.log(u) < (lp_px - lp_qx)  # [K-1]
+    m = jnp.sum(jnp.cumprod(accept.astype(jnp.int32)))
+
+    # residual distributions max(p - q, 0) per draft position (the
+    # all-zero degenerate case — q == p exactly — falls back to p)
+    resid = jnp.clip(
+        jnp.exp(logp_p[:Km1]) - jnp.exp(logp_q), 0.0, None
+    )
+    degenerate = jnp.sum(resid, axis=-1, keepdims=True) <= 0.0
+    resid = jnp.where(degenerate, jnp.exp(logp_p[:Km1]), resid)
+    r_tok = jax.random.categorical(
+        r_resid, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1
+    )  # [K-1]
+    bonus = jax.random.categorical(r_bonus, p_logits[-1] / t)  # []
+
+    emit = jnp.concatenate([
+        jnp.where(accept, draft_tokens, r_tok),
+        bonus[None].astype(draft_tokens.dtype),
+    ])  # [K]
+    logp = jnp.take_along_axis(logp_p, emit[:, None], axis=-1)[:, 0]
+    return emit, logp, m
+
+
 def topk_sampling(
     rng: jax.Array,
     logits: jnp.ndarray,  # [B, V] fp32
