@@ -51,18 +51,22 @@ def main():
         api.generate_audio(
             text, prompt="paimon", top_k=top_k, best_of=best_of, seed=0
         )
-        times, dur = [], None
+        # pair each run's wall with ITS duration: sampled runs can hit
+        # EOS at different frames, so min(times)/last_dur would mismatch
+        times, rtfs, dur = [], [], None
         for seed in runs:
             t0 = time.time()
             wave = api.generate_audio(
                 text, prompt="paimon", top_k=top_k, best_of=best_of,
                 seed=seed,
             )
-            times.append(time.time() - t0)
+            dt = time.time() - t0
+            times.append(dt)
             dur = len(wave) / SAMPLE_RATE
+            rtfs.append(dt / dur)
         times.sort()
         p50 = times[len(times) // 2]
-        return min(times), p50, dur
+        return min(times), p50, dur, min(rtfs)
 
     def measure_batch(R, quantize="int8", runs=(1, 2, 3)):
         """Multi-request batched serving (api.generate_audio_batch): R
@@ -96,45 +100,62 @@ def main():
 
     # int8 (W8A16) is the serving configuration — per-output-channel weight
     # quantization halves the decode loop's HBM weight traffic; bf16 is the
-    # strict-parity mode (greedy runs it as speculative decode: int8 draft
-    # + one bf16 verify pass, output exactly per-token bf16 greedy).
-    batch4_rtf = measure_batch(4)
-    # int8 KV cache halves cache DMA + kernel VMEM: batch=8 scales
-    batch8kv_rtf = measure_batch(8, quantize="int8kv")
-    wall, p50, dur = measure("int8", runs=(1, 2, 3, 4, 5))
-    wall_bf16, _, _ = measure("none")
-    # bf16 strict SAMPLED mode: distribution-exact speculative sampling
-    # (int8 draft proposes from q, one bf16 verify gives p, Leviathan
-    # accept/resample — ops/sampling.py::speculative_accept). seed 3 is a
-    # run-to-the-cap seed under random weights (stable ~11 s utterance;
-    # early-EOS seeds would let fixed costs dominate the ratio).
-    wall_bfsm, _, dur_bfsm = measure("none", top_k=-100, runs=(3, 3, 3))
-    # reference-UI signature mode: best_of=5 beam decoding (launch-ui.py:295)
-    wall_b5, _, dur_b5 = measure("int8", best_of=5)
-    # sampled serving (reference default top_k=-100 => unfiltered categorical)
-    wall_sm, _, dur_sm = measure("int8", top_k=-100)
+    # strict mode (greedy and unfiltered sampling both run as speculative
+    # decode: int8 draft + one bf16 verify pass — token-exact for greedy,
+    # distribution-exact for sampling).
+    #
+    # The HEADLINE config is measured first, then secondary configs are
+    # added while a time budget lasts: a cold compile cache costs ~2-4 min
+    # of remote Mosaic/XLA compiles PER distinct decode program through
+    # the tunnel, and the bench must always emit its JSON line inside the
+    # driver's window. Detail keys are present for whatever completed
+    # (everything, on a warm cache — see PERFORMANCE.md for the full
+    # measured tables).
+    t_start = time.time()
+    BUDGET_S = float(os.environ.get("VALLEX_BENCH_BUDGET_S", "360"))
 
+    wall, p50, dur, _ = measure("int8", runs=(1, 2, 3, 4, 5))
     rtf = wall / dur
+    detail = {
+        "audio_seconds": round(dur, 2),
+        "wall_seconds": round(wall, 3),
+        "xrt": round(dur / wall, 1),
+        "p50_ms": round(p50 * 1000.0, 1),
+    }
+
+    def within_budget():
+        return time.time() - t_start < BUDGET_S
+
+    if within_budget():
+        _, _, _, bf16_rtf = measure("none")
+        detail["bf16_rtf"] = round(bf16_rtf, 4)
+        detail["bf16_xrt"] = round(1.0 / bf16_rtf, 1)
+    if within_budget():
+        # batched serving: 8 streams on one chip, int8 KV cache
+        batch8kv_rtf = measure_batch(8, quantize="int8kv", runs=(1, 2))
+        detail["batch8_int8kv_agg_rtf"] = round(batch8kv_rtf, 4)
+        detail["batch8_int8kv_xrt"] = round(1.0 / batch8kv_rtf, 1)
+    if within_budget():
+        # sampled serving (reference default top_k=-100 => unfiltered)
+        _, _, _, sm_rtf = measure("int8", top_k=-100, runs=(3, 3))
+        detail["sampled_rtf"] = round(sm_rtf, 4)
+    if within_budget():
+        # reference-UI signature mode: best_of=5 beams (launch-ui.py:295)
+        _, _, _, b5_rtf = measure("int8", best_of=5, runs=(1, 2))
+        detail["best_of5_rtf"] = round(b5_rtf, 4)
+    if within_budget():
+        # bf16 strict SAMPLED mode via speculative sampling; seed 3 runs
+        # to the length cap under random weights (a stable ~11 s
+        # utterance — early-EOS seeds would let fixed costs dominate)
+        _, _, _, bfsm_rtf = measure("none", top_k=-100, runs=(3, 3))
+        detail["bf16_sampled_rtf"] = round(bfsm_rtf, 4)
+
     result = {
         "metric": "rtf",
         "value": round(rtf, 4),
         "unit": "wall-sec per audio-sec (full pipeline, 1 chip, int8 weights)",
         "vs_baseline": round(0.05 / rtf, 3),
-        "detail": {
-            "audio_seconds": round(dur, 2),
-            "wall_seconds": round(wall, 3),
-            "xrt": round(dur / wall, 1),
-            "p50_ms": round(p50 * 1000.0, 1),
-            "bf16_rtf": round(wall_bf16 / dur, 4),
-            "bf16_xrt": round(dur / wall_bf16, 1),
-            "bf16_sampled_rtf": round(wall_bfsm / dur_bfsm, 4),
-            "best_of5_rtf": round(wall_b5 / dur_b5, 4),
-            "sampled_rtf": round(wall_sm / dur_sm, 4),
-            "batch4_agg_rtf": round(batch4_rtf, 4),
-            "batch4_xrt": round(1.0 / batch4_rtf, 1),
-            "batch8_int8kv_agg_rtf": round(batch8kv_rtf, 4),
-            "batch8_int8kv_xrt": round(1.0 / batch8kv_rtf, 1),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

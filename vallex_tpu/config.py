@@ -161,12 +161,15 @@ class EngineConfig:
     # column writes, dispatch — by K×. Only the fused plain-sampling path
     # uses it; other configs fall back to single-step.
     decode_steps: int = 8
-    # Greedy speculative decoding for the bf16 strict-parity serving mode
-    # ("auto"/"on"/"off"): draft decode_steps-1 frames with int8 weights,
-    # confirm with ONE bf16 pass over all positions (ops/decode_verify.py).
-    # Output is exactly per-token bf16 greedy; the 302 MB weight stream is
-    # paid once per ~K accepted frames instead of per frame. Applies when
-    # quantize=="none", top_k==1 and best_of==1; otherwise ignored.
+    # Speculative decoding for the bf16 strict modes ("auto"/"on"/"off"):
+    # draft decode_steps-1 frames with int8 weights, confirm with ONE bf16
+    # pass over all positions (ops/decode_verify.py). Greedy (top_k==1):
+    # output is exactly per-token bf16 greedy. Sampled (top_k<=0,
+    # top_p>=1): the Leviathan rejection scheme
+    # (ops/sampling.py::speculative_accept) — output is distributed
+    # exactly as per-token bf16 sampling. Either way the 302 MB weight
+    # stream is paid once per ~K accepted frames instead of per frame.
+    # Applies when quantize=="none" and best_of==1; otherwise ignored.
     speculative: str = "auto"
 
 
