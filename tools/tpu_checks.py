@@ -45,10 +45,15 @@ def main():
     for steps in (1, 8):
         for greedy, quant in ((True, "none"), (False, "none"),
                               (True, "int8")):
+            # stochastic bf16 K=8 would otherwise route through
+            # speculative SAMPLING, which is distribution-exact but not
+            # bitwise vs per-token — the strict block-vs-single gate
+            # needs it off (greedy spec keeps its own div>=10 gate)
             e = EngineConfig(
                 text_buckets=(128,), audio_buckets=(1024,),
                 decode_mode="megakernel", decode_steps=steps,
                 quantize=quant,
+                speculative="off" if not greedy else "auto",
             )
             eng = AREngine(params, cfg, e)
             top_k = 1 if greedy else -100
@@ -67,6 +72,30 @@ def main():
                 f"gen_len={len(gen)} second-run wall={wall:.3f}s "
                 f"({wall / max(len(gen2), 1) * 1000:.3f} ms/frame)"
             )
+
+    # ---- speculative SAMPLING (bf16 sampled): runs + sane output --------
+    # bitwise parity is impossible by construction (different RNG
+    # consumption); the distribution-exactness of the accept/resample
+    # math is Monte-Carlo-verified in tests/test_speculative_sampling.py
+    e_ss = EngineConfig(
+        text_buckets=(128,), audio_buckets=(1024,),
+        decode_mode="megakernel", decode_steps=8, quantize="none",
+        speculative="on",
+    )
+    eng_ss = AREngine(params, cfg, e_ss)
+    gen_ss, _ = eng_ss.generate(
+        text, lang, prompt, top_k=-100, temperature=1.0, seed=42
+    )
+    t0 = time.time()
+    gen_ss2, _ = eng_ss.generate(
+        text, lang, prompt, top_k=-100, temperature=1.0, seed=43
+    )
+    wall = time.time() - t0
+    print(
+        f"speculative sampling (bf16): gen_len={len(gen_ss)} "
+        f"second-run wall={wall:.3f}s "
+        f"({wall / max(len(gen_ss2), 1) * 1000:.3f} ms/frame)"
+    )
 
     # ---- beams: block kernel (B>1 shared-prefix schedule) vs single-step --
     beam_results = {}
@@ -93,6 +122,7 @@ def main():
         )
 
     ok = True
+    ok = ok and len(gen_ss) > 0 and len(gen_ss2) > 0
     a, b = beam_results[1], beam_results[8]
     same = len(a) == len(b) and (a == b).all()
     n = min(len(a), len(b))
