@@ -135,7 +135,7 @@ def main():
     # the same bf16 cache in different chunk orders, so rare near-tie
     # sample flips are expected; the strict cross-lane correctness gate is
     # the teacher-forced check below. Require only early agreement here.
-    ok = ok and div >= 10
+    ok = ok and (same or div >= 10)
 
     for (greedy, quant), by_steps in results.items():
         a, b = by_steps[1], by_steps[8]
@@ -154,7 +154,7 @@ def main():
             # order can flip an argmax tie and cascade. Require only that
             # the paths track for a while; the stochastic check below is
             # the strict one (Gumbel gaps are O(1)).
-            ok = ok and div >= 10
+            ok = ok and (same or div >= 10)
         else:
             ok = ok and same
     # ---- verify kernel: teacher-forced logits vs single-step kernel ------

@@ -375,11 +375,13 @@ def generate_audio_from_long_text(
     # every decode step's weight stream (~1.8x faster at batch 4; exact
     # for greedy, distributionally equivalent for sampling)
     e = bundle.ecfg
+    resolved_best_of = best_of or e.best_of
     if (
         mode == "fixed-prompt"
         and len(sentences) > 1
-        and (best_of is None or best_of == 1)
+        and resolved_best_of == 1
         and (e.top_k <= 0 or e.top_k == 1)
+        and e.top_p >= 1.0
         and bundle.pipeline.decode_mode == "megakernel"
     ):
         requests = []

@@ -23,7 +23,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import EngineConfig, ModelConfig
 from ..ops.decode_step import ABLK
-from .ar import ar_generate, ar_generate_batch, _bucket
+from .ar import (
+    ar_generate,
+    ar_generate_batch,
+    _bucket,
+    single_request_gen_caps,
+)
 from .nar import nar_generate
 
 Params = Dict[str, Any]
@@ -59,10 +64,13 @@ def make_chunked_synthesis(
         prompt_lens, gen_caps, seeds
     ):
         # per-device slices: [per_chip, ...]
+        key = jax.random.PRNGKey(0)
+        for i in range(per_chip):  # fold EVERY request's seed in
+            key = jax.random.fold_in(key, seeds[i])
         y_gen, gen_len, _ = ar_generate_batch(
             params, cfg, text_ids, lang_ids, x_lens,
             prompt_cb0, prompt_lens, gen_caps,
-            jax.random.fold_in(jax.random.PRNGKey(0), seeds[0]),
+            key,
             jnp.asarray(ecfg.top_k, jnp.int32),
             jnp.asarray(ecfg.temperature, jnp.float32),
             s_text=s_text, p_audio=p_audio, t_gen=t_gen,
@@ -242,14 +250,7 @@ def batch_synthesize(
     sharding = NamedSharding(mesh, P("dp"))
     put = lambda a: jax.device_put(a, sharding)  # noqa: E731
     if per_chip > 1:
-        caps = np.asarray([
-            _bucket(
-                min(int(pl_) + 1 + 16 * int(xl) + 1,
-                    ecfg.audio_buckets[-1]),
-                ecfg.audio_buckets, granularity=512,
-            ) - int(pl_) - 2
-            for pl_, xl in zip(plens, x_lens)
-        ], np.int32)
+        caps = single_request_gen_caps(plens, x_lens, ecfg.audio_buckets)
         fn = make_chunked_synthesis(
             params, cfg, ecfg, mesh,
             s_text=s_text, p_audio=p_audio, t_gen=t_gen, t_audio=t_audio,

@@ -19,7 +19,13 @@ import numpy as np
 
 from ..config import EngineConfig, ModelConfig
 from ..ops.decode_step import ABLK
-from .ar import ARResult, _bucket, ar_generate, ar_generate_batch
+from .ar import (
+    ARResult,
+    _bucket,
+    ar_generate,
+    ar_generate_batch,
+    single_request_gen_caps,
+)
 from .nar import nar_generate
 
 Params = Dict[str, Any]
@@ -255,10 +261,16 @@ class SynthesisPipeline:
         cfg = self.cfg
         top_k = e.top_k if top_k is None else top_k
         temperature = e.temperature if temperature is None else temperature
-        if not (top_k <= 0 or top_k == 1):
+        if not (top_k <= 0 or top_k == 1) or e.top_p < 1.0:
             raise ValueError(
-                "batched synthesis supports greedy (top_k=1) or unfiltered "
-                "sampling (top_k<=0) only"
+                "batched synthesis supports greedy (top_k=1) or UNFILTERED "
+                "sampling (top_k<=0, top_p>=1) only"
+            )
+        if self.decode_mode != "megakernel":
+            raise RuntimeError(
+                "batched synthesis runs the Pallas block kernel "
+                "(decode_mode='megakernel'); on CPU tests use interpret "
+                "mode (see tests/test_batch_decode.py)"
             )
         R = len(requests)
         if R == 1:
@@ -310,13 +322,9 @@ class SynthesisPipeline:
         timer = self.timer
         x_lens_dev = jnp.asarray(x_lens)
         plens_dev = jnp.asarray(prompt_lens)
-        caps = np.asarray([
-            _bucket(
-                min(int(pl_) + 1 + 16 * int(xl) + 1, e.audio_buckets[-1]),
-                e.audio_buckets, granularity=512,
-            ) - int(pl_) - 2
-            for pl_, xl in zip(prompt_lens, x_lens)
-        ], np.int32)
+        caps = single_request_gen_caps(
+            prompt_lens, x_lens, e.audio_buckets
+        )
         with timer.phase("ar"):
             y_gen, gen_len, _ = ar_generate_batch(
                 self.params, cfg,

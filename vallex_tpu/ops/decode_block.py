@@ -48,14 +48,17 @@ ATTN, FFN = 0, 1
 
 def _kernel(
     # scalar prefetch
-    x_len_ref,  # [1]
-    pos_ref,  # [1] audio position of the block's first step
+    x_len_ref,  # [B] valid text length per lane group (beams: broadcast)
+    pos_ref,  # [1] audio position of the block's first step (batched: the
+    #           number of generated frames before this block)
     tok_ref,  # [B] token to feed at step 0
     seed_ref,  # [1] PRNG seed of step 0 (step k uses seed0 + k)
     done_ref,  # [B] i32 beam-done flags entering the block
-    remaining_ref,  # [1] max_gen - step0: step k >= remaining is length-capped
-    plen_ref,  # [1] prompt_len: audio rows [0, prompt_len] are the shared
-    #            prefix (BOS+prompt, identical across beams; B>1 schedule)
+    remaining_ref,  # [B] max_gen - step0 per lane group: step k >=
+    #                 remaining[i] is length-capped (beams: broadcast)
+    plen_ref,  # [B] prompt_len per lane group (beams: broadcast; audio
+    #            rows [0, prompt_len] are the shared prefix in the B>1
+    #            beams schedule, per-request mask bounds in batched mode)
     # inputs
     wqkv_ref,  # [1, D, 3D] block of [NL, D, 3D]
     bqkv_ref,  # [1, 1, 3D]
