@@ -296,3 +296,43 @@ def test_mandarin_corpus_coverage():
     assert word_pinyin("增长") == ["zeng1", "zhang3"]
     assert word_pinyin("重要")[0] == "zhong4"
     assert word_pinyin("重复")[0] == "chong2"
+
+
+STRESS_CASES = [
+    "_[EN]Hello... world!? 3.14159 $100 50% #1 @home[EN]",
+    "_[ZH]2024年3月15日,价格是¥1,234.56,增长了25%![ZH]",
+    "_[JA]2024年、第3四半期の売上は1億5000万円でした。[JA]",
+    "_[EN]Dr. Smith's co-worker re-elected the CEO (again) — wow…[EN]",
+    '_[ZH]他说:“你好吗?”我说:“很好!”[ZH]',
+    "_[JA]「こんにちは」と言った。ABCとxyz、No1。[JA]",
+    "_[EN]naive cafe resume Zurich 😀 emoji[EN]",
+    "_[ZH]ＡＢＣ１２３[ZH]",  # fullwidth forms
+    "_[JA]ヴァイオリンとウィスキー[JA]",  # katakana digraphs
+    "_[EN]supercalifragilisticexpialidocious"
+    " antidisestablishmentarianism[EN]",
+    "_[ZH]𠮷野家[ZH]",  # surrogate-pair kanji
+]
+
+
+def test_frontend_stress_no_crashes():
+    """Adversarial real-world text — numerals, currency, quotes, emoji,
+    fullwidth forms, rare kanji — must tokenize without exceptions and
+    keep the ids/langs alignment invariant (a frontend crash or
+    misalignment would take down a serving process)."""
+    from vallex_tpu.frontend import PhonemeTokenizer
+
+    tok = PhonemeTokenizer()
+    for case in STRESS_CASES:
+        ids, langs = tok.tokenize(case)
+        assert len(ids) == len(langs), case
+        assert len(ids) > 0, case
+
+
+def test_frontend_empty_span_raises_cleanly():
+    from vallex_tpu.frontend import PhonemeTokenizer
+
+    tok = PhonemeTokenizer()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tok.tokenize("_[EN][EN]")
