@@ -199,6 +199,14 @@ def batch_synthesize(
     megakernel decode path (real TPU, or interpret-mode in tests)."""
     n_dev = mesh.devices.size
     N = len(requests)
+    if per_chip > 1 and (
+        not (ecfg.top_k <= 0 or ecfg.top_k == 1) or ecfg.top_p < 1.0
+    ):
+        raise ValueError(
+            "per_chip chunked serving runs the batched engine, which "
+            "supports greedy (top_k=1) or UNFILTERED sampling "
+            "(top_k<=0, top_p>=1) only"
+        )
     n_rows = n_dev * per_chip
     assert N <= n_rows, (
         f"{N} requests > {n_dev} devices x {per_chip} per chip "

@@ -24,7 +24,7 @@ from .ar import (
     _bucket,
     ar_generate,
     ar_generate_batch,
-    single_request_gen_caps,
+    pad_batched_requests,
 )
 from .nar import nar_generate
 
@@ -283,48 +283,31 @@ class SynthesisPipeline:
                 return_wave=return_wave,
             )
             return [(codes, wave)]
-        S_max = max(len(t) for t, _, _ in requests)
-        s_text = _bucket(S_max, e.text_buckets)
-        prompts = [
-            np.zeros((0, cfg.num_quantizers), np.int32)
-            if p is None else np.asarray(p, np.int32)
-            for _, _, p in requests
-        ]
-        Tp_max = max(len(p) for p in prompts)
-        p_audio = -(-(Tp_max + 1) // ABLK) * ABLK
-        t_gen = _bucket(
-            min(16 * S_max + 1, e.audio_buckets[-1]), e.audio_buckets,
-            granularity=512,
+        pb = pad_batched_requests(
+            requests, cfg.eos_id, cfg.num_quantizers,
+            e.text_buckets, e.audio_buckets,
         )
+        s_text, p_audio, t_gen = pb["s_text"], pb["p_audio"], pb["t_gen"]
+        prompts = pb["prompts"]
+        Tp_max = max(len(p) for p in prompts)
         t_audio = _bucket(
-            min(Tp_max + 1 + 16 * S_max + 1, e.audio_buckets[-1]),
+            min(Tp_max + 1 + 16 * int(max(pb["x_lens"])) + 1,
+                e.audio_buckets[-1]),
             e.audio_buckets, granularity=512,
         )
-
-        text_pad = np.zeros((R, s_text), np.int32)
-        lang_pad = np.zeros((R, s_text), np.int32)
-        x_lens = np.zeros((R,), np.int32)
-        prompt_pad = np.full((R, p_audio - 1), cfg.eos_id, np.int32)
-        prompt_lens = np.zeros((R,), np.int32)
+        text_pad, lang_pad = pb["text"], pb["lang"]
+        x_lens, prompt_lens = pb["x_lens"], pb["prompt_lens"]
+        prompt_pad, caps = pb["prompt_pad"], pb["caps"]
         prompt_codes_pad = np.zeros(
             (R, t_audio, cfg.num_quantizers), np.int32
         )
-        for r, (t, lg, _) in enumerate(requests):
-            text_pad[r, : len(t)] = t
-            lang_pad[r, : len(lg)] = lg
-            x_lens[r] = len(t)
-            p = prompts[r]
-            if len(p):
-                prompt_pad[r, : len(p)] = p[:, 0]
-                prompt_lens[r] = len(p)
-                prompt_codes_pad[r, : len(p)] = p
+        for r, pr in enumerate(prompts):
+            if len(pr):
+                prompt_codes_pad[r, : len(pr)] = pr
 
         timer = self.timer
         x_lens_dev = jnp.asarray(x_lens)
         plens_dev = jnp.asarray(prompt_lens)
-        caps = single_request_gen_caps(
-            prompt_lens, x_lens, e.audio_buckets
-        )
         with timer.phase("ar"):
             y_gen, gen_len, _ = ar_generate_batch(
                 self.params, cfg,

@@ -1033,7 +1033,11 @@ def decode_block_fused(
     kv_scales=None,  # (kscale_lane, vscale_lane) each [NL, 1, N] f32
 ):
     """K fused decode steps → (fed_tokens [K,B], next_tok [B], next_logp [B],
-    done' [B], sum_logprobs' [B], cache_k', cache_v')."""
+    done' [B], sum_logprobs' [B], cache_k', cache_v',
+    step_logits [K, B, VP] — every step's pre-sampling logits, the draft
+    side of speculative sampling; ~40 KB/frame of HBM write, negligible
+    next to the weight stream, so it is always emitted rather than
+    forking every config's compiled program on a static flag)."""
     B = tokens.shape[0]
     lw = layer_weights
     NL, C, N = cache_k.shape
