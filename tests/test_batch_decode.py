@@ -105,6 +105,65 @@ def test_api_generate_audio_batch(monkeypatch):
         _reload()
 
 
+def test_long_text_batch_size_uses_measured_optimum():
+    from vallex_tpu import api
+
+    assert api._long_text_batch_size(EngineConfig(quantize="int8kv")) == 8
+    for q in ("none", "int8", "w8a8"):
+        assert api._long_text_batch_size(EngineConfig(quantize=q)) == 4
+
+
+def test_long_text_batched_chunking_exact(monkeypatch):
+    """Long-text fixed-prompt batching chunks sentences at the measured
+    batch optimum — with more sentences than one chunk, the chunking math
+    must still yield exactly the per-sentence greedy codes. (quantize=none
+    keeps the batched-equals-single guarantee bitwise; int8kv derives its
+    KV scales batch-wide, so its exactness is vs synthesize_batch, covered
+    by test_int8kv_runs_all_paths.)"""
+    _interpret(monkeypatch)
+    try:
+        from vallex_tpu import api
+        from vallex_tpu.frontend.sentence import split_text_into_sentences
+
+        e = EngineConfig(
+            text_buckets=(128,), audio_buckets=(512,),
+            compute_dtype="float32", decode_mode="megakernel",
+            decode_steps=4, speculative="off",
+            top_k=1,
+        )
+        cfg = ModelConfig(
+            d_model=D, num_heads=H, num_layers=NL, ffn_dim=2 * D
+        )
+        bundle = api.preload_models(
+            "/tmp/nonexistent-ck", random_weights=True, cfg=cfg, ecfg=e
+        )
+        # 5 short sentences -> chunks of 4 + 1 with BATCH=4
+        text = "Go on. " * 5
+        sentences = split_text_into_sentences(text)
+        assert len(sentences) == 5
+        wave_lt = api.generate_audio_from_long_text(
+            text, prompt="paimon", mode="fixed-prompt", seed=0
+        )
+        # per-sentence greedy singles, concatenated, single vocoder pass
+        audio_prompt, text_prompt, lang_pr = api._load_prompt("paimon")
+        parts = []
+        for sent in sentences:
+            tid, lid = api._prepare_text(
+                bundle, sent, text_prompt, lang_pr, "auto", "no-accent"
+            )
+            codes, _ = bundle.pipeline.synthesize(
+                tid, lid, audio_prompt, best_of=1, top_k=1, seed=0,
+                return_wave=False,
+            )
+            parts.append(codes)
+        wave_s = api.codes_to_wave(bundle, np.concatenate(parts, axis=0))
+        np.testing.assert_allclose(wave_lt, wave_s, atol=1e-4)
+    finally:
+        api._bundle = None
+        monkeypatch.undo()
+        _reload()
+
+
 def test_int8kv_runs_all_paths(params, monkeypatch):
     """int8 KV cache mode (quantize='int8kv'): static per-(layer, head)
     scales fold into q / the output accumulator, the cache and in-kernel

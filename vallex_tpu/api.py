@@ -348,6 +348,14 @@ def generate_audio_batch(
     return waves
 
 
+def _long_text_batch_size(ecfg: EngineConfig) -> int:
+    """Sentence-batch size for fixed-prompt long text: the measured
+    single-chip optimum (PERFORMANCE.md) is batch 8 with the int8 KV cache
+    (61x/chip) and batch 4 otherwise (bf16/int8 caches hit VMEM pressure
+    at 8)."""
+    return 8 if getattr(ecfg, "quantize", "none") == "int8kv" else 4
+
+
 def generate_audio_from_long_text(
     text: str,
     prompt: Optional[str] = None,
@@ -394,7 +402,7 @@ def generate_audio_from_long_text(
                 audio_prompt if len(audio_prompt) else None,
             ))
         batched_codes: List[np.ndarray] = []
-        BATCH = 4
+        BATCH = _long_text_batch_size(e)
         for i in range(0, len(requests), BATCH):
             chunk = requests[i : i + BATCH]
             if len(chunk) == 1:

@@ -27,6 +27,7 @@ from .ar import (
     ar_generate,
     ar_generate_batch,
     _bucket,
+    prepare_packed_weights,
     single_request_gen_caps,
 )
 from .nar import nar_generate
@@ -59,6 +60,12 @@ def make_chunked_synthesis(
     N = devices · per_chip; shard_map splits the leading axis."""
     from .pipeline import _assemble_nar_input_batch
 
+    # packed once on the host side of the shard_map; replicated like params
+    packed, _ = prepare_packed_weights(
+        params, compute_dtype=ecfg.compute_dtype,
+        quantize=getattr(ecfg, "quantize", "none"), need_draft=False,
+    )
+
     def chunk(
         text_ids, lang_ids, x_lens, prompt_cb0, prompt_codes,
         prompt_lens, gen_caps, seeds
@@ -78,6 +85,7 @@ def make_chunked_synthesis(
             greedy=bool(ecfg.top_k == 1),
             quantize=getattr(ecfg, "quantize", "none"),
             decode_steps=max(2, getattr(ecfg, "decode_steps", 8)),
+            packed=packed,
         )
         codes_in = _assemble_nar_input_batch(
             y_gen, prompt_codes, prompt_lens, t_audio=t_audio
@@ -123,6 +131,21 @@ def make_batched_synthesis(
     → (codes [N, t_audio, 8], gen_lens [N]); N must equal mesh dp size.
     """
     eos = cfg.eos_id
+    plain = bool(
+        (ecfg.top_k <= 0 or ecfg.top_k == 1) and ecfg.top_p >= 1.0
+    )
+    quantize = getattr(ecfg, "quantize", "none")
+    decode_steps = getattr(ecfg, "decode_steps", 1)
+    speculative = getattr(ecfg, "speculative", "auto") in ("auto", "on", True)
+    packed = packed_draft = None
+    if decode_mode == "megakernel":
+        need_draft = bool(
+            speculative and plain and decode_steps > 1 and quantize == "none"
+        )
+        packed, packed_draft = prepare_packed_weights(
+            params, compute_dtype=ecfg.compute_dtype,
+            quantize=quantize, need_draft=need_draft,
+        )
 
     def one_request(
         text_ids, lang_ids, x_len, prompt_cb0, prompt_codes, prompt_len, seed
@@ -140,14 +163,12 @@ def make_batched_synthesis(
             beams=1, compute_dtype=ecfg.compute_dtype,
             length_penalty=ecfg.length_penalty,
             decode_mode=decode_mode,
-            plain_sampling=bool(
-                (ecfg.top_k <= 0 or ecfg.top_k == 1) and ecfg.top_p >= 1.0
-            ),
+            plain_sampling=plain,
             greedy=bool(ecfg.top_k == 1),
-            quantize=getattr(ecfg, "quantize", "none"),
-            decode_steps=getattr(ecfg, "decode_steps", 1),
-            speculative=getattr(ecfg, "speculative", "auto")
-            in ("auto", "on", True),
+            quantize=quantize,
+            decode_steps=decode_steps,
+            speculative=speculative,
+            packed=packed, packed_draft=packed_draft,
         )
         # the AR buffer may carry K slack rows past t_audio
         y = res.tokens[res.best_beam][:t_audio]

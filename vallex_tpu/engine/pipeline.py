@@ -21,6 +21,7 @@ from ..config import EngineConfig, ModelConfig
 from ..ops.decode_step import ABLK
 from .ar import (
     ARResult,
+    PackedWeightsCache,
     _bucket,
     ar_generate,
     ar_generate_batch,
@@ -130,6 +131,20 @@ class SynthesisPipeline:
                 "megakernel" if jax.default_backend() not in ("cpu",) else "xla"
             )
         self.decode_mode = mode
+        self.packed_cache = PackedWeightsCache(params)
+
+    def _packed_args(self, *, plain_sampling, best_of, quantize,
+                     decode_steps, speculative):
+        """Device-cached packed megakernel weights (see AREngine)."""
+        if self.decode_mode != "megakernel":
+            return None, None
+        need_draft = bool(
+            speculative and plain_sampling and decode_steps > 1
+            and best_of == 1 and quantize == "none"
+        )
+        return self.packed_cache.get(
+            self.ecfg.compute_dtype, quantize, need_draft
+        )
 
     def synthesize(
         self,
@@ -180,6 +195,16 @@ class SynthesisPipeline:
 
         # --- AR (device) ---------------------------------------------------
         timer = self.timer
+        plain = bool((top_k <= 0 or top_k == 1) and top_p >= 1.0)
+        quantize = getattr(e, "quantize", "none")
+        decode_steps = getattr(e, "decode_steps", 1)
+        speculative = getattr(e, "speculative", "auto") in (
+            "auto", "on", True,
+        )
+        packed, packed_draft = self._packed_args(
+            plain_sampling=plain, best_of=best_of, quantize=quantize,
+            decode_steps=decode_steps, speculative=speculative,
+        )
         with timer.phase("ar"):
             res: ARResult = ar_generate(
                 self.params, cfg,
@@ -193,14 +218,12 @@ class SynthesisPipeline:
                 beams=best_of, compute_dtype=e.compute_dtype,
                 length_penalty=e.length_penalty,
                 decode_mode=self.decode_mode,
-                plain_sampling=bool(
-                    (top_k <= 0 or top_k == 1) and top_p >= 1.0
-                ),
+                plain_sampling=plain,
                 greedy=bool(top_k == 1),
-                quantize=getattr(e, "quantize", "none"),
-                decode_steps=getattr(e, "decode_steps", 1),
-                speculative=getattr(e, "speculative", "auto")
-                in ("auto", "on", True),
+                quantize=quantize,
+                decode_steps=decode_steps,
+                speculative=speculative,
+                packed=packed, packed_draft=packed_draft,
             )
 
         # --- NAR (device handoff) -------------------------------------------
@@ -308,6 +331,8 @@ class SynthesisPipeline:
         timer = self.timer
         x_lens_dev = jnp.asarray(x_lens)
         plens_dev = jnp.asarray(prompt_lens)
+        quantize = getattr(e, "quantize", "none")
+        packed, _ = self.packed_cache.get(e.compute_dtype, quantize, False)
         with timer.phase("ar"):
             y_gen, gen_len, _ = ar_generate_batch(
                 self.params, cfg,
@@ -320,8 +345,9 @@ class SynthesisPipeline:
                 s_text=s_text, p_audio=p_audio, t_gen=t_gen,
                 compute_dtype=e.compute_dtype,
                 greedy=bool(top_k == 1),
-                quantize=getattr(e, "quantize", "none"),
+                quantize=quantize,
                 decode_steps=max(2, getattr(e, "decode_steps", 8)),
+                packed=packed,
             )
 
         with timer.phase("nar"):
