@@ -520,7 +520,7 @@ def continual(
         bundle, text, np.zeros((0,), np.int32), None, language, "no-accent"
     )
     from .engine.ar import _bucket
-    from .engine.nar import nar_generate
+    from .engine.nar import nar_generate, nar_use_flash
 
     import jax.numpy as jnp
 
@@ -544,5 +544,6 @@ def continual(
         s_text=s_text, t_audio=t_audio,
         compute_dtype=e.compute_dtype,
         add_lang=False,
+        use_flash=nar_use_flash(bundle.cfg),
     )
     return np.asarray(out[0, prefix_len:T])

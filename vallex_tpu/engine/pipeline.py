@@ -27,7 +27,7 @@ from .ar import (
     ar_generate_batch,
     pad_batched_requests,
 )
-from .nar import nar_generate
+from .nar import nar_generate, nar_use_flash
 
 Params = Dict[str, Any]
 
@@ -241,6 +241,7 @@ class SynthesisPipeline:
                 codes_in, t_len, prompt_len_dev,
                 s_text=s_text, t_audio=t_audio,
                 compute_dtype=e.compute_dtype,
+                use_flash=nar_use_flash(cfg),
             )
             gen_codes = _shift_out_prompt(
                 codes, prompt_len_dev, res.gen_len.astype(jnp.int32)
@@ -363,6 +364,7 @@ class SynthesisPipeline:
                 codes_in, t_len, plens_dev,
                 s_text=s_text, t_audio=t_audio,
                 compute_dtype=e.compute_dtype,
+                use_flash=nar_use_flash(cfg),
             )
             gen_codes = _shift_out_prompt_batch(codes, plens_dev, gen_len)
 

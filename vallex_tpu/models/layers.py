@@ -202,13 +202,62 @@ def mha_out(p: Params, attn: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(y, p["out_w"].astype(y.dtype)) + p["out_b"].astype(y.dtype)
 
 
+def attention_core_flash(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_seg: jnp.ndarray,
+    kv_seg: jnp.ndarray,
+) -> jnp.ndarray:
+    """Flash (blocked online-softmax) attention via the Pallas TPU kernel.
+
+    Plain XLA attention materializes the [T, T] f32 score tensor per head —
+    for the NAR's 7 full-sequence stages that is ~35 GB of HBM score traffic
+    per utterance, several times the weight traffic. The flash kernel keeps
+    the softmax state in VMEM. Masking is segment-based (valid=1, pad=0 —
+    queries attend keys with the SAME id), which covers key-padding masks
+    exactly; use attention_core for masks flash cannot express (e.g. the AR
+    prefill's text-visible + audio-causal pattern).
+    q,k,v: [B, H, T, hd]; q_seg/kv_seg: [B, T] int32.
+    """
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    hd = q.shape[-1]
+    T = q.shape[-2]
+
+    def _largest_block(n: int, cap: int) -> int:
+        b = min(n, cap)
+        while n % b:
+            b -= 128
+        return max(b, 128)
+
+    # The library defaults are 128x128 blocks — at our sizes (T ~ 1280,
+    # hd 64) the per-block overhead dominates. One KV pass per q block
+    # (the whole [T, hd] K/V fits VMEM many times over) is ~2x faster.
+    bq = _largest_block(T, 512)
+    bk = _largest_block(k.shape[-2], 1536)
+    out = _fa.flash_attention(
+        q, k, v,
+        segment_ids=_fa.SegmentIds(q=q_seg, kv=kv_seg),
+        sm_scale=1.0 / math.sqrt(hd),
+        causal=False,
+        block_sizes=_fa.BlockSizes(
+            block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        ),
+    )
+    return out.astype(q.dtype)
+
+
 def mha_apply(
     p: Params,
     x: jnp.ndarray,
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
+    segments=None,
 ) -> jnp.ndarray:
     q, k, v = mha_qkv(p, x, num_heads)
+    if segments is not None:
+        return mha_out(p, attention_core_flash(q, k, v, *segments))
     return mha_out(p, attention_core(q, k, v, mask))
 
 
@@ -244,9 +293,10 @@ def encoder_layer_apply(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     stage_emb: Optional[jnp.ndarray] = None,
+    segments=None,
 ) -> jnp.ndarray:
     h = _norm(p["norm1"], x, stage_emb)
-    x = x + mha_apply(p["self_attn"], h, num_heads, mask)
+    x = x + mha_apply(p["self_attn"], h, num_heads, mask, segments)
     h = _norm(p["norm2"], x, stage_emb)
     h = linear_apply(p["linear1"], h)
     h = jax.nn.relu(h)
@@ -278,12 +328,18 @@ def encoder_stack_apply(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     stage_emb: Optional[jnp.ndarray] = None,
+    segments=None,
 ) -> jnp.ndarray:
-    """Run the full stack via lax.scan over the layer axis + final norm."""
+    """Run the full stack via lax.scan over the layer axis + final norm.
+
+    segments=(q_seg, kv_seg) switches attention to the flash kernel
+    (attention_core_flash) — only valid for key-padding-style masks."""
 
     def body(carry, layer_p):
         return (
-            encoder_layer_apply(layer_p, carry, num_heads, mask, stage_emb),
+            encoder_layer_apply(
+                layer_p, carry, num_heads, mask, stage_emb, segments
+            ),
             None,
         )
 

@@ -196,13 +196,18 @@ def nar_forward_stage(
     xy: jnp.ndarray,
     stage_idx: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    segments=None,
 ) -> jnp.ndarray:
-    """One NAR pass conditioned on stage embedding `stage_idx` (0..6)."""
+    """One NAR pass conditioned on stage embedding `stage_idx` (0..6).
+
+    segments=(q_seg, kv_seg) runs attention through the Pallas flash
+    kernel instead of the mask (TPU fast path — the NAR mask is pure key
+    padding, exactly what segment ids express)."""
     stage_emb = params["nar_stage_embeddings"]["weight"][stage_idx].astype(
         xy.dtype
     )
     return L.encoder_stack_apply(
-        params["nar_decoder"], xy, cfg.num_heads, mask, stage_emb
+        params["nar_decoder"], xy, cfg.num_heads, mask, stage_emb, segments
     )
 
 

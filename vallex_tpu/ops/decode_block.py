@@ -296,14 +296,20 @@ def _kernel(
         selT_s = sel.T.astype(jnp.bfloat16) if score16 else sel.T
 
         def fold(kb, vb, ok, state, shared=False):
-            """Fold one sanitized key/value plane into the per-beam
-            online-softmax state tuple ((m, l, acc) * B). ok: [R, 1] bool.
-            shared=True: kb/vb are [R, D] prefix rows IDENTICAL across
-            beams (text / acoustic prompt) — every beam scores the same
-            plane; shared=False: kb/vb are beam-lane-packed [R, N]."""
-            out = []
+            """Fold one sanitized key/value plane into the PACKED
+            online-softmax state (m [1, B·H], l [1, B·H], acc [1, B·D]).
+            ok: [R, 1] bool. shared=True: kb/vb are [R, D] prefix rows
+            IDENTICAL across beams (text / acoustic prompt) — every beam
+            scores the same plane; shared=False: kb/vb are beam-lane-packed
+            [R, N]. The state lives packed (three arrays, not 3·B) so the
+            HBM-fold fori_loops carry O(1) vector values regardless of B —
+            per-beam tuples spilled Mosaic's register allocator at B=16."""
+            m_all, l_all, acc_all = state
+            out_m, out_l, out_acc = [], [], []
             for b in range(B):
-                m_b, l_b, acc_b = state[b]
+                m_b = m_all[:, b * Hh : (b + 1) * Hh]
+                l_b = l_all[:, b * Hh : (b + 1) * Hh]
+                acc_b = acc_all[:, b * D : (b + 1) * D]
                 if shared:
                     kb_b, vb_b = kb, vb
                 else:
@@ -330,8 +336,14 @@ def _kernel(
                 acc_new = acc_b * alpha_lanes + jnp.sum(
                     p_lanes * vb_b, axis=0, keepdims=True
                 )
-                out.append((m_new, l_new, acc_new))
-            return tuple(out)
+                out_m.append(m_new)
+                out_l.append(l_new)
+                out_acc.append(acc_new)
+            return (
+                jnp.concatenate(out_m, axis=1),
+                jnp.concatenate(out_l, axis=1),
+                jnp.concatenate(out_acc, axis=1),
+            )
 
         if B > 1:
             # Wide-matmul fold for beam-lane-packed planes: one
@@ -355,15 +367,17 @@ def _kernel(
                 return x.astype(jnp.bfloat16) if score16 else x
 
             def fold_wide(kb, vb, ok, state):
+                # fully packed: NO per-beam slicing or repacking — the
+                # state stays (m [1,G], l [1,G], acc [1,N]) end to end, so
+                # the op count is B-independent and the fori_loop carry is
+                # three vectors (B-tuples spilled registers at 16 groups)
+                m_olds, l_olds, acc_olds = state
                 s_all = jax.lax.dot(
                     cast_s(kb * qf), selN_s,
                     preferred_element_type=jnp.float32,
                 ) * scale  # [R, G]
                 s_all = jnp.where(ok, s_all, -1e30)
                 s_max = jnp.max(s_all, axis=0, keepdims=True)  # [1, G]
-                m_olds = jnp.concatenate(
-                    [m_b for (m_b, _, _) in state], axis=1
-                )  # [1, G]
                 m_new = jnp.maximum(m_olds, s_max)
                 alpha = jnp.exp(m_olds - m_new)  # [1, G]
                 p = jnp.exp(s_all - m_new)  # [R, G]
@@ -375,27 +389,18 @@ def _kernel(
                     alpha, selN.T, preferred_element_type=jnp.float32
                 )  # [1, N]
                 pv = jnp.sum(p_lanes * vb, axis=0, keepdims=True)  # [1, N]
-                out = []
-                for b in range(B):
-                    hsl = slice(b * num_heads, (b + 1) * num_heads)
-                    dsl = slice(b * D, (b + 1) * D)
-                    _, l_b, acc_b = state[b]
-                    out.append((
-                        m_new[:, hsl],
-                        l_b * alpha[:, hsl] + l_sum[:, hsl],
-                        acc_b * alpha_lanes[:, dsl] + pv[:, dsl],
-                    ))
-                return tuple(out)
+                return (
+                    m_new,
+                    l_olds * alpha + l_sum,
+                    acc_olds * alpha_lanes + pv,
+                )
         else:
             fold_wide = fold
 
-        state0 = tuple(
-            (
-                jnp.full((1, Hh), -1e30, jnp.float32),
-                jnp.zeros((1, Hh), jnp.float32),
-                jnp.zeros((1, D), jnp.float32),
-            )
-            for _ in range(B)
+        state0 = (
+            jnp.full((1, B * Hh), -1e30, jnp.float32),
+            jnp.zeros((1, B * Hh), jnp.float32),
+            jnp.zeros((1, B * D), jnp.float32),
         )
 
         if B == 1:
@@ -418,12 +423,14 @@ def _kernel(
         ok_own = jnp.ones((1, 1), bool)
         state = fold_wide(own_k, own_v, ok_own, state)
 
+        _, l_all, acc_all = state
         attn = jnp.concatenate(
             [
-                acc_b / jax.lax.dot(
-                    l_b, sel.T, preferred_element_type=jnp.float32
+                acc_all[:, b * D : (b + 1) * D] / jax.lax.dot(
+                    l_all[:, b * Hh : (b + 1) * Hh], sel.T,
+                    preferred_element_type=jnp.float32,
                 )
-                for (_, l_b, acc_b) in state
+                for b in range(B)
             ],
             axis=0,
         )  # [B, D]

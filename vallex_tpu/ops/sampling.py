@@ -58,6 +58,88 @@ def top_p_filter(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(top_p < 1.0, filtered, logits)
 
 
+def _sortable_key(logits: jnp.ndarray) -> jnp.ndarray:
+    """f32 → uint32 keys with the same total order (IEEE-754 trick:
+    flip all bits of negatives, set the sign bit of non-negatives).
+    Lets the filter thresholds run as EXACT integer bisection — no sorts,
+    so the same code runs inside the Pallas decode kernels."""
+    b = jax.lax.bitcast_convert_type(logits.astype(jnp.float32), jnp.uint32)
+    neg = (b >> 31) == 1
+    return jnp.where(neg, ~b, b | jnp.uint32(0x80000000))
+
+
+def _bisect_min_key(count_gt, B: int, pred_limit) -> jnp.ndarray:
+    """Find, per row, the minimum uint32 key v such that
+    count_gt(v) <= pred_limit, by 32-step integer bisection.
+    count_gt: fn([B,1] uint32 keys) → [B,1] monotone-decreasing counts."""
+    lo = jnp.zeros((B, 1), jnp.uint32)
+    hi = jnp.full((B, 1), 0xFFFFFFFF, jnp.uint32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & jnp.uint32(1))
+        too_many = count_gt(mid) > pred_limit
+        lo = jnp.where(too_many, mid + jnp.uint32(1), lo)
+        hi = jnp.where(too_many, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return hi
+
+
+def topk_keep_mask(logits: jnp.ndarray, top_k: jnp.ndarray) -> jnp.ndarray:
+    """[B, V] bool: logit >= its row's k-th largest value — EXACTLY
+    top_k_filter's kept set (ties at the threshold all kept), computed
+    sort-free so it runs inside the Pallas decode kernels. top_k <= 0
+    disables (all-keep)."""
+    B, V = logits.shape
+    keys = _sortable_key(logits)  # [B, V]
+    k = jnp.clip(top_k.astype(jnp.int32), 1, V)
+
+    def count_gt(v):  # [B,1] → [B,1]
+        return jnp.sum((keys > v).astype(jnp.int32), axis=1, keepdims=True)
+
+    # min v with count(key > v) < k  ⇒  v == the k-th largest key
+    tau = _bisect_min_key(count_gt, B, k - 1)
+    keep = keys >= tau
+    return jnp.logical_or(keep, top_k.astype(jnp.int32) <= 0)
+
+
+def topp_keep_mask(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
+    """[B, V] bool: the nucleus with the reference's shift-right
+    semantics — keep token i iff the probability mass of tokens STRICTLY
+    ranked above it is <= top_p (the crossing token is kept). Exactly
+    top_p_filter's kept set for tie-free logits (real-model f32 logits
+    tie only at the mask value, where the mass test removes them anyway).
+    top_p >= 1 disables (all-keep)."""
+    B, V = logits.shape
+    keys = _sortable_key(logits)
+    lse = jax.nn.logsumexp(logits, axis=1, keepdims=True)
+    probs = jnp.exp(logits - lse)  # [B, V]
+
+    def mass_gt(v):  # [B,1] → [B,1] probability mass strictly above v
+        return jnp.sum(
+            jnp.where(keys > v, probs, 0.0), axis=1, keepdims=True
+        )
+
+    tau = _bisect_min_key(count_gt=mass_gt, B=B, pred_limit=top_p)
+    keep = keys >= tau
+    return jnp.logical_or(keep, top_p >= 1.0)
+
+
+def filtered_keep_mask(
+    logits: jnp.ndarray, top_k: jnp.ndarray, top_p: jnp.ndarray
+) -> jnp.ndarray:
+    """Combined top-k → top-p kept set (the reference's filter order:
+    nucleus mass measured on the top-k-filtered distribution,
+    models/vallex.py:791-853). Pure jnp (fori_loop + bit ops), runs both
+    under XLA and inside Pallas kernels."""
+    keep_k = topk_keep_mask(logits, top_k)
+    filtered = jnp.where(keep_k, logits, NEG_INF)
+    keep_p = topp_keep_mask(filtered, top_p)
+    return jnp.logical_and(keep_k, keep_p)
+
+
 def speculative_accept(
     rng: jax.Array,
     draft_tokens: jnp.ndarray,  # [K-1] tokens the draft model sampled
