@@ -239,3 +239,34 @@ def test_batched_matches_single_requests(params, monkeypatch):
     finally:
         monkeypatch.undo()
         _reload()
+
+
+def test_batched_filtered_greedy_matches_plain(params, monkeypatch):
+    """The batched engine accepts filtered sampling (top_k > 1 /
+    top_p < 1) through the in-kernel bisection filter. Greedy (top_k=1)
+    with top_p < 1 routes filtered=True; the shift-right nucleus keeps the
+    argmax token, so outputs must equal the plain batched greedy run.
+    (The stochastic filtered path needs on-core PRNG — hardware-checked by
+    tools/tpu_checks.py.)"""
+    _interpret(monkeypatch)
+    try:
+        e = EngineConfig(
+            text_buckets=(128,), audio_buckets=(512,),
+            compute_dtype="float32", decode_mode="megakernel",
+            decode_steps=4, speculative="off",
+        )
+        eng = AR.AREngine(params, CFG, e)
+        reqs = _requests()
+        plain = eng.generate_batch(reqs, top_k=1, temperature=1.0, seed=3)
+        filt = eng.generate_batch(
+            reqs, top_k=1, top_p=0.9, temperature=1.0, seed=3
+        )
+        assert len(plain) == len(filt)
+        for r in range(len(reqs)):
+            np.testing.assert_array_equal(
+                plain[r], filt[r],
+                err_msg=f"request {r}: filtered greedy != plain greedy",
+            )
+    finally:
+        monkeypatch.undo()
+        _reload()

@@ -83,6 +83,37 @@ def test_block_matches_single_step(params, monkeypatch, greedy):
         _reload()
 
 
+def test_block_filtered_greedy_matches_plain(params, monkeypatch):
+    """top_k=1 with top_p<1 routes through the in-kernel bisection filter
+    (filtered=True, ops/sampling.py::filtered_keep_mask) in greedy mode;
+    the shift-right nucleus always keeps the argmax token, so the filtered
+    fused block path must emit EXACTLY the plain greedy tokens. (The
+    stochastic filtered path needs on-core PRNG — checked on hardware by
+    tools/tpu_checks.py: top_p→0 filtered sampling == greedy bitwise.)"""
+    _interpret(monkeypatch)
+    try:
+        rng = np.random.RandomState(5)
+        S = 12
+        text = rng.randint(5, 100, size=S).astype(np.int32)
+        lang = np.zeros(S, np.int32)
+        e = EngineConfig(
+            text_buckets=(128,), audio_buckets=(512,),
+            compute_dtype="float32", decode_mode="megakernel",
+            decode_steps=4, best_of=1, speculative="off",
+        )
+        eng = AR.AREngine(params, CFG, e)
+        gen_plain, _ = eng.generate(
+            text, lang, None, top_k=1, top_p=1.0, temperature=1.0, seed=3
+        )
+        gen_filt, _ = eng.generate(
+            text, lang, None, top_k=1, top_p=0.9, temperature=1.0, seed=3
+        )
+        np.testing.assert_array_equal(gen_plain, gen_filt)
+    finally:
+        monkeypatch.undo()
+        _reload()
+
+
 def test_speculative_matches_plain_greedy(params, monkeypatch):
     """Greedy speculative decoding (int8 draft + bf16 verify) must emit
     EXACTLY the tokens of the per-token greedy path — acceptance logic,

@@ -97,6 +97,42 @@ def main():
         f"({wall / max(len(gen_ss2), 1) * 1000:.3f} ms/frame)"
     )
 
+    # ---- in-kernel filtered sampling (top-k/top-p bisection filter) ------
+    # top_p → 0 keeps ONLY the argmax token, so the filtered stochastic
+    # block path (in-kernel filtered_keep_mask + Gumbel draw over the one
+    # surviving lane) must reproduce the greedy sequence bitwise.
+    e_f = EngineConfig(
+        text_buckets=(128,), audio_buckets=(1024,),
+        decode_mode="megakernel", decode_steps=8, quantize="int8",
+        speculative="off",
+    )
+    eng_f = AREngine(params, cfg, e_f)
+    gen_g, _ = eng_f.generate(
+        text, lang, prompt, top_k=1, temperature=1.0, seed=42
+    )
+    gen_p, _ = eng_f.generate(
+        text, lang, prompt, top_k=-100, top_p=1e-6, temperature=1.0,
+        seed=42,
+    )
+    same_f = len(gen_g) == len(gen_p) and (gen_g == gen_p).all()
+    print(f"filtered top_p->0 == greedy: exact={bool(same_f)} "
+          f"(len {len(gen_g)} vs {len(gen_p)})")
+    filtered_ok = bool(same_f)
+    # top_k=50 filtered runs on the fused path at near-plain speed
+    gen_k, _ = eng_f.generate(
+        text, lang, prompt, top_k=50, temperature=1.0, seed=42
+    )
+    t0 = time.time()
+    gen_k2, _ = eng_f.generate(
+        text, lang, prompt, top_k=50, temperature=1.0, seed=43
+    )
+    wall = time.time() - t0
+    print(
+        f"filtered top_k=50 int8: gen_len={len(gen_k)} wall={wall:.3f}s "
+        f"({wall / max(len(gen_k2), 1) * 1000:.3f} ms/frame)"
+    )
+    filtered_ok = filtered_ok and len(gen_k) > 0
+
     # ---- beams: block kernel (B>1 shared-prefix schedule) vs single-step --
     beam_results = {}
     for steps in (1, 8):
@@ -123,6 +159,7 @@ def main():
 
     ok = True
     ok = ok and len(gen_ss) > 0 and len(gen_ss2) > 0
+    ok = ok and filtered_ok
     a, b = beam_results[1], beam_results[8]
     same = len(a) == len(b) and (a == b).all()
     n = min(len(a), len(b))

@@ -284,10 +284,12 @@ def generate_audio(
     best_of: Optional[int] = None,
     temperature: Optional[float] = None,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     seed: int = 0,
 ) -> np.ndarray:
     """Synthesize one utterance → float waveform @ 24 kHz
-    (reference: generation.py:91-152)."""
+    (reference: generation.py:91-152; top_k/top_p are the reference
+    model's sampling knobs, models/vallex.py:836-853)."""
     bundle = _require_bundle()
     audio_prompt, text_prompt, lang_pr = _load_prompt(prompt)
     text_ids, lang_ids = _prepare_text(
@@ -296,7 +298,8 @@ def generate_audio(
     codes, wave = bundle.pipeline.synthesize(
         text_ids, lang_ids,
         audio_prompt if len(audio_prompt) else None,
-        best_of=best_of, temperature=temperature, top_k=top_k, seed=seed,
+        best_of=best_of, temperature=temperature, top_k=top_k,
+        top_p=top_p, seed=seed,
         return_wave=bundle.vocos_params is not None,
     )
     if wave is None:
@@ -312,15 +315,17 @@ def generate_audio_batch(
     *,
     temperature: Optional[float] = None,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     seed: int = 0,
 ) -> List[np.ndarray]:
     """Synthesize SEVERAL independent utterances in one batched pass on a
     single chip (green-field beyond the reference): all requests share
     every decode step's weight stream, so aggregate throughput scales with
     the batch until cache DMA dominates (engine/ar.py::ar_generate_batch).
-    Requests may use different texts, languages and voice prompts; greedy
-    (top_k=1) or unfiltered sampling (top_k<=0) only.
-    → list of float waveforms @ 24 kHz, one per text."""
+    Requests may use different texts, languages and voice prompts; greedy,
+    unfiltered sampling AND filtered sampling (top_k > 1 / 0 < top_p < 1,
+    the reference's knob — models/vallex.py:836-853) all run the fused
+    kernel path. → list of float waveforms @ 24 kHz, one per text."""
     bundle = _require_bundle()
     if prompts is None:
         prompts = [None] * len(texts)
@@ -337,7 +342,8 @@ def generate_audio_batch(
             audio_prompt if len(audio_prompt) else None,
         ))
     results = bundle.pipeline.synthesize_batch(
-        requests, temperature=temperature, top_k=top_k, seed=seed,
+        requests, temperature=temperature, top_k=top_k, top_p=top_p,
+        seed=seed,
         return_wave=bundle.vocos_params is not None,
     )
     waves = []
@@ -388,8 +394,6 @@ def generate_audio_from_long_text(
         mode == "fixed-prompt"
         and len(sentences) > 1
         and resolved_best_of == 1
-        and (e.top_k <= 0 or e.top_k == 1)
-        and e.top_p >= 1.0
         and bundle.pipeline.decode_mode == "megakernel"
     ):
         requests = []

@@ -51,8 +51,8 @@ def make_chunked_synthesis(
     multi-request batched engine (ar_generate_batch) over its own chunk of
     per_chip requests, so the fleet serves devices x per_chip concurrent
     streams — each chip pays its decode weight stream once per step for
-    its whole chunk. Greedy / unfiltered sampling only (the batched
-    engine's contract).
+    its whole chunk. Filtered sampling (top_k > 1 / 0 < top_p < 1) runs
+    the in-kernel bisection filter.
 
     Returns fn(text [N,S], lang [N,S], x_lens [N], prompt_cb0
     [N,p_audio-1], prompt_codes [N,t_audio,8], prompt_lens [N],
@@ -74,17 +74,22 @@ def make_chunked_synthesis(
         key = jax.random.PRNGKey(0)
         for i in range(per_chip):  # fold EVERY request's seed in
             key = jax.random.fold_in(key, seeds[i])
+        plain = bool(
+            (ecfg.top_k <= 0 or ecfg.top_k == 1) and ecfg.top_p >= 1.0
+        )
         y_gen, gen_len, _ = ar_generate_batch(
             params, cfg, text_ids, lang_ids, x_lens,
             prompt_cb0, prompt_lens, gen_caps,
             key,
             jnp.asarray(ecfg.top_k, jnp.int32),
             jnp.asarray(ecfg.temperature, jnp.float32),
+            jnp.asarray(ecfg.top_p, jnp.float32),
             s_text=s_text, p_audio=p_audio, t_gen=t_gen,
             compute_dtype=ecfg.compute_dtype,
             greedy=bool(ecfg.top_k == 1),
             quantize=getattr(ecfg, "quantize", "none"),
             decode_steps=max(2, getattr(ecfg, "decode_steps", 8)),
+            plain_sampling=plain,
             packed=packed,
         )
         codes_in = _assemble_nar_input_batch(
@@ -222,14 +227,6 @@ def batch_synthesize(
     megakernel decode path (real TPU, or interpret-mode in tests)."""
     n_dev = mesh.devices.size
     N = len(requests)
-    if per_chip > 1 and (
-        not (ecfg.top_k <= 0 or ecfg.top_k == 1) or ecfg.top_p < 1.0
-    ):
-        raise ValueError(
-            "per_chip chunked serving runs the batched engine, which "
-            "supports greedy (top_k=1) or UNFILTERED sampling "
-            "(top_k<=0, top_p>=1) only"
-        )
     n_rows = n_dev * per_chip
     assert N <= n_rows, (
         f"{N} requests > {n_dev} devices x {per_chip} per chip "

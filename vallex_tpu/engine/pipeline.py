@@ -272,6 +272,7 @@ class SynthesisPipeline:
         requests,  # list of (text_ids [S], lang_ids [S], prompt [Tp,8]|None)
         *,
         top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
         temperature: Optional[float] = None,
         seed: int = 0,
         return_wave: bool = True,
@@ -279,17 +280,15 @@ class SynthesisPipeline:
         """Batched multi-request synthesis on one chip: the AR decode packs
         all requests along the lane axis (engine/ar.py::ar_generate_batch)
         so the per-step weight stream is paid ONCE for the batch; NAR and
-        Vocos run batched; one host sync at the end.
+        Vocos run batched; one host sync at the end. Filtered sampling
+        (top_k > 1 / 0 < top_p < 1) runs the in-kernel bisection filter.
         → list of (codes [T_r, 8], wave_r or None)."""
         e = self.ecfg
         cfg = self.cfg
         top_k = e.top_k if top_k is None else top_k
+        top_p = e.top_p if top_p is None else top_p
         temperature = e.temperature if temperature is None else temperature
-        if not (top_k <= 0 or top_k == 1) or e.top_p < 1.0:
-            raise ValueError(
-                "batched synthesis supports greedy (top_k=1) or UNFILTERED "
-                "sampling (top_k<=0, top_p>=1) only"
-            )
+        plain = bool((top_k <= 0 or top_k == 1) and top_p >= 1.0)
         if self.decode_mode != "megakernel":
             raise RuntimeError(
                 "batched synthesis runs the Pallas block kernel "
@@ -302,7 +301,7 @@ class SynthesisPipeline:
             # a lone request is exactly the single-request pipeline
             t, lg, p = requests[0]
             codes, wave = self.synthesize(
-                t, lg, p, best_of=1, top_k=top_k,
+                t, lg, p, best_of=1, top_k=top_k, top_p=top_p,
                 temperature=temperature, seed=seed,
                 return_wave=return_wave,
             )
@@ -343,11 +342,13 @@ class SynthesisPipeline:
                 jax.random.PRNGKey(seed),
                 jnp.asarray(top_k, jnp.int32),
                 jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(top_p, jnp.float32),
                 s_text=s_text, p_audio=p_audio, t_gen=t_gen,
                 compute_dtype=e.compute_dtype,
                 greedy=bool(top_k == 1),
                 quantize=quantize,
                 decode_steps=max(2, getattr(e, "decode_steps", 8)),
+                plain_sampling=plain,
                 packed=packed,
             )
 

@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .decode_step import ABLK
+from .sampling import filtered_keep_mask
 
 ATTN, FFN = 0, 1
 
@@ -84,7 +85,7 @@ def _kernel(
     kscale_ref,  # [1, 1, N] per-(layer, head) int8 KV scales (kv_quant;
     #              lane n carries scale[layer, head(n)]; ones otherwise)
     vscale_ref,  # [1, 1, N]
-    alpha_temp_ref,  # [1, 2] SMEM: (pe alpha, temperature)
+    alpha_temp_ref,  # [1, 4] SMEM: (pe alpha, temperature, top_k, top_p)
     logp0_ref,  # [1, B] SMEM f32: logprob of tok0
     sumlp0_ref,  # [1, B] SMEM f32: accumulated logprobs entering the block
     cache_k_hbm,  # [NL, C, N] (C includes K slack rows)
@@ -127,6 +128,7 @@ def _kernel(
     batched: bool,
     p_audio: int,
     kv_quant: bool,
+    filtered: bool,
 ):
     k_step = pl.program_id(0)
     layer = pl.program_id(1)
@@ -366,25 +368,66 @@ def _kernel(
             def cast_s(x):
                 return x.astype(jnp.bfloat16) if score16 else x
 
+            # The selector matmuls are block-diagonal: group g's score
+            # lanes only read its own D input lanes, so one full-width
+            # [R, N]x[N, G] matmul wastes a factor B of its MXU FLOPs on
+            # structural zeros. Chunk groups so each matmul emits one full
+            # 128-lane MXU output tile (GC = 128 // num_heads groups):
+            # waste is capped at GC regardless of B. Below GC groups the
+            # single wide matmul stands (measured best at B <= 8; at B=16
+            # unchunked wide cost scales linearly and loses ~2x).
+            GC = max(1, 128 // Hh)
+            g_chunks = (
+                [(c * GC, min(GC, B - c * GC))
+                 for c in range(-(-B // GC))]
+                if B > GC else [(0, B)]
+            )
+
+            def _score_chunks(kbq):
+                if len(g_chunks) == 1:
+                    return jax.lax.dot(
+                        kbq, selN_s, preferred_element_type=jnp.float32
+                    )
+                return jnp.concatenate([
+                    jax.lax.dot(
+                        kbq[:, g0 * D : (g0 + gc) * D],
+                        selN_s[g0 * D : (g0 + gc) * D,
+                               g0 * Hh : (g0 + gc) * Hh],
+                        preferred_element_type=jnp.float32,
+                    )
+                    for g0, gc in g_chunks
+                ], axis=1)
+
+            def _spread_chunks(p):
+                if len(g_chunks) == 1:
+                    return jax.lax.dot(
+                        cast_s(p), selNT_s,
+                        preferred_element_type=jnp.float32,
+                    )
+                return jnp.concatenate([
+                    jax.lax.dot(
+                        cast_s(p[:, g0 * Hh : (g0 + gc) * Hh]),
+                        selNT_s[g0 * Hh : (g0 + gc) * Hh,
+                                g0 * D : (g0 + gc) * D],
+                        preferred_element_type=jnp.float32,
+                    )
+                    for g0, gc in g_chunks
+                ], axis=1)
+
             def fold_wide(kb, vb, ok, state):
                 # fully packed: NO per-beam slicing or repacking — the
                 # state stays (m [1,G], l [1,G], acc [1,N]) end to end, so
                 # the op count is B-independent and the fori_loop carry is
                 # three vectors (B-tuples spilled registers at 16 groups)
                 m_olds, l_olds, acc_olds = state
-                s_all = jax.lax.dot(
-                    cast_s(kb * qf), selN_s,
-                    preferred_element_type=jnp.float32,
-                ) * scale  # [R, G]
+                s_all = _score_chunks(cast_s(kb * qf)) * scale  # [R, G]
                 s_all = jnp.where(ok, s_all, -1e30)
                 s_max = jnp.max(s_all, axis=0, keepdims=True)  # [1, G]
                 m_new = jnp.maximum(m_olds, s_max)
                 alpha = jnp.exp(m_olds - m_new)  # [1, G]
                 p = jnp.exp(s_all - m_new)  # [R, G]
                 l_sum = jnp.sum(p, axis=0, keepdims=True)
-                p_lanes = jax.lax.dot(
-                    cast_s(p), selNT_s, preferred_element_type=jnp.float32
-                )  # [R, N]
+                p_lanes = _spread_chunks(p)  # [R, N]
                 alpha_lanes = jax.lax.dot(
                     alpha, selN.T, preferred_element_type=jnp.float32
                 )  # [1, N]
@@ -951,6 +994,18 @@ def _kernel(
             masked = jnp.where(lanes < vocab, logits, -1e30)
             temp = jnp.maximum(alpha_temp_ref[0, 1], 1e-6)
             scaled = masked / temp
+            if filtered:
+                # top-k / top-p filtering IN-KERNEL via exact integer
+                # bisection over IEEE-754 sortable keys (no sorts — see
+                # ops/sampling.py::filtered_keep_mask; reference order
+                # temperature → top-k → top-p, models/vallex.py:791-853).
+                # Restricting `scaled` here makes the Gumbel draw AND the
+                # emitted logprob both come from the filtered distribution,
+                # matching the XLA topk_sampling path.
+                tk = alpha_temp_ref[0, 2].astype(jnp.int32)
+                tp = alpha_temp_ref[0, 3]
+                keep = filtered_keep_mask(scaled, tk, tp)
+                scaled = jnp.where(keep, scaled, -1e30)
 
             if stochastic:
                 # signed int32 bits: mask to 24 low bits (see decode_step)
@@ -1006,7 +1061,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "steps", "s_text", "num_heads", "vocab", "eos", "stochastic",
-        "quant", "act_quant", "batched", "p_audio",
+        "quant", "act_quant", "batched", "p_audio", "filtered",
     ),
 )
 def decode_block_fused(
@@ -1038,6 +1093,9 @@ def decode_block_fused(
     batched: bool = False,
     p_audio: int = 0,
     kv_scales=None,  # (kscale_lane, vscale_lane) each [NL, 1, N] f32
+    filtered: bool = False,
+    top_k=None,  # [] runtime top-k (filtered mode; <= 0 disables)
+    top_p=None,  # [] runtime top-p (filtered mode; >= 1 disables)
 ):
     """K fused decode steps → (fed_tokens [K,B], next_tok [B], next_logp [B],
     done' [B], sum_logprobs' [B], cache_k', cache_v',
@@ -1109,7 +1167,7 @@ def decode_block_fused(
             pl.BlockSpec((VB, D), const2),
             pl.BlockSpec((1, 1, N), attn_idx),
             pl.BlockSpec((1, 1, N), attn_idx),
-            pl.BlockSpec((1, 2), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -1153,8 +1211,17 @@ def decode_block_fused(
         ],
     )
 
+    tkf = (
+        jnp.zeros((), jnp.float32) if top_k is None
+        else top_k.astype(jnp.float32)
+    )
+    tpf = (
+        jnp.ones((), jnp.float32) if top_p is None
+        else top_p.astype(jnp.float32)
+    )
     alpha_temp = jnp.stack(
-        [pe_alpha.astype(jnp.float32), temperature.astype(jnp.float32)]
+        [pe_alpha.astype(jnp.float32), temperature.astype(jnp.float32),
+         tkf, tpf]
     )[None]
     kv_quant = kv_scales is not None
     if kv_quant:
@@ -1169,7 +1236,7 @@ def decode_block_fused(
             _kernel, s_text=s_text, num_heads=num_heads, vocab=vocab,
             eos=eos, stochastic=stochastic, quant=quant,
             act_quant=act_quant, batched=batched, p_audio=p_audio,
-            kv_quant=kv_quant,
+            kv_quant=kv_quant, filtered=filtered,
         ),
         grid_spec=grid_spec,
         out_shape=(

@@ -59,27 +59,30 @@ def top_p_filter(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sortable_key(logits: jnp.ndarray) -> jnp.ndarray:
-    """f32 → uint32 keys with the same total order (IEEE-754 trick:
-    flip all bits of negatives, set the sign bit of non-negatives).
-    Lets the filter thresholds run as EXACT integer bisection — no sorts,
-    so the same code runs inside the Pallas decode kernels."""
-    b = jax.lax.bitcast_convert_type(logits.astype(jnp.float32), jnp.uint32)
-    neg = (b >> 31) == 1
-    return jnp.where(neg, ~b, b | jnp.uint32(0x80000000))
+    """f32 → SIGNED int32 keys with the same total order (IEEE-754 trick:
+    non-negative floats keep their bit pattern; negative floats XOR the
+    magnitude bits, mapping bigger magnitudes to smaller keys). Lets the
+    filter thresholds run as EXACT integer bisection — no sorts, and
+    signed-only arithmetic, so the same code runs inside the Pallas decode
+    kernels (Mosaic has no unsigned compares)."""
+    b = jax.lax.bitcast_convert_type(logits.astype(jnp.float32), jnp.int32)
+    return b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
 
 
 def _bisect_min_key(count_gt, B: int, pred_limit) -> jnp.ndarray:
-    """Find, per row, the minimum uint32 key v such that
+    """Find, per row, the minimum int32 key v such that
     count_gt(v) <= pred_limit, by 32-step integer bisection.
-    count_gt: fn([B,1] uint32 keys) → [B,1] monotone-decreasing counts."""
-    lo = jnp.zeros((B, 1), jnp.uint32)
-    hi = jnp.full((B, 1), 0xFFFFFFFF, jnp.uint32)
+    count_gt: fn([B,1] int32 keys) → [B,1] monotone-decreasing counts.
+    The overflow-safe floor midpoint (lo>>1)+(hi>>1)+(lo&hi&1) is exact
+    for two's-complement ints (arithmetic shift == floor division)."""
+    lo = jnp.full((B, 1), -(2**31), jnp.int32)
+    hi = jnp.full((B, 1), 2**31 - 1, jnp.int32)
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = (lo >> 1) + (hi >> 1) + (lo & hi & jnp.uint32(1))
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & jnp.int32(1))
         too_many = count_gt(mid) > pred_limit
-        lo = jnp.where(too_many, mid + jnp.uint32(1), lo)
+        lo = jnp.where(too_many, mid + jnp.int32(1), lo)
         hi = jnp.where(too_many, hi, mid)
         return lo, hi
 
