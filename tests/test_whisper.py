@@ -120,6 +120,96 @@ def test_greedy_decode_selfconsistent():
         assert ref_next[len(prefix) - 1 + j] == tok, (j, tok)
 
 
+def test_sampled_decode_low_temp_matches_greedy():
+    """At temperature → 0 every sample lane degenerates to argmax: the
+    best_of sampled decoder (reference transcription mode,
+    utils/prompt_making.py:46) must emit the greedy sequence on all
+    lanes."""
+    params = W.init_whisper(jax.random.PRNGKey(5), TINY)
+    rng = np.random.RandomState(3)
+    wav = (rng.randn(16000) * 0.1).astype(np.float32)
+    mel = W.log_mel_spectrogram(jnp.asarray(W.pad_or_trim(wav)))
+    enc = W.encode(params, TINY, mel)
+    lang_id = W.detect_language(params, TINY, enc)
+    prefix = jnp.asarray(
+        [TINY.sot, lang_id, TINY.transcribe, TINY.no_timestamps], jnp.int32
+    )
+    g = np.asarray(W.greedy_decode(
+        params, TINY, enc, prefix, prefix_len=4, max_len=12
+    ))
+    buf, _ = W.sampled_decode(
+        params, TINY, enc, prefix, jax.random.PRNGKey(0),
+        prefix_len=4, max_len=12, best_of=3, temperature=1e-4,
+    )
+    buf = np.asarray(buf)
+    for b in range(3):
+        np.testing.assert_array_equal(buf[b], g)
+
+
+def test_sampled_decode_scoring_teacher_forced():
+    """Each lane's accumulated sum_logprobs must equal re-scoring its own
+    emitted tokens with the teacher-forced full decoder: UNSCALED
+    log-softmax, summed up to and INCLUDING the first eot (openai-whisper
+    GreedyDecoder.update semantics). Also pins lane isolation — every
+    lane's KV cache must hold its own history."""
+    params = W.init_whisper(jax.random.PRNGKey(7), TINY)
+    rng = np.random.RandomState(4)
+    wav = (rng.randn(16000) * 0.1).astype(np.float32)
+    mel = W.log_mel_spectrogram(jnp.asarray(W.pad_or_trim(wav)))
+    enc = W.encode(params, TINY, mel)
+    lang_id = W.detect_language(params, TINY, enc)
+    prefix = [TINY.sot, lang_id, TINY.transcribe, TINY.no_timestamps]
+    B, ML = 3, 14
+    buf, sum_lp = W.sampled_decode(
+        params, TINY, enc, jnp.asarray(prefix, jnp.int32),
+        jax.random.PRNGKey(11), prefix_len=4, max_len=ML, best_of=B,
+        temperature=1.0,
+    )
+    buf = np.asarray(buf)
+    sum_lp = np.asarray(sum_lp)
+    for b in range(B):
+        row = buf[b]
+        # emitted tokens: positions 4.. up to and including first eot
+        emitted = row[4:]
+        nz = np.nonzero(emitted == TINY.eot)[0]
+        n_scored = (int(nz[0]) + 1) if len(nz) else len(emitted)
+        seq = list(row[: 4 + n_scored])
+        logits = np.asarray(W.decoder_forward(
+            params, TINY, jnp.asarray(seq, jnp.int32), enc
+        ))
+        lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        ref = sum(
+            lp[3 + j, seq[4 + j]] for j in range(n_scored)
+        )
+        np.testing.assert_allclose(sum_lp[b], ref, atol=1e-3)
+
+
+def test_rank_samples():
+    """MaximumLikelihoodRanker semantics: avg logprob over tokens before
+    the first eot; higher average wins even with a lower sum."""
+    eot = 500
+    buf = np.asarray([
+        [1, 2, 3, 4, 10, 11, 12, 13, eot, eot],  # len 4, sum -4 → -1.0
+        [1, 2, 3, 4, 20, 21, eot, eot, eot, eot],  # len 2, sum -1 → -0.5
+        [1, 2, 3, 4, 30, 31, 32, 33, 34, 35],  # len 6 (no eot), sum -9
+    ])
+    sum_lp = np.asarray([-4.0, -1.0, -9.0])
+    assert W.rank_samples(buf, sum_lp, prefix_len=4, eot=eot) == 1
+
+
+def test_transcribe_ids_best_of_end_to_end():
+    params = W.init_whisper(jax.random.PRNGKey(9), TINY)
+    rng = np.random.RandomState(6)
+    wav = (rng.randn(16000) * 0.1).astype(np.float32)
+    ids, lang = W.transcribe_ids(
+        params, TINY, wav, temperature=1.0, best_of=3, sample_len=8,
+        seed=2,
+    )
+    assert lang in W._LANG_ORDER
+    assert all(0 <= t < TINY.vocab for t in ids)
+    assert len(ids) <= 9
+
+
 def test_make_prompt_transcriptless_end_to_end(tmp_path, monkeypatch):
     """Transcript-less make_prompt: wav → JAX Whisper (random weights) →
     detok stub → G2P → EnCodec → .npz, end to end."""

@@ -434,6 +434,151 @@ def greedy_decode(
     return final[0]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_len", "prefix_len", "best_of"),
+)
+def sampled_decode(
+    params: Params,
+    cfg: WhisperConfig,
+    enc: jnp.ndarray,  # [1500, D]
+    prefix: jnp.ndarray,  # [prefix_len] sot sequence
+    rng: jax.Array,
+    *,
+    prefix_len: int,
+    max_len: int,
+    best_of: int = 5,
+    temperature: float = 1.0,
+) -> tuple:
+    """KV-cached SAMPLED decode with best_of independent lanes — the
+    reference's transcription mode (utils/prompt_making.py:46:
+    DecodingOptions(temperature=1.0, best_of=5, sample_len=150)).
+
+    Replicates openai-whisper's GreedyDecoder.update semantics at
+    temperature > 0: the next token is drawn from Categorical(logits /
+    temperature); the accumulated score uses the UNSCALED log-softmax
+    (whisper/decoding.py GreedyDecoder — sampling and scoring use
+    different temperatures); once a lane emits eot every later token is
+    forced eot and scoring stops (the eot logprob itself IS counted).
+
+    → (buf [best_of, max_len] token buffers, sum_logprobs [best_of])."""
+    d = cfg.d_model
+    h_heads = cfg.num_heads
+    hd = d // h_heads
+    NL = cfg.decoder_layers
+    B = best_of
+    S = cfg.max_source_positions
+
+    def cross_kv(bp):
+        k = enc @ bp["cross_attn"]["k_w"]
+        v = enc @ bp["cross_attn"]["v_w"] + bp["cross_attn"]["v_b"]
+        return k, v
+
+    cross_k, cross_v = jax.lax.map(
+        lambda bp: cross_kv(bp), params["dec_blocks"]
+    )  # [NL, 1500, D]
+
+    cache_k = jnp.zeros((NL, B, max_len, d), jnp.float32)
+    cache_v = jnp.zeros((NL, B, max_len, d), jnp.float32)
+    buf = jnp.full((B, max_len), cfg.eot, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(
+        buf, jnp.broadcast_to(prefix.astype(jnp.int32), (B, prefix_len)),
+        (0, 0),
+    )
+
+    def step(carry):
+        buf, cache_k, cache_v, pos, done, sum_lp, rng = carry
+        tok = buf[:, pos]  # [B]
+        x = params["tok_emb"][tok] + params["dec_pos"][pos]  # [B, D]
+
+        def block(x_c, inp):
+            x, = x_c
+            bp, ck, cv, xk, xv = inp  # ck/cv [B, max_len, d]
+            hn = _ln(bp["ln1"], x)
+            q = (hn @ bp["self_attn"]["q_w"] + bp["self_attn"]["q_b"])
+            q = q.reshape(B, h_heads, hd) * hd ** -0.5
+            k_new = hn @ bp["self_attn"]["k_w"]
+            v_new = hn @ bp["self_attn"]["v_w"] + bp["self_attn"]["v_b"]
+            ck = jax.lax.dynamic_update_slice(ck, k_new[:, None], (0, pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_new[:, None], (0, pos, 0))
+            kh = ck.reshape(B, max_len, h_heads, hd)
+            vh = cv.reshape(B, max_len, h_heads, hd)
+            s = jnp.einsum("bhd,bshd->bhs", q, kh)
+            s = jnp.where(jnp.arange(max_len)[None, None, :] <= pos, s, -1e30)
+            a = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhs,bshd->bhd", a, vh).reshape(B, d)
+            x = x + o @ bp["self_attn"]["o_w"] + bp["self_attn"]["o_b"]
+            # cross attention (encoder states shared across lanes)
+            hc = _ln(bp["ln_cross"], x)
+            qc = (hc @ bp["cross_attn"]["q_w"] + bp["cross_attn"]["q_b"])
+            qc = qc.reshape(B, h_heads, hd) * hd ** -0.5
+            khc = xk.reshape(S, h_heads, hd)
+            vhc = xv.reshape(S, h_heads, hd)
+            sc = jnp.einsum("bhd,shd->bhs", qc, khc)
+            ac = jax.nn.softmax(sc, axis=-1)
+            oc = jnp.einsum("bhs,shd->bhd", ac, vhc).reshape(B, d)
+            x = x + oc @ bp["cross_attn"]["o_w"] + bp["cross_attn"]["o_b"]
+            x = x + _mlp(bp, _ln(bp["ln_mlp"], x))
+            return (x,), (ck, cv)
+
+        (x,), (cache_k, cache_v) = jax.lax.scan(
+            block, (x,),
+            (params["dec_blocks"], cache_k, cache_v, cross_k, cross_v),
+        )
+        x = _ln(params["dec_ln"], x)
+        logits = x @ params["tok_emb"].T  # [B, vocab]
+        rng, step_rng = jax.random.split(rng)
+        t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+        nxt = jax.random.categorical(step_rng, logits / t, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        lp = jax.nn.log_softmax(logits, axis=-1)  # UNSCALED (whisper)
+        cur_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+        sum_lp = sum_lp + cur_lp * (~done)
+        nxt = jnp.where(done, cfg.eot, nxt)
+        buf = jnp.where(
+            (jnp.arange(max_len)[None] == pos + 1), nxt[:, None], buf
+        )
+        done = jnp.logical_or(done, nxt == cfg.eot)
+        return buf, cache_k, cache_v, pos + 1, done, sum_lp, rng
+
+    def cond(carry):
+        _, _, _, pos, done, _, _ = carry
+        return jnp.logical_and(pos < max_len - 1, ~jnp.all(done))
+
+    # teacher-forced prefix steps: fill caches, discard samples/scores
+    carry = (
+        buf, cache_k, cache_v, jnp.asarray(0),
+        jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32), rng,
+    )
+    for _ in range(prefix_len - 1):
+        _, ck, cv, pos, _, _, rng_c = step(carry)
+        carry = (
+            buf, ck, cv, pos, jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.float32), rng_c,
+        )
+    final = jax.lax.while_loop(cond, step, carry)
+    return final[0], final[5]
+
+
+def rank_samples(
+    buf: np.ndarray,  # [B, max_len]
+    sum_logprobs: np.ndarray,  # [B]
+    *,
+    prefix_len: int,
+    eot: int,
+) -> int:
+    """openai-whisper MaximumLikelihoodRanker with length_penalty=None:
+    score each lane by sum_logprobs / length, length = sampled tokens
+    before the first eot. → best lane index."""
+    scores = []
+    for b in range(buf.shape[0]):
+        ids = buf[b, prefix_len:]
+        nz = np.nonzero(ids == eot)[0]
+        length = int(nz[0]) if len(nz) else len(ids)
+        scores.append(float(sum_logprobs[b]) / max(length, 1))
+    return int(np.argmax(scores))
+
+
 def detect_language(
     params: Params, cfg: WhisperConfig, enc: jnp.ndarray
 ) -> int:
@@ -454,8 +599,18 @@ def transcribe_ids(
     *,
     language: str | None = None,
     max_len: int = 224,
+    temperature: float = 0.0,
+    best_of: int = 1,
+    sample_len: int | None = None,
+    seed: int = 0,
 ):
-    """→ (token ids after the sot sequence, detected language code)."""
+    """→ (token ids after the sot sequence, detected language code).
+
+    temperature == 0 → KV-cached greedy decode. temperature > 0 →
+    best_of independent sample lanes at that temperature, ranked by
+    average logprob — the reference's transcription mode
+    (utils/prompt_making.py:46: temperature=1.0, best_of=5,
+    sample_len=150)."""
     mel = log_mel_spectrogram(jnp.asarray(pad_or_trim(np.asarray(wav))))
     enc = encode(params, cfg, mel)
     if language is None:
@@ -465,10 +620,23 @@ def transcribe_ids(
     prefix = jnp.asarray(
         [cfg.sot, lang_id, cfg.transcribe, cfg.no_timestamps], jnp.int32
     )
-    buf = greedy_decode(
-        params, cfg, enc, prefix, prefix_len=4, max_len=max_len
-    )
-    ids = np.asarray(buf)[4:]
+    if temperature > 0.0:
+        sl = sample_len if sample_len is not None else max_len - 4
+        buf, sum_lp = sampled_decode(
+            params, cfg, enc, prefix, jax.random.PRNGKey(seed),
+            prefix_len=4, max_len=4 + sl + 1, best_of=best_of,
+            temperature=float(temperature),
+        )
+        buf = np.asarray(buf)
+        best = rank_samples(
+            buf, np.asarray(sum_lp), prefix_len=4, eot=cfg.eot
+        )
+        ids = buf[best, 4:]
+    else:
+        buf = greedy_decode(
+            params, cfg, enc, prefix, prefix_len=4, max_len=max_len
+        )
+        ids = np.asarray(buf)[4:]
     ids = ids[ids != cfg.eot]
     return ids, token_lang(cfg, lang_id)
 

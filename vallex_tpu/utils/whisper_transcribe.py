@@ -82,14 +82,21 @@ def _load_model():
     return _cached
 
 
-def transcribe(audio_path: str) -> Tuple[str, str]:
-    """→ (transcript text, detected language code in {en, zh, ja})."""
+def transcribe(audio_path: str, *, seed: int = 0) -> Tuple[str, str]:
+    """→ (transcript text, detected language code in {en, zh, ja}).
+
+    Decodes with the reference's transcription settings —
+    temperature=1.0, best_of=5 independent sample lanes ranked by average
+    logprob, sample_len=150 (utils/prompt_making.py:46)."""
     params, cfg, tokenizer = _load_model()
 
     from ..asr import whisper as W
     from .audio import load_wav
 
     wav, _ = load_wav(audio_path, target_sr=16000)
-    ids, lang = W.transcribe_ids(params, cfg, wav, max_len=224)
+    ids, lang = W.transcribe_ids(
+        params, cfg, wav, temperature=1.0, best_of=5, sample_len=150,
+        seed=seed,
+    )
     text = tokenizer.decode(ids, skip_special_tokens=True).strip()
     return text, _WHISPER_LANGS.get(lang, "en")
