@@ -238,6 +238,66 @@ def test_english_oov_rate_below_2pct():
     assert rate < 0.02, f"OOV {100*rate:.2f}%: {sorted(set(oov))}"
 
 
+def test_english_oov_rate_news_corpus():
+    """VERDICT r2 item 10: proper-noun hardening. A news-style corpus —
+    dense in countries, cities, person names, organizations — must also
+    hold OOV < 2% (the names tier, frontend/lexicon_en_names.py)."""
+    import re
+
+    from vallex_tpu.frontend.english import is_oov
+
+    paras = """
+    President Martinez met Chancellor Weber in Berlin on Thursday to
+    discuss the European response to the crisis in Ukraine. Officials
+    from France, Germany, Poland and the Netherlands joined the talks,
+    while representatives from NATO and the Pentagon monitored
+    developments from Brussels and Washington. Russian forces near the
+    border prompted warnings from Kyiv and concern across the Baltic
+    states. In Asia, markets in Tokyo, Shanghai and Singapore rallied
+    after Beijing announced new stimulus measures. Samsung and Toyota
+    reported strong quarterly earnings, while Microsoft and Google faced
+    new scrutiny from regulators in Brussels. Analysts at Harvard and
+    Stanford predicted that the Federal Reserve would hold interest
+    rates steady through the autumn. Senator Johnson of Michigan and
+    Governor Davis of California announced a bipartisan proposal on
+    immigration, drawing praise from Democrats and cautious support from
+    Republicans in Congress. Mayor Rodriguez of Houston said the plan
+    would help cities from Phoenix to Philadelphia manage new arrivals
+    from Mexico, Guatemala and Venezuela. Meanwhile, Sarah Thompson, a
+    teacher from Atlanta, told reporters that her students in Georgia
+    deserved better funding. In sports, Brazil defeated Argentina in Rio
+    while Kenya and Ethiopia dominated the marathon in Boston. The
+    Olympic committee confirmed that athletes from Jamaica, Nigeria and
+    Morocco would compete in Paris next summer. David Wilson scored
+    twice as Liverpool beat Madrid, and tennis star Maria Garcia of
+    Spain advanced in Melbourne. Egypt and Jordan urged restraint after
+    clashes in Jerusalem, while diplomats from Saudi Arabia, Qatar and
+    Turkey pressed for a ceasefire in Yemen. The United Nations warned
+    that families fleeing Sudan toward Kenya and Uganda faced hunger,
+    and aid workers in Somalia appealed for donations through UNICEF.
+    """.lower()
+    words = re.findall(r"[a-z']+", paras)
+    oov = [w for w in words if is_oov(w)]
+    rate = len(oov) / len(words)
+    assert rate < 0.02, f"OOV {100*rate:.2f}%: {sorted(set(oov))}"
+
+
+def test_english_proper_noun_goldens():
+    """Spot-goldens for names whose letter-to-sound rendering would
+    diverge badly from the received pronunciation (silent letters,
+    foreign origin, irregular stress)."""
+    from vallex_tpu.frontend.english import word_to_ipa
+
+    assert word_to_ipa("nguyen") == "ˈwɪn"          # LTS would give ng-
+    assert word_to_ipa("thames") == "tɛmz"          # not TH-aymz
+    assert word_to_ipa("seoul") == "soʊl"           # not se-OWL
+    assert word_to_ipa("tucson") == "ˈtuˌsɑn"       # silent c
+    assert word_to_ipa("arkansas") == "ˈɑrkənˌsɔ"   # silent s
+    assert word_to_ipa("wednesday") == "ˈwɛnzˌdeɪ"  # silent d
+    assert word_to_ipa("illinois") == "ˌɪləˈnɔɪ"    # silent s
+    assert word_to_ipa("edinburgh") == "ˈɛdənˌbərə"  # -burgh = -bra
+
+
 def test_english_morphology():
     from vallex_tpu.frontend.english import word_to_ipa
 
