@@ -42,14 +42,18 @@ def main():
         "cat watches from a sunny window sill nearby."
     )
 
-    def measure(quantize: str, *, best_of=1, top_k=1, runs=(1, 2, 3)):
+    def measure(quantize: str, *, best_of=1, top_k=1, runs=(1, 2, 3),
+                utterance=None, max_duration=None, audio_buckets=(1024,)):
         ecfg = EngineConfig(
-            text_buckets=(256,), audio_buckets=(1024,), quantize=quantize
+            text_buckets=(256,), audio_buckets=audio_buckets,
+            quantize=quantize,
         )
         api.preload_models("./checkpoints", random_weights=True, ecfg=ecfg)
+        utterance = utterance or text
         # warm-up: compile every program in the pipeline
         api.generate_audio(
-            text, prompt="paimon", top_k=top_k, best_of=best_of, seed=0
+            utterance, prompt="paimon", top_k=top_k, best_of=best_of, seed=0,
+            max_duration=max_duration,
         )
         # pair each run's wall with ITS duration: sampled runs can hit
         # EOS at different frames, so min(times)/last_dur would mismatch
@@ -57,8 +61,8 @@ def main():
         for seed in runs:
             t0 = time.time()
             wave = api.generate_audio(
-                text, prompt="paimon", top_k=top_k, best_of=best_of,
-                seed=seed,
+                utterance, prompt="paimon", top_k=top_k, best_of=best_of,
+                seed=seed, max_duration=max_duration,
             )
             dt = time.time() - t0
             times.append(dt)
@@ -131,6 +135,25 @@ def main():
         detail["bf16_rtf"] = round(bf16_rtf, 4)
         detail["bf16_xrt"] = round(1.0 / bf16_rtf, 1)
     if within_budget():
+        # reference-UI signature mode: best_of=5 beams (launch-ui.py:295),
+        # served with the int8 KV cache (the measured-best beam config)
+        _, _, _, b5_rtf = measure("int8kv", best_of=5, runs=(1, 2))
+        detail["best_of5_rtf"] = round(b5_rtf, 4)
+    if within_budget():
+        # short utterance (~2 s): sentence-level serving, where fixed
+        # per-utterance costs dominate (the reference's real workload,
+        # generation.py:191-228 synthesizes sentence by sentence). Random
+        # weights never emit EOS, so the 2 s stop is enforced with the
+        # max_duration cap; a right-sized 512-frame bucket matches what a
+        # short-sentence serving config would use
+        _, p50_s, dur_s, s_rtf = measure(
+            "int8", utterance="Hi there, good morning.", runs=(1, 2, 3),
+            max_duration=2.0, audio_buckets=(512,),
+        )
+        detail["short_rtf"] = round(s_rtf, 4)
+        detail["short_audio_seconds"] = round(dur_s, 2)
+        detail["short_p50_ms"] = round(p50_s * 1000.0, 1)
+    if within_budget():
         # batched serving: 8 streams on one chip, int8 KV cache
         batch8kv_rtf = measure_batch(8, quantize="int8kv", runs=(1, 2))
         detail["batch8_int8kv_agg_rtf"] = round(batch8kv_rtf, 4)
@@ -139,10 +162,6 @@ def main():
         # sampled serving (reference default top_k=-100 => unfiltered)
         _, _, _, sm_rtf = measure("int8", top_k=-100, runs=(3, 3))
         detail["sampled_rtf"] = round(sm_rtf, 4)
-    if within_budget():
-        # reference-UI signature mode: best_of=5 beams (launch-ui.py:295)
-        _, _, _, b5_rtf = measure("int8", best_of=5, runs=(1, 2))
-        detail["best_of5_rtf"] = round(b5_rtf, 4)
     if within_budget():
         # bf16 strict SAMPLED mode via speculative sampling; seed 3 runs
         # to the length cap under random weights (a stable ~11 s

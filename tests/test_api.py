@@ -53,6 +53,24 @@ def test_generate_audio_with_preset_prompt(bundle):
     assert wave.ndim == 1 and len(wave) > 0
 
 
+def test_generate_audio_max_duration(bundle):
+    """max_duration caps generated audio (random weights never emit EOS,
+    so uncapped generation runs to the 16*text_len frame cap)."""
+    from vallex_tpu.config import ENCODEC_FRAME_RATE
+    from vallex_tpu.codec.vocos import HOP
+
+    text = "The quick brown fox jumps over the lazy dog near the river."
+    capped = api.generate_audio(
+        text, language="en", top_k=1, max_duration=1.0
+    )
+    free = api.generate_audio(text, language="en", top_k=1)
+    assert len(capped) == ENCODEC_FRAME_RATE * HOP  # exactly 1 s of frames
+    assert len(free) > len(capped)
+    assert np.isfinite(capped).all()
+    # (no waveform-prefix equality: NAR attention is bidirectional over the
+    # full sequence, so a different capped length changes every frame)
+
+
 def test_generate_audio_accent_control(bundle):
     w1 = api.generate_audio("Hello.", language="en", accent="中文", top_k=1)
     w2 = api.generate_audio("Hello.", language="en", accent="no-accent", top_k=1)

@@ -21,6 +21,7 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from .config import (
+    ENCODEC_FRAME_RATE as FRAME_RATE,
     NUM_QUANTIZERS,
     SAMPLE_RATE,
     EngineConfig,
@@ -286,10 +287,13 @@ def generate_audio(
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
     seed: int = 0,
+    max_duration: Optional[float] = None,
 ) -> np.ndarray:
     """Synthesize one utterance → float waveform @ 24 kHz
     (reference: generation.py:91-152; top_k/top_p are the reference
-    model's sampling knobs, models/vallex.py:836-853)."""
+    model's sampling knobs, models/vallex.py:836-853). max_duration
+    (seconds) caps the generated audio length — a serving knob beyond
+    the reference's EOS-only stopping."""
     bundle = _require_bundle()
     audio_prompt, text_prompt, lang_pr = _load_prompt(prompt)
     text_ids, lang_ids = _prepare_text(
@@ -301,6 +305,10 @@ def generate_audio(
         best_of=best_of, temperature=temperature, top_k=top_k,
         top_p=top_p, seed=seed,
         return_wave=bundle.vocos_params is not None,
+        max_gen_frames=(
+            None if max_duration is None
+            else max(1, int(max_duration * FRAME_RATE))
+        ),
     )
     if wave is None:
         return codes_to_wave(bundle, codes)

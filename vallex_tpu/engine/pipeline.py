@@ -158,8 +158,10 @@ class SynthesisPipeline:
         temperature: Optional[float] = None,
         seed: int = 0,
         return_wave: bool = True,
+        max_gen_frames: Optional[int] = None,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-        """→ (codes [T_gen, 8], wave or None)."""
+        """→ (codes [T_gen, 8], wave or None). max_gen_frames caps the
+        generated length (75 frames/s) and right-sizes the audio bucket."""
         e = self.ecfg
         cfg = self.cfg
         best_of = best_of or e.best_of
@@ -176,8 +178,9 @@ class SynthesisPipeline:
         )
         Tp = len(prompt)
         p_audio = _bucket(Tp + 1, e.audio_buckets)
+        want = 16 * S if max_gen_frames is None else min(16 * S, max_gen_frames)
         t_audio = _bucket(
-            min(Tp + 1 + 16 * S + 1, e.audio_buckets[-1]), e.audio_buckets,
+            min(Tp + 1 + want + 1, e.audio_buckets[-1]), e.audio_buckets,
             granularity=512,
         )
         p_audio = min(p_audio, t_audio)
@@ -214,6 +217,10 @@ class SynthesisPipeline:
                 jax.random.PRNGKey(seed),
                 jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
                 jnp.asarray(temperature, jnp.float32),
+                gen_limit=(
+                    None if max_gen_frames is None
+                    else jnp.asarray(max_gen_frames, jnp.int32)
+                ),
                 s_text=s_text, p_audio=p_audio, t_audio=t_audio,
                 beams=best_of, compute_dtype=e.compute_dtype,
                 length_penalty=e.length_penalty,
@@ -256,15 +263,23 @@ class SynthesisPipeline:
                 )
 
         # --- single host sync (dispatch is async; the wall time of the whole
-        # utterance lands in this phase) ---------------------------------------
+        # utterance lands in this phase). ONE batched device_get: each extra
+        # transfer through the execution tunnel costs a full ~20-30 ms round
+        # trip, so gen_len/codes/wave are fetched together (full buffers)
+        # and trimmed host-side ------------------------------------------------
         with timer.phase("sync"):
-            gen_len = int(res.gen_len)
-        codes_np = np.asarray(gen_codes[0, :gen_len])
+            if wave_dev is not None:
+                gl, codes_all, wave_all = jax.device_get(
+                    (res.gen_len, gen_codes, wave_dev)
+                )
+            else:
+                gl, codes_all = jax.device_get((res.gen_len, gen_codes))
+        gen_len = int(gl)
+        codes_np = codes_all[0, :gen_len]
         if wave_dev is not None:
             from ..codec.vocos import HOP
 
-            wave = np.asarray(wave_dev[0, : gen_len * HOP])
-            return codes_np, wave
+            return codes_np, wave_all[0, : gen_len * HOP]
         return codes_np, None
 
     def synthesize_batch(
@@ -376,14 +391,19 @@ class SynthesisPipeline:
                     self.vocos_params, gen_codes, bandwidth_id=2
                 )
 
+        # ONE batched device_get (see synthesize: every extra tunnel
+        # transfer is a full round trip)
         with timer.phase("sync"):
-            lens = np.asarray(gen_len)
-        codes_np = np.asarray(gen_codes)
+            if wave_dev is not None:
+                lens, codes_np, waves = jax.device_get(
+                    (gen_len, gen_codes, wave_dev)
+                )
+            else:
+                lens, codes_np = jax.device_get((gen_len, gen_codes))
         out = []
         if wave_dev is not None:
             from ..codec.vocos import HOP
 
-            waves = np.asarray(wave_dev)
             for r in range(R):
                 out.append(
                     (codes_np[r, : lens[r]], waves[r, : lens[r] * HOP])
