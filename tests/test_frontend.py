@@ -282,6 +282,55 @@ def test_english_oov_rate_news_corpus():
     assert rate < 0.02, f"OOV {100*rate:.2f}%: {sorted(set(oov))}"
 
 
+def test_english_lts_accuracy_floor():
+    """LTS quality gate, measured against the embedded lexicon as gold
+    (the same CMUdict-convention IPA the checkpoint saw): phoneme error
+    rate (stress-stripped Levenshtein over IPA chars) must stay under 20%
+    and exact-match above 38%. Round-3 measured: PER 18.1%, exact 41.4%
+    (was 24.6%/30.1% before the suffix/prefix/reduction rules)."""
+    from vallex_tpu.frontend.english import letter_to_sound
+
+    lex = {}
+    for mod in [
+        "lexicon_en", "lexicon_en_core", "lexicon_en_core2",
+        "lexicon_en_core3", "lexicon_en_core4", "lexicon_en_core5",
+        "lexicon_en_extra", "lexicon_en_extra2", "lexicon_en_names",
+    ]:
+        m = __import__(f"vallex_tpu.frontend.{mod}", fromlist=["*"])
+        for name in dir(m):
+            v = getattr(m, name)
+            if isinstance(v, dict) and name.isupper():
+                lex.update(v)
+
+    def ph(ipa):
+        return [c for c in ipa if c not in "ˈˌ"]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev = dp[0]
+            dp[0] = i
+            for j, cb in enumerate(b, 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+                prev = cur
+        return dp[-1]
+
+    tot_ph = tot_err = exact = n = 0
+    for w, g in lex.items():
+        if not w.isalpha():
+            continue
+        n += 1
+        e = lev(ph(letter_to_sound(w)), ph(g))
+        tot_ph += len(ph(g))
+        tot_err += e
+        exact += e == 0
+    per = tot_err / tot_ph
+    em = exact / n
+    assert per < 0.20, f"LTS PER regressed: {100*per:.1f}%"
+    assert em > 0.38, f"LTS exact-match regressed: {100*em:.1f}%"
+
+
 def test_english_proper_noun_goldens():
     """Spot-goldens for names whose letter-to-sound rendering would
     diverge badly from the received pronunciation (silent letters,

