@@ -13,6 +13,7 @@ shipped preset voices load unchanged.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from dataclasses import dataclass, field
@@ -172,6 +173,22 @@ def _find_prompt(prompt: str) -> str:
     raise ValueError(f"Cannot find prompt {prompt}")
 
 
+@functools.lru_cache(maxsize=256)
+def _read_prompt_npz(path: str, mtime: float):
+    """Disk read + parse, cached by (path, mtime): presets are re-used
+    across every utterance of a session and the per-call .npz read costs
+    ~2 ms. mtime keys the cache so a re-made custom prompt reloads."""
+    data = np.load(path)
+    audio = np.asarray(data["audio_tokens"], np.int32).reshape(
+        -1, NUM_QUANTIZERS
+    )
+    text = np.asarray(data["text_tokens"], np.int32).reshape(-1)
+    lang_pr = code2lang[int(data["lang_code"])]
+    audio.setflags(write=False)
+    text.setflags(write=False)
+    return audio, text, lang_pr
+
+
 def _load_prompt(prompt: Optional[str]):
     """→ (audio_tokens [T,8] int32, text_tokens [S] int32, lang code str)."""
     if prompt is None:
@@ -180,13 +197,8 @@ def _load_prompt(prompt: Optional[str]):
             np.zeros((0,), np.int32),
             None,
         )
-    data = np.load(_find_prompt(prompt))
-    audio = np.asarray(data["audio_tokens"], np.int32).reshape(
-        -1, NUM_QUANTIZERS
-    )
-    text = np.asarray(data["text_tokens"], np.int32).reshape(-1)
-    lang_pr = code2lang[int(data["lang_code"])]
-    return audio, text, lang_pr
+    path = _find_prompt(prompt)
+    return _read_prompt_npz(path, os.path.getmtime(path))
 
 
 def _prepare_text(

@@ -32,6 +32,15 @@ from .nar import nar_generate, nar_use_flash
 Params = Dict[str, Any]
 
 
+@functools.lru_cache(maxsize=4096)
+def _dev_scalar(val, dtype: str) -> jnp.ndarray:
+    """Device-cached scalar put. Each eager jnp.asarray(x, dtype) costs
+    ~0.3-0.5 ms of submission through the execution tunnel; sampling knobs
+    and bucket lengths repeat across calls, so the device buffers are
+    cached (immutable, a few bytes each)."""
+    return jnp.asarray(val, dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("t_audio", "eos"))
 def _assemble_nar_input(
     ar_tokens: jnp.ndarray,  # [B, t_audio] best-beam buffer (BOS+prompt+gen)
@@ -102,6 +111,102 @@ def _shift_out_prompt_batch(
     return jnp.where(rows[..., None] < gen_lens[:, None, None], shifted, 0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "s_text", "t_audio", "eos", "compute_dtype", "use_flash",
+        "with_wave",
+    ),
+)
+def _nar_tail(
+    params: Params,
+    vocos_params: Optional[Params],
+    cfg: ModelConfig,
+    ar_tokens: jnp.ndarray,  # [B, t_audio(+slack)] AR y-buffer
+    best: jnp.ndarray,  # [] best-beam index
+    gen_len: jnp.ndarray,  # [] generated frames
+    prompt_codes_pad: jnp.ndarray,  # [1, t_audio, 8]
+    text_pad: jnp.ndarray,  # [1, s_text]
+    lang_pad: jnp.ndarray,  # [1, s_text]
+    x_len: jnp.ndarray,  # []
+    prompt_len: jnp.ndarray,  # []
+    *,
+    s_text: int,
+    t_audio: int,
+    eos: int,
+    compute_dtype: str,
+    use_flash: bool,
+    with_wave: bool,
+):
+    """Everything after the AR stage — NAR input assembly, the 7 NAR
+    stages, the prompt shift-out and (optionally) the Vocos vocoder — as
+    ONE jitted program. One dispatch instead of ~6: every eager op or
+    separate jit call costs ~0.3-1 ms of host-side submission through the
+    execution tunnel, a per-utterance fixed cost that dominates
+    short-sentence serving (the reference's real workload,
+    generation.py:191-228)."""
+    codes_in = _assemble_nar_input(
+        ar_tokens, best, prompt_codes_pad, t_audio=t_audio, eos=eos
+    )
+    gl = gen_len.astype(jnp.int32)
+    codes = nar_generate(
+        params, cfg, text_pad, lang_pad, x_len,
+        codes_in, prompt_len + gl, prompt_len,
+        s_text=s_text, t_audio=t_audio,
+        compute_dtype=compute_dtype, use_flash=use_flash,
+    )
+    gen_codes = _shift_out_prompt(codes, prompt_len, gl)
+    if not with_wave:
+        return gen_codes, None
+    from ..codec.vocos import vocos_decode
+
+    return gen_codes, vocos_decode(vocos_params, gen_codes, bandwidth_id=2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "s_text", "t_audio", "compute_dtype", "use_flash",
+        "with_wave",
+    ),
+)
+def _nar_tail_batch(
+    params: Params,
+    vocos_params: Optional[Params],
+    cfg: ModelConfig,
+    y_gen: jnp.ndarray,  # [R, t_gen + K] generated cb0
+    gen_len: jnp.ndarray,  # [R]
+    prompt_codes_pad: jnp.ndarray,  # [R, t_audio, 8]
+    prompt_lens: jnp.ndarray,  # [R]
+    text_pad: jnp.ndarray,  # [R, s_text]
+    lang_pad: jnp.ndarray,  # [R, s_text]
+    x_lens: jnp.ndarray,  # [R]
+    *,
+    s_text: int,
+    t_audio: int,
+    compute_dtype: str,
+    use_flash: bool,
+    with_wave: bool,
+):
+    """Batched post-AR tail as one program (see _nar_tail)."""
+    codes_in = _assemble_nar_input_batch(
+        y_gen, prompt_codes_pad, prompt_lens, t_audio=t_audio
+    )
+    gl = gen_len.astype(jnp.int32)
+    codes = nar_generate(
+        params, cfg, text_pad, lang_pad, x_lens,
+        codes_in, prompt_lens + gl, prompt_lens,
+        s_text=s_text, t_audio=t_audio,
+        compute_dtype=compute_dtype, use_flash=use_flash,
+    )
+    gen_codes = _shift_out_prompt_batch(codes, prompt_lens, gl)
+    if not with_wave:
+        return gen_codes, None
+    from ..codec.vocos import vocos_decode
+
+    return gen_codes, vocos_decode(vocos_params, gen_codes, bandwidth_id=2)
+
+
 class SynthesisPipeline:
     """AR + NAR (+ optional Vocos) with device-resident phase handoff."""
 
@@ -119,12 +224,6 @@ class SynthesisPipeline:
         from ..utils.profiling import PhaseTimer
 
         self.timer = PhaseTimer()
-        from ..codec.vocos import vocos_decode
-
-        # one jit instance — re-wrapping per call would recompile every time
-        self._vocos_jit = jax.jit(
-            vocos_decode, static_argnames=("bandwidth_id",)
-        )
         mode = getattr(ecfg, "decode_mode", "auto")
         if mode == "auto":
             mode = (
@@ -208,18 +307,25 @@ class SynthesisPipeline:
             plain_sampling=plain, best_of=best_of, quantize=quantize,
             decode_steps=decode_steps, speculative=speculative,
         )
+        # put shared inputs ONCE (text/lang/lengths feed both AR and the
+        # NAR tail — re-putting them costs ~0.3-0.5 ms each); sampling
+        # knobs go through the _dev_scalar cache
+        text_dev = jnp.asarray(text_pad)
+        lang_dev = jnp.asarray(lang_pad)
+        xlen_dev = _dev_scalar(S, "int32")
+        plen_dev = _dev_scalar(Tp, "int32")
         with timer.phase("ar"):
             res: ARResult = ar_generate(
                 self.params, cfg,
-                jnp.asarray(text_pad), jnp.asarray(lang_pad),
-                jnp.asarray(S, jnp.int32),
-                jnp.asarray(prompt_pad), jnp.asarray(Tp, jnp.int32),
-                jax.random.PRNGKey(seed),
-                jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
-                jnp.asarray(temperature, jnp.float32),
+                text_dev, lang_dev, xlen_dev,
+                jnp.asarray(prompt_pad), plen_dev,
+                jnp.asarray(seed, jnp.int32),
+                _dev_scalar(int(top_k), "int32"),
+                _dev_scalar(float(top_p), "float32"),
+                _dev_scalar(float(temperature), "float32"),
                 gen_limit=(
                     None if max_gen_frames is None
-                    else jnp.asarray(max_gen_frames, jnp.int32)
+                    else _dev_scalar(int(max_gen_frames), "int32")
                 ),
                 s_text=s_text, p_audio=p_audio, t_audio=t_audio,
                 beams=best_of, compute_dtype=e.compute_dtype,
@@ -233,34 +339,20 @@ class SynthesisPipeline:
                 packed=packed, packed_draft=packed_draft,
             )
 
-        # --- NAR (device handoff) -------------------------------------------
-        with timer.phase("nar"):
-            codes_in = _assemble_nar_input(
-                res.tokens, res.best_beam, jnp.asarray(prompt_codes_pad),
-                t_audio=t_audio, eos=cfg.eos_id,
-            )
-            prompt_len_dev = jnp.asarray(Tp, jnp.int32)
-            t_len = prompt_len_dev + res.gen_len.astype(jnp.int32)
-            codes = nar_generate(
-                self.params, cfg,
-                jnp.asarray(text_pad), jnp.asarray(lang_pad),
-                jnp.asarray(S, jnp.int32),
-                codes_in, t_len, prompt_len_dev,
-                s_text=s_text, t_audio=t_audio,
+        # --- NAR + shift + Vocos: one fused program (device handoff) --------
+        with_wave = return_wave and self.vocos_params is not None
+        with timer.phase("tail"):
+            gen_codes, wave_dev = _nar_tail(
+                self.params,
+                self.vocos_params if with_wave else None,
+                cfg, res.tokens, res.best_beam, res.gen_len,
+                jnp.asarray(prompt_codes_pad), text_dev, lang_dev,
+                xlen_dev, plen_dev,
+                s_text=s_text, t_audio=t_audio, eos=cfg.eos_id,
                 compute_dtype=e.compute_dtype,
                 use_flash=nar_use_flash(cfg),
+                with_wave=with_wave,
             )
-            gen_codes = _shift_out_prompt(
-                codes, prompt_len_dev, res.gen_len.astype(jnp.int32)
-            )
-
-        # --- Vocos (device) -------------------------------------------------
-        wave_dev = None
-        if return_wave and self.vocos_params is not None:
-            with timer.phase("vocos"):
-                wave_dev = self._vocos_jit(
-                    self.vocos_params, gen_codes, bandwidth_id=2
-                )
 
         # --- single host sync (dispatch is async; the wall time of the whole
         # utterance lands in this phase). ONE batched device_get: each extra
@@ -268,7 +360,7 @@ class SynthesisPipeline:
         # trip, so gen_len/codes/wave are fetched together (full buffers)
         # and trimmed host-side ------------------------------------------------
         with timer.phase("sync"):
-            if wave_dev is not None:
+            if with_wave:
                 gl, codes_all, wave_all = jax.device_get(
                     (res.gen_len, gen_codes, wave_dev)
                 )
@@ -276,7 +368,7 @@ class SynthesisPipeline:
                 gl, codes_all = jax.device_get((res.gen_len, gen_codes))
         gen_len = int(gl)
         codes_np = codes_all[0, :gen_len]
-        if wave_dev is not None:
+        if with_wave:
             from ..codec.vocos import HOP
 
             return codes_np, wave_all[0, : gen_len * HOP]
@@ -344,6 +436,8 @@ class SynthesisPipeline:
                 prompt_codes_pad[r, : len(pr)] = pr
 
         timer = self.timer
+        text_dev = jnp.asarray(text_pad)
+        lang_dev = jnp.asarray(lang_pad)
         x_lens_dev = jnp.asarray(x_lens)
         plens_dev = jnp.asarray(prompt_lens)
         quantize = getattr(e, "quantize", "none")
@@ -351,13 +445,13 @@ class SynthesisPipeline:
         with timer.phase("ar"):
             y_gen, gen_len, _ = ar_generate_batch(
                 self.params, cfg,
-                jnp.asarray(text_pad), jnp.asarray(lang_pad), x_lens_dev,
+                text_dev, lang_dev, x_lens_dev,
                 jnp.asarray(prompt_pad), plens_dev,
                 jnp.asarray(caps),
-                jax.random.PRNGKey(seed),
-                jnp.asarray(top_k, jnp.int32),
-                jnp.asarray(temperature, jnp.float32),
-                jnp.asarray(top_p, jnp.float32),
+                jnp.asarray(seed, jnp.int32),
+                _dev_scalar(int(top_k), "int32"),
+                _dev_scalar(float(temperature), "float32"),
+                _dev_scalar(float(top_p), "float32"),
                 s_text=s_text, p_audio=p_audio, t_gen=t_gen,
                 compute_dtype=e.compute_dtype,
                 greedy=bool(top_k == 1),
@@ -367,41 +461,33 @@ class SynthesisPipeline:
                 packed=packed,
             )
 
-        with timer.phase("nar"):
-            codes_in = _assemble_nar_input_batch(
-                y_gen, jnp.asarray(prompt_codes_pad), plens_dev,
-                t_audio=t_audio,
-            )
-            gen_len = gen_len.astype(jnp.int32)
-            t_len = plens_dev + gen_len
-            codes = nar_generate(
-                self.params, cfg,
-                jnp.asarray(text_pad), jnp.asarray(lang_pad), x_lens_dev,
-                codes_in, t_len, plens_dev,
+        # --- NAR + shift + Vocos: one fused program --------------------------
+        with_wave = return_wave and self.vocos_params is not None
+        with timer.phase("tail"):
+            gen_codes, wave_dev = _nar_tail_batch(
+                self.params,
+                self.vocos_params if with_wave else None,
+                cfg, y_gen, gen_len,
+                jnp.asarray(prompt_codes_pad), plens_dev,
+                text_dev, lang_dev, x_lens_dev,
                 s_text=s_text, t_audio=t_audio,
                 compute_dtype=e.compute_dtype,
                 use_flash=nar_use_flash(cfg),
+                with_wave=with_wave,
             )
-            gen_codes = _shift_out_prompt_batch(codes, plens_dev, gen_len)
-
-        wave_dev = None
-        if return_wave and self.vocos_params is not None:
-            with timer.phase("vocos"):
-                wave_dev = self._vocos_jit(
-                    self.vocos_params, gen_codes, bandwidth_id=2
-                )
 
         # ONE batched device_get (see synthesize: every extra tunnel
         # transfer is a full round trip)
         with timer.phase("sync"):
-            if wave_dev is not None:
+            if with_wave:
                 lens, codes_np, waves = jax.device_get(
                     (gen_len, gen_codes, wave_dev)
                 )
             else:
                 lens, codes_np = jax.device_get((gen_len, gen_codes))
+        lens = lens.astype(np.int64)
         out = []
-        if wave_dev is not None:
+        if with_wave:
             from ..codec.vocos import HOP
 
             for r in range(R):
