@@ -329,21 +329,28 @@ def encoder_stack_apply(
     mask: Optional[jnp.ndarray] = None,
     stage_emb: Optional[jnp.ndarray] = None,
     segments=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Run the full stack via lax.scan over the layer axis + final norm.
 
     segments=(q_seg, kv_seg) switches attention to the flash kernel
-    (attention_core_flash) — only valid for key-padding-style masks."""
+    (attention_core_flash) — only valid for key-padding-style masks.
 
-    def body(carry, layer_p):
-        return (
-            encoder_layer_apply(
-                layer_p, carry, num_heads, mask, stage_emb, segments
-            ),
-            None,
+    remat=True rematerializes each layer under autodiff (training): only
+    the per-layer scan inputs are saved instead of every intermediate, so
+    activation memory drops ~num_layers× at one extra forward of compute.
+    Forward-only callers are unaffected (jax.checkpoint is transparent
+    outside differentiation)."""
+
+    def apply(carry, layer_p):
+        return encoder_layer_apply(
+            layer_p, carry, num_heads, mask, stage_emb, segments
         )
 
-    x, _ = jax.lax.scan(body, x, p["layers"])
+    if remat:
+        apply = jax.checkpoint(apply)
+
+    x, _ = jax.lax.scan(lambda c, lp: (apply(c, lp), None), x, p["layers"])
     return _norm(p["norm"], x, stage_emb)
 
 

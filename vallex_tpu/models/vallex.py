@@ -176,10 +176,11 @@ def ar_forward(
     cfg: ModelConfig,
     xy: jnp.ndarray,
     mask: Optional[jnp.ndarray],
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Full-sequence AR decoder pass → hidden states [B, S, D]."""
     return L.encoder_stack_apply(
-        params["ar_decoder"], xy, cfg.num_heads, mask
+        params["ar_decoder"], xy, cfg.num_heads, mask, remat=remat
     )
 
 
@@ -197,6 +198,7 @@ def nar_forward_stage(
     stage_idx: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     segments=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """One NAR pass conditioned on stage embedding `stage_idx` (0..6).
 
@@ -207,7 +209,8 @@ def nar_forward_stage(
         xy.dtype
     )
     return L.encoder_stack_apply(
-        params["nar_decoder"], xy, cfg.num_heads, mask, stage_emb, segments
+        params["nar_decoder"], xy, cfg.num_heads, mask, stage_emb, segments,
+        remat=remat,
     )
 
 

@@ -81,7 +81,7 @@ def ar_loss(
     ok = jnp.logical_and(jnp.logical_or(col_text_ok, col_audio_ok), causal)
     mask = jnp.where(ok, 0.0, V.NEG_INF).astype(jnp.float32)[:, None]
 
-    h = V.ar_forward(params, cfg, xy, mask)
+    h = V.ar_forward(params, cfg, xy, mask, remat=True)
     logits = V.ar_logits(params, h[:, S:])  # [B, T+1, 1025]
     loss_mask = (pos_t <= audio_lens[:, None]).astype(jnp.float32)
     return _ce(logits, targets.astype(jnp.int32), loss_mask)
@@ -132,7 +132,7 @@ def nar_loss(
     )
     mask = jnp.where(ok, 0.0, V.NEG_INF).astype(jnp.float32)[:, None, None, :]
 
-    h = V.nar_forward_stage(params, cfg, xy, stage - 1, mask)
+    h = V.nar_forward_stage(params, cfg, xy, stage - 1, mask, remat=True)
     logits = V.nar_logits(params, h[:, S:], stage - 1)  # [B, T, 1024]
 
     targets = jnp.take_along_axis(
