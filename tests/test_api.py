@@ -113,3 +113,46 @@ def test_make_prompt_rejects_long_audio(bundle, tmp_path):
     save_wav(p, wav)
     with pytest.raises(ValueError, match="15 seconds"):
         api.make_prompt("x", p, transcript="hi", out_dir=str(tmp_path))
+
+
+def test_seed_scalar_matches_prngkey(bundle):
+    """ar_generate accepts a raw int32 seed (built into a PRNG key inside
+    the program — engine/pipeline.py avoids the ~1 ms host-side PRNGKey);
+    the emitted tokens must be identical to passing jax.random.PRNGKey(seed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vallex_tpu.engine.ar import ar_generate
+
+    b = api._bundle
+    tok, lang = api._prepare_text(
+        b, "Seed check.", np.zeros((0,), np.int32), None, "en"
+    )
+    S = len(tok)
+    s_text = 64
+    text_pad = np.zeros((1, s_text), np.int32)
+    text_pad[0, :S] = tok
+    lang_pad = np.zeros((1, s_text), np.int32)
+    lang_pad[0, :S] = lang
+    prompt_pad = np.full((1, 127), b.cfg.eos_id, np.int32)
+
+    def run(rng):
+        res = ar_generate(
+            b.params, b.cfg,
+            jnp.asarray(text_pad), jnp.asarray(lang_pad),
+            jnp.asarray(S, jnp.int32),
+            jnp.asarray(prompt_pad), jnp.asarray(0, jnp.int32),
+            rng,
+            jnp.asarray(-100, jnp.int32), jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(0.9, jnp.float32),
+            gen_limit=jnp.asarray(24, jnp.int32),
+            s_text=s_text, p_audio=128, t_audio=256, beams=1,
+            compute_dtype="float32", decode_mode="xla",
+        )
+        n = int(res.gen_len)
+        return np.asarray(res.tokens)[int(res.best_beam), 1 : 1 + n]
+
+    a = run(jnp.asarray(42, jnp.int32))
+    key = run(jax.random.PRNGKey(42))
+    assert len(a) > 0
+    np.testing.assert_array_equal(a, key)
