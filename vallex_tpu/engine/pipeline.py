@@ -32,6 +32,15 @@ from .nar import nar_generate, nar_use_flash
 Params = Dict[str, Any]
 
 
+def _seed32(seed) -> jnp.ndarray:
+    """Fold an arbitrary Python/numpy integer seed into the int32 range
+    expected by the in-program PRNGKey construction. Seeds < 2**31 map to
+    themselves (identical stream to passing jax.random.PRNGKey(seed));
+    larger values (time_ns()-style seeds) fold deterministically instead
+    of overflowing int32."""
+    return jnp.asarray(int(seed) & 0x7FFFFFFF, jnp.int32)
+
+
 @functools.lru_cache(maxsize=4096)
 def _dev_scalar(val, dtype: str) -> jnp.ndarray:
     """Device-cached scalar put. Each eager jnp.asarray(x, dtype) costs
@@ -114,7 +123,7 @@ def _shift_out_prompt_batch(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "s_text", "t_audio", "eos", "compute_dtype", "use_flash",
+        "cfg", "s_text", "t_audio", "compute_dtype", "use_flash",
         "with_wave",
     ),
 )
@@ -133,7 +142,6 @@ def _nar_tail(
     *,
     s_text: int,
     t_audio: int,
-    eos: int,
     compute_dtype: str,
     use_flash: bool,
     with_wave: bool,
@@ -146,7 +154,7 @@ def _nar_tail(
     short-sentence serving (the reference's real workload,
     generation.py:191-228)."""
     codes_in = _assemble_nar_input(
-        ar_tokens, best, prompt_codes_pad, t_audio=t_audio, eos=eos
+        ar_tokens, best, prompt_codes_pad, t_audio=t_audio, eos=cfg.eos_id
     )
     gl = gen_len.astype(jnp.int32)
     codes = nar_generate(
@@ -319,7 +327,7 @@ class SynthesisPipeline:
                 self.params, cfg,
                 text_dev, lang_dev, xlen_dev,
                 jnp.asarray(prompt_pad), plen_dev,
-                jnp.asarray(seed, jnp.int32),
+                _seed32(seed),
                 _dev_scalar(int(top_k), "int32"),
                 _dev_scalar(float(top_p), "float32"),
                 _dev_scalar(float(temperature), "float32"),
@@ -348,7 +356,7 @@ class SynthesisPipeline:
                 cfg, res.tokens, res.best_beam, res.gen_len,
                 jnp.asarray(prompt_codes_pad), text_dev, lang_dev,
                 xlen_dev, plen_dev,
-                s_text=s_text, t_audio=t_audio, eos=cfg.eos_id,
+                s_text=s_text, t_audio=t_audio,
                 compute_dtype=e.compute_dtype,
                 use_flash=nar_use_flash(cfg),
                 with_wave=with_wave,
@@ -448,7 +456,7 @@ class SynthesisPipeline:
                 text_dev, lang_dev, x_lens_dev,
                 jnp.asarray(prompt_pad), plens_dev,
                 jnp.asarray(caps),
-                jnp.asarray(seed, jnp.int32),
+                _seed32(seed),
                 _dev_scalar(int(top_k), "int32"),
                 _dev_scalar(float(temperature), "float32"),
                 _dev_scalar(float(top_p), "float32"),

@@ -348,7 +348,11 @@ def encoder_stack_apply(
         )
 
     if remat:
-        apply = jax.checkpoint(apply)
+        # prevent_cse=False: CSE cannot happen across scan iterations, and
+        # the default's optimization barriers would inhibit XLA fusion
+        # inside each layer (the jax.checkpoint docs recommend this
+        # combination for scan bodies)
+        apply = jax.checkpoint(apply, prevent_cse=False)
 
     x, _ = jax.lax.scan(lambda c, lp: (apply(c, lp), None), x, p["layers"])
     return _norm(p["norm"], x, stage_emb)
