@@ -1,0 +1,228 @@
+"""Serving layer: dynamic micro-batching + stdlib HTTP app.
+
+Backend-stubbed (no TPU): the batcher's grouping/ordering/failure
+semantics and the HTTP contract are host-side logic; the batched decode
+itself is covered by tests/test_batch_decode.py and the on-chip checks.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+import wave as wave_mod
+import io
+
+import numpy as np
+import pytest
+
+from vallex_tpu.server import (
+    DynamicBatcher,
+    SynthesisRequest,
+    make_server,
+    wav_bytes,
+    _parse_request,
+)
+
+
+def _stub_backends(record, fail_texts=(), delay=0.0):
+    """(batch_fn, single_fn) returning len(text)-keyed sine stubs."""
+
+    def wave_for(text):
+        if text in fail_texts:
+            raise ValueError(f"boom: {text}")
+        return np.full(100 + len(text), 0.25, np.float32)
+
+    def batch_fn(texts, prompts, **kw):
+        if delay:
+            time.sleep(delay)
+        record.append(("batch", list(texts), dict(kw)))
+        return [wave_for(t) for t in texts]
+
+    def single_fn(text, **kw):
+        if delay:
+            time.sleep(delay)
+        record.append(("single", text, dict(kw)))
+        return wave_for(text)
+
+    return batch_fn, single_fn
+
+
+def _batcher(record, **kw):
+    bf, sf = _stub_backends(record, **{
+        k: kw.pop(k) for k in ("fail_texts", "delay") if k in kw
+    })
+    return DynamicBatcher(bf, sf, **kw)
+
+
+def test_single_request_uses_single_path():
+    rec = []
+    b = _batcher(rec, max_batch=4, max_wait_ms=20)
+    w = b.submit(SynthesisRequest("hello")).result(timeout=5)
+    b.shutdown()
+    assert len(w) == 105
+    assert [r[0] for r in rec] == ["single"]
+
+
+def test_concurrent_compatible_requests_batch_together():
+    rec = []
+    b = _batcher(rec, max_batch=4, max_wait_ms=200, delay=0.05)
+    # first request occupies the worker; the rest queue up and coalesce
+    futs = [b.submit(SynthesisRequest(f"t{i}")) for i in range(5)]
+    waves = [f.result(timeout=10) for f in futs]
+    b.shutdown()
+    assert all(len(w) == 102 for w in waves)
+    kinds = [r[0] for r in rec]
+    # 5 requests, max_batch 4 → at most 3 calls; at least one batched
+    assert len(kinds) <= 3 and "batch" in kinds
+    served = []
+    for r in rec:
+        served.extend(r[1] if r[0] == "batch" else [r[1]])
+    assert sorted(served) == [f"t{i}" for i in range(5)]
+
+
+def test_results_route_to_the_right_request():
+    rec = []
+    b = _batcher(rec, max_batch=8, max_wait_ms=100, delay=0.05)
+    texts = ["a" * (i + 1) for i in range(6)]
+    futs = {t: b.submit(SynthesisRequest(t)) for t in texts}
+    for t, f in futs.items():
+        assert len(f.result(timeout=10)) == 100 + len(t)
+    b.shutdown()
+
+
+def test_incompatible_settings_split_groups():
+    rec = []
+    b = _batcher(rec, max_batch=8, max_wait_ms=120, delay=0.05)
+    f1 = b.submit(SynthesisRequest("warm"))  # occupies the worker
+    fa = [b.submit(SynthesisRequest(f"a{i}", top_k=1)) for i in range(2)]
+    fb = [b.submit(SynthesisRequest(f"b{i}", top_k=50)) for i in range(2)]
+    for f in [f1, *fa, *fb]:
+        f.result(timeout=10)
+    b.shutdown()
+    for kind, payload, kw in rec:
+        if kind == "batch":
+            # a-group and b-group must never share a batched call
+            assert not (
+                any(t.startswith("a") for t in payload)
+                and any(t.startswith("b") for t in payload)
+            ), rec
+
+
+def test_batch_failure_retries_singly_and_isolates_error():
+    rec = []
+    b = _batcher(
+        rec, max_batch=4, max_wait_ms=150, delay=0.05,
+        fail_texts=("bad",),
+    )
+    b.submit(SynthesisRequest("warmup")).result(timeout=10)
+    good = [b.submit(SynthesisRequest(f"ok{i}")) for i in range(2)]
+    bad = b.submit(SynthesisRequest("bad"))
+    for f in good:
+        assert len(f.result(timeout=10)) > 0  # neighbours survive
+    with pytest.raises(ValueError, match="boom"):
+        bad.result(timeout=10)
+    b.shutdown()
+
+
+def test_shutdown_fails_pending_requests():
+    rec = []
+    b = _batcher(rec, max_batch=2, max_wait_ms=50, delay=0.3)
+    futs = [b.submit(SynthesisRequest(f"x{i}")) for i in range(4)]
+    b.shutdown(timeout=5)
+    states = []
+    for f in futs:
+        try:
+            f.result(timeout=5)
+            states.append("ok")
+        except RuntimeError:
+            states.append("shutdown")
+        except Exception:
+            states.append("other")
+    assert "other" not in states
+    assert b.queue_depth() == 0
+
+
+def test_parse_request_validation():
+    with pytest.raises(ValueError, match="invalid JSON"):
+        _parse_request(b"{nope")
+    with pytest.raises(ValueError, match='"text"'):
+        _parse_request(b'{"prompt": "p"}')
+    with pytest.raises(ValueError, match="non-empty"):
+        _parse_request(b'{"text": "  "}')
+    r = _parse_request(
+        b'{"text": "hi", "top_k": 50, "temperature": 0.8, "seed": 3}'
+    )
+    assert (r.top_k, r.temperature, r.seed) == (50, 0.8, 3)
+    assert r.group_key() != SynthesisRequest("hi").group_key()
+
+
+def test_wav_bytes_roundtrip():
+    wav = 0.5 * np.sin(np.arange(2400) * 0.1).astype(np.float32)
+    raw = wav_bytes(wav)
+    with wave_mod.open(io.BytesIO(raw)) as f:
+        assert f.getframerate() == 24000
+        assert f.getnchannels() == 1
+        assert f.getnframes() == 2400
+        pcm = np.frombuffer(f.readframes(2400), np.int16)
+    np.testing.assert_allclose(pcm / 32767.0, wav, atol=2e-4)
+
+
+@pytest.fixture()
+def http_server():
+    rec = []
+    bf, sf = _stub_backends(rec)
+    b = DynamicBatcher(bf, sf, max_batch=4, max_wait_ms=10)
+    srv = make_server("127.0.0.1", 0, batcher=b)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", rec
+    srv.shutdown()
+    b.shutdown()
+
+
+def test_http_synthesize_wav(http_server):
+    url, _ = http_server
+    req = urllib.request.Request(
+        url + "/synthesize",
+        data=json.dumps({"text": "hello server"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        assert resp.headers["Content-Type"] == "audio/wav"
+        body = resp.read()
+    with wave_mod.open(io.BytesIO(body)) as f:
+        assert f.getnframes() == 100 + len("hello server")
+
+
+def test_http_synthesize_json_format(http_server):
+    url, _ = http_server
+    req = urllib.request.Request(
+        url + "/synthesize",
+        data=json.dumps({"text": "hi", "format": "json"}).encode(),
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        out = json.loads(resp.read())
+    assert out["sample_rate"] == 24000
+    assert out["duration_s"] > 0
+    import base64
+
+    with wave_mod.open(io.BytesIO(base64.b64decode(out["wav_base64"]))) as f:
+        assert f.getnframes() == 102
+
+
+def test_http_bad_request_and_health(http_server):
+    url, _ = http_server
+    req = urllib.request.Request(url + "/synthesize", data=b'{"x": 1}')
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "text" in json.loads(e.read())["error"]
+    with urllib.request.urlopen(url + "/healthz", timeout=10) as resp:
+        h = json.loads(resp.read())
+    assert h["status"] == "ok"
+    with urllib.request.urlopen(url + "/presets", timeout=10) as resp:
+        p = json.loads(resp.read())
+    assert "paimon" in p["presets"]

@@ -7,6 +7,7 @@ Usage:
   python -m vallex_tpu.cli make-prompt myvoice clip.wav --transcript "..."
   python -m vallex_tpu.cli list-presets
   python -m vallex_tpu.cli ui          # gradio app when gradio is installed
+  python -m vallex_tpu.cli serve --port 8000 --quantize int8kv
 """
 
 from __future__ import annotations
@@ -77,6 +78,29 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=7860)
     _add_common(p)
 
+    p = sub.add_parser(
+        "serve",
+        help="HTTP synthesis server with dynamic micro-batching "
+        "(POST /synthesize, GET /healthz, GET /presets)",
+    )
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument(
+        "--max-batch", type=int, default=8,
+        help="requests coalesced into one batched decode (measured "
+        "optimum 8 with int8kv, PERFORMANCE.md)",
+    )
+    p.add_argument(
+        "--max-wait-ms", type=float, default=30.0,
+        help="how long a lone request waits for batch companions",
+    )
+    p.add_argument(
+        "--quantize", default="none",
+        choices=["none", "int8", "w8a8", "int8kv"],
+        help="engine quantization (opt-in; A/B fidelity first)",
+    )
+    _add_common(p)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "list-presets":
@@ -136,6 +160,21 @@ def main(argv=None) -> int:
 
         _load(args)
         launch_ui(port=args.port)
+        return 0
+
+    if args.cmd == "serve":
+        from . import api
+        from .config import EngineConfig
+        from .server import serve_forever
+
+        api.preload_models(
+            args.checkpoints, random_weights=args.random_weights,
+            ecfg=EngineConfig(quantize=args.quantize),
+        )
+        serve_forever(
+            args.host, args.port,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        )
         return 0
 
     return 1

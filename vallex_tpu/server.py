@@ -1,0 +1,393 @@
+"""Production HTTP serving with dynamic micro-batching.
+
+The reference's only serving surface is the gradio UI (launch-ui.py) — one
+request at a time, one full decode weight stream per request. On TPU the
+economics invert: every AR decode step streams the whole weight set, so
+concurrent requests should share it (engine/ar.py::ar_generate_batch —
+up to ~64x realtime/chip at batch 8-24, PERFORMANCE.md). This module turns
+that into a deployable surface:
+
+- ``DynamicBatcher``: a queue + worker thread that coalesces requests
+  arriving within a short window into ONE batched decode. Requests with
+  identical sampling settings batch together; incompatible ones run in
+  separate groups. If a batched call fails, each member is retried alone
+  so one malformed request cannot poison its neighbours.
+- A dependency-free ``http.server`` app:
+    POST /synthesize   {"text": ..., "prompt": ..., ...} → WAV bytes
+                       (or JSON with base64 audio when "format": "json")
+    GET  /healthz      liveness + queue depth
+    GET  /presets      bundled voice-prompt names
+
+Start it with ``python -m vallex_tpu.cli serve --port 8000`` or
+``serve_forever()`` from Python.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+import time
+import wave as wave_mod
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def wav_bytes(wav: np.ndarray, sr: int = 24000) -> bytes:
+    """Mono float waveform → 16-bit PCM WAV container bytes."""
+    pcm = np.clip(wav, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+@dataclass
+class SynthesisRequest:
+    text: str
+    prompt: Optional[str] = None
+    language: str = "auto"
+    accent: str = "no-accent"
+    top_k: int = -100
+    top_p: float = 1.0
+    temperature: float = 1.0
+    seed: int = 0
+
+    def group_key(self) -> Tuple:
+        """Requests batch together only when every knob the batched engine
+        shares across the batch is identical (api.generate_audio_batch
+        applies language/accent/sampling/seed batch-wide; texts and
+        prompts are per-request)."""
+        return (
+            self.language, self.accent, self.top_k, self.top_p,
+            self.temperature, self.seed,
+        )
+
+
+class DynamicBatcher:
+    """Coalesce concurrent synthesis requests into batched decodes.
+
+    submit() returns a Future resolving to the waveform. A worker thread
+    takes the oldest pending request, waits up to ``max_wait_ms`` for
+    compatible companions (same group_key), caps the group at
+    ``max_batch``, and runs one batched call. Under light load a lone
+    request pays at most max_wait_ms of extra latency; under heavy load
+    batches fill immediately and throughput follows the batch-serving
+    curve instead of the single-stream one.
+    """
+
+    def __init__(
+        self,
+        batch_fn: Optional[Callable] = None,
+        single_fn: Optional[Callable] = None,
+        *,
+        max_batch: int = 8,
+        max_wait_ms: float = 30.0,
+    ):
+        if batch_fn is None or single_fn is None:
+            from . import api
+
+            batch_fn = batch_fn or api.generate_audio_batch
+            single_fn = single_fn or api.generate_audio
+        self.batch_fn = batch_fn
+        self.single_fn = single_fn
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self._q: "queue.Queue[Tuple[SynthesisRequest, Future]]" = queue.Queue()
+        self._deferred: List[Tuple[SynthesisRequest, Future]] = []
+        self._stop = threading.Event()
+        self._worker = threading.Thread(
+            target=self._run, name="vallex-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, req: SynthesisRequest) -> "Future[np.ndarray]":
+        if self._stop.is_set():
+            raise RuntimeError("batcher is shut down")
+        fut: "Future[np.ndarray]" = Future()
+        self._q.put((req, fut))
+        return fut
+
+    def queue_depth(self) -> int:
+        return self._q.qsize() + len(self._deferred)
+
+    def shutdown(self, timeout: float = 10.0) -> None:
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        self._worker.join(timeout)
+
+    # -- worker side ---------------------------------------------------------
+
+    def _take(self, block: bool, deadline: Optional[float]):
+        """Next (req, fut) from deferred-first order, or None."""
+        if self._deferred:
+            return self._deferred.pop(0)
+        try:
+            timeout = None
+            if deadline is not None:
+                timeout = max(0.0, deadline - time.monotonic())
+            item = self._q.get(block=block, timeout=timeout)
+        except queue.Empty:
+            return None
+        return item
+
+    def _collect_group(self, first) -> List[Tuple[SynthesisRequest, Future]]:
+        group = [first]
+        key = first[0].group_key()
+        incompatible: List[Tuple[SynthesisRequest, Future]] = []
+        deadline = time.monotonic() + self.max_wait_s
+        while len(group) < self.max_batch:
+            item = self._take(block=True, deadline=deadline)
+            if item is None:
+                break
+            req, fut = item
+            if req.group_key() == key:
+                group.append(item)
+            else:
+                # keep arrival order within the incompatible stream
+                incompatible.append(item)
+        self._deferred = incompatible + self._deferred
+        return group
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            item = self._take(block=True, deadline=None)
+            if item is None:
+                continue
+            if self._stop.is_set():
+                # hold the just-dequeued request for the drain below —
+                # dropping it would leave its Future unresolved forever
+                self._deferred.insert(0, item)
+                break
+            group = self._collect_group(item)
+            self._execute(group)
+        # drain: fail whatever is left so clients don't hang
+        leftovers = list(self._deferred)
+        self._deferred = []
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if it is not None:
+                leftovers.append(it)
+        for _, fut in leftovers:
+            fut.set_exception(RuntimeError("server shutting down"))
+
+    def _execute(self, group) -> None:
+        reqs = [r for r, _ in group]
+        futs = [f for _, f in group]
+        r0 = reqs[0]
+        try:
+            if len(reqs) == 1:
+                waves = [
+                    self.single_fn(
+                        r0.text, prompt=r0.prompt, language=r0.language,
+                        accent=r0.accent, top_k=r0.top_k, top_p=r0.top_p,
+                        temperature=r0.temperature, seed=r0.seed,
+                    )
+                ]
+            else:
+                waves = self.batch_fn(
+                    [r.text for r in reqs],
+                    [r.prompt for r in reqs],
+                    language=r0.language, accent=r0.accent,
+                    top_k=r0.top_k, top_p=r0.top_p,
+                    temperature=r0.temperature, seed=r0.seed,
+                )
+            for fut, w in zip(futs, waves):
+                fut.set_result(w)
+        except Exception as batch_err:  # noqa: BLE001
+            if len(reqs) == 1:
+                futs[0].set_exception(batch_err)
+                return
+            # one bad request must not poison the batch: retry singly
+            log.warning(
+                "batched synthesis failed (%s); retrying %d requests singly",
+                batch_err, len(reqs),
+            )
+            for r, fut in zip(reqs, futs):
+                try:
+                    fut.set_result(
+                        self.single_fn(
+                            r.text, prompt=r.prompt, language=r.language,
+                            accent=r.accent, top_k=r.top_k, top_p=r.top_p,
+                            temperature=r.temperature, seed=r.seed,
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001
+                    fut.set_exception(e)
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer (stdlib only)
+# ---------------------------------------------------------------------------
+
+_MAX_BODY = 1 << 20  # 1 MiB of JSON is far beyond any sane request
+_MAX_TEXT = 20_000
+
+
+def _parse_request(body: bytes) -> SynthesisRequest:
+    try:
+        data = json.loads(body)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"invalid JSON: {e}") from e
+    if not isinstance(data, dict) or "text" not in data:
+        raise ValueError('body must be a JSON object with a "text" field')
+    text = data["text"]
+    if not isinstance(text, str) or not text.strip():
+        raise ValueError('"text" must be a non-empty string')
+    if len(text) > _MAX_TEXT:
+        raise ValueError(f'"text" exceeds {_MAX_TEXT} characters')
+    return SynthesisRequest(
+        text=text,
+        prompt=data.get("prompt"),
+        language=str(data.get("language", "auto")),
+        accent=str(data.get("accent", "no-accent")),
+        top_k=int(data.get("top_k", -100)),
+        top_p=float(data.get("top_p", 1.0)),
+        temperature=float(data.get("temperature", 1.0)),
+        seed=int(data.get("seed", 0)),
+    )
+
+
+def make_server(
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    *,
+    batcher: Optional[DynamicBatcher] = None,
+    request_timeout_s: float = 300.0,
+):
+    """Build (but do not start) the HTTP server. Call .serve_forever() on
+    the result; .shutdown() stops it. The batcher defaults to the public
+    api functions — call api.preload_models() first."""
+    import http.server
+    import socketserver
+
+    b = batcher or DynamicBatcher()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through logging
+            log.info("%s - %s", self.address_string(), fmt % args)
+
+        def _send(self, code: int, ctype: str, payload: bytes) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _send_json(self, code: int, obj: Dict[str, Any]) -> None:
+            self._send(
+                code, "application/json",
+                json.dumps(obj).encode("utf-8"),
+            )
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._send_json(
+                    200, {"status": "ok", "queue_depth": b.queue_depth()}
+                )
+            elif self.path == "/presets":
+                import os
+
+                from .api import PROMPT_SEARCH_DIRS
+
+                names = sorted({
+                    f[:-4]
+                    for d in PROMPT_SEARCH_DIRS if os.path.isdir(d)
+                    for f in os.listdir(d) if f.endswith(".npz")
+                })
+                self._send_json(200, {"presets": names})
+            else:
+                self._send_json(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802 (stdlib API)
+            if self.path != "/synthesize":
+                self._send_json(404, {"error": "not found"})
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            if n <= 0 or n > _MAX_BODY:
+                self._send_json(400, {"error": "bad Content-Length"})
+                return
+            body = self.rfile.read(n)
+            try:
+                req = _parse_request(body)
+            except ValueError as e:
+                self._send_json(400, {"error": str(e)})
+                return
+            as_json = False
+            try:
+                as_json = json.loads(body).get("format") == "json"
+            except Exception:  # noqa: BLE001 (already validated)
+                pass
+            try:
+                wav = b.submit(req).result(timeout=request_timeout_s)
+            except TimeoutError:
+                self._send_json(504, {"error": "synthesis timed out"})
+                return
+            except Exception as e:  # noqa: BLE001 (surface as 500)
+                self._send_json(500, {"error": str(e)})
+                return
+            payload = wav_bytes(np.asarray(wav))
+            if as_json:
+                self._send_json(200, {
+                    "sample_rate": 24000,
+                    "duration_s": round(len(wav) / 24000.0, 3),
+                    "wav_base64": base64.b64encode(payload).decode("ascii"),
+                })
+            else:
+                self._send(200, "audio/wav", payload)
+
+    class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
+        daemon_threads = True
+        allow_reuse_address = True
+
+    srv = Server((host, port), Handler)
+    srv.batcher = b  # type: ignore[attr-defined]
+    return srv
+
+
+def serve_forever(
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    *,
+    max_batch: int = 8,
+    max_wait_ms: float = 30.0,
+) -> None:
+    """Blocking entry point (CLI: ``python -m vallex_tpu.cli serve``)."""
+    import signal
+
+    b = DynamicBatcher(max_batch=max_batch, max_wait_ms=max_wait_ms)
+    srv = make_server(host, port, batcher=b)
+
+    def _graceful(signum, frame):  # noqa: ARG001 (signal API)
+        log.info("signal %d: shutting down", signum)
+        # srv.shutdown() blocks until serve_forever's loop exits, so it
+        # must run off the loop's own thread
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
+    log.info("serving on http://%s:%d (max_batch=%d, max_wait=%.0f ms)",
+             host, port, max_batch, max_wait_ms)
+    try:
+        srv.serve_forever()
+    finally:
+        b.shutdown()
