@@ -156,3 +156,20 @@ def test_seed_scalar_matches_prngkey(bundle):
     key = run(jax.random.PRNGKey(42))
     assert len(a) > 0
     np.testing.assert_array_equal(a, key)
+
+
+def test_stream_long_text_matches_nonstreaming_length(bundle):
+    """stream_audio_from_long_text yields one wave per sentence with the
+    same token sequences as generate_audio_from_long_text (same seeds), so
+    the concatenated sample count must match exactly (vocoding runs per
+    sentence, but length is gen_frames * HOP either way)."""
+    text = "First thing. Second thing. Third thing."
+    full = api.generate_audio_from_long_text(
+        text, prompt="paimon", mode="sliding-window", seed=3
+    )
+    parts = list(api.stream_audio_from_long_text(
+        text, prompt="paimon", mode="sliding-window", seed=3
+    ))
+    assert len(parts) == 3  # one yield per sentence
+    assert all(np.isfinite(p).all() for p in parts)
+    assert sum(len(p) for p in parts) == len(full)

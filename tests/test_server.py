@@ -226,3 +226,49 @@ def test_http_bad_request_and_health(http_server):
     with urllib.request.urlopen(url + "/presets", timeout=10) as resp:
         p = json.loads(resp.read())
     assert "paimon" in p["presets"]
+
+
+@pytest.fixture()
+def http_server_streaming():
+    rec = []
+    bf, sf = _stub_backends(rec)
+
+    def stream_stub(text, **kw):
+        for sent in text.split("."):
+            if sent.strip():
+                yield np.full(200, 0.5, np.float32)
+
+    b = DynamicBatcher(bf, sf, max_batch=4, max_wait_ms=10)
+    srv = make_server("127.0.0.1", 0, batcher=b, stream_fn=stream_stub)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    b.shutdown()
+
+
+def test_http_synthesize_long_streams_pcm(http_server_streaming):
+    url = http_server_streaming
+    req = urllib.request.Request(
+        url + "/synthesize-long",
+        data=json.dumps({"text": "One. Two. Three."}).encode(),
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        assert resp.headers["Content-Type"].startswith("audio/L16")
+        body = resp.read()  # urllib de-chunks
+    pcm = np.frombuffer(body, "<i2")
+    assert len(pcm) == 3 * 200  # three sentences x 200 samples
+    np.testing.assert_allclose(pcm / 32767.0, 0.5, atol=1e-4)
+
+
+def test_http_synthesize_long_rejects_empty(http_server_streaming):
+    url = http_server_streaming
+    req = urllib.request.Request(
+        url + "/synthesize-long", data=json.dumps({"text": "   "}).encode()
+    )
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -470,6 +470,104 @@ def generate_audio_from_long_text(
     return codes_to_wave(bundle, codes)
 
 
+def stream_audio_from_long_text(
+    text: str,
+    prompt: Optional[str] = None,
+    language: str = "auto",
+    accent: str = "no-accent",
+    mode: str = "sliding-window",
+    *,
+    best_of: Optional[int] = None,
+    seed: int = 0,
+):
+    """Long-text synthesis as a generator: yields each sentence's waveform
+    the moment it is ready, so time-to-first-audio is ONE sentence instead
+    of the whole paragraph (a serving capability beyond the reference,
+    whose long-text path returns only the final concatenation —
+    generation.py:154-276). Token sequences are identical to
+    generate_audio_from_long_text under the same seed/mode; only the
+    vocoder runs per sentence instead of once over the concatenated
+    codes, so waveforms can differ within the vocoder's small conv
+    receptive field at sentence boundaries."""
+    bundle = _require_bundle()
+    if bundle.vocos_params is None:
+        raise RuntimeError(
+            "streaming synthesis needs the Vocos vocoder (convert "
+            "charactr/vocos-encodec-24khz to checkpoints/vocos-jax.npz)"
+        )
+    if prompt is None:
+        mode = "sliding-window"
+    sentences = split_text_into_sentences(text)
+    audio_prompt, text_prompt, lang_pr = _load_prompt(prompt)
+    e = bundle.ecfg
+    resolved_best_of = best_of or e.best_of
+
+    if (
+        mode == "fixed-prompt"
+        and len(sentences) > 1
+        and resolved_best_of == 1
+        and bundle.pipeline.decode_mode == "megakernel"
+    ):
+        # batched fast path (see generate_audio_from_long_text): yield as
+        # each batched chunk completes
+        requests = []
+        for sent in sentences:
+            text_ids, lang_ids = _prepare_text(
+                bundle, sent, text_prompt, lang_pr, language, accent
+            )
+            requests.append((
+                text_ids, lang_ids,
+                audio_prompt if len(audio_prompt) else None,
+            ))
+        # the FIRST sentence runs alone so the stream's first audio lands
+        # after one sentence's decode, not a whole batch's; the remainder
+        # batches. (Chunk geometry therefore differs from the
+        # non-streaming path: greedy outputs are identical, sampled ones
+        # equally distributed but not seed-identical.)
+        _, wave = bundle.pipeline.synthesize(
+            requests[0][0], requests[0][1], requests[0][2],
+            best_of=1, seed=seed, return_wave=True,
+        )
+        yield wave
+        rest = requests[1:]
+        BATCH = _long_text_batch_size(e)
+        for i in range(0, len(rest), BATCH):
+            chunk = rest[i : i + BATCH]
+            if len(chunk) == 1:
+                _, wave = bundle.pipeline.synthesize(
+                    chunk[0][0], chunk[0][1], chunk[0][2],
+                    best_of=1, seed=seed + 1 + i, return_wave=True,
+                )
+                yield wave
+            else:
+                for _, wave in bundle.pipeline.synthesize_batch(
+                    chunk, seed=seed + 1 + i, return_wave=True
+                ):
+                    yield wave
+        return
+
+    rng = np.random.RandomState(seed)
+    cur_audio, cur_text, cur_lang = audio_prompt, text_prompt, lang_pr
+    for i, sent in enumerate(sentences):
+        logger.info("stream sentence %d/%d", i + 1, len(sentences))
+        codes = _synthesize_tokens(
+            bundle, sent, cur_audio, cur_text, cur_lang,
+            language, accent, best_of=best_of, seed=seed + i,
+        )
+        yield codes_to_wave(bundle, codes)
+        if mode == "sliding-window" and rng.rand() < 0.5:
+            lang_token = lang2token[
+                classify(sent) if language == "auto" else language
+            ]
+            s_text = lang_token + sent.replace("\n", "").strip(" ") + lang_token
+            phone_tokens, _ = bundle.tokenizer.tokenize(f"_{s_text}".strip())
+            cur_text = np.asarray(phone_tokens, np.int32)
+            cur_audio = codes[-225:] if len(codes) > 225 else codes
+            cur_lang = classify(sent) if language == "auto" else language
+        elif mode == "sliding-window":
+            cur_audio, cur_text, cur_lang = audio_prompt, text_prompt, lang_pr
+
+
 # ---------------------------------------------------------------------------
 # Prompt making (reference: utils/prompt_making.py)
 # ---------------------------------------------------------------------------

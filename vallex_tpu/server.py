@@ -271,14 +271,19 @@ def make_server(
     *,
     batcher: Optional[DynamicBatcher] = None,
     request_timeout_s: float = 300.0,
+    stream_fn: Optional[Callable] = None,
 ):
     """Build (but do not start) the HTTP server. Call .serve_forever() on
-    the result; .shutdown() stops it. The batcher defaults to the public
-    api functions — call api.preload_models() first."""
+    the result; .shutdown() stops it. The batcher/stream_fn default to the
+    public api functions — call api.preload_models() first."""
     import http.server
     import socketserver
 
     b = batcher or DynamicBatcher()
+    if stream_fn is None:
+        from . import api
+
+        stream_fn = api.stream_audio_from_long_text
 
     class Handler(http.server.BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -319,6 +324,9 @@ def make_server(
                 self._send_json(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802 (stdlib API)
+            if self.path == "/synthesize-long":
+                self._synthesize_long()
+                return
             if self.path != "/synthesize":
                 self._send_json(404, {"error": "not found"})
                 return
@@ -354,6 +362,64 @@ def make_server(
                 })
             else:
                 self._send(200, "audio/wav", payload)
+
+        def _synthesize_long(self) -> None:
+            """Long-text synthesis streamed as chunked raw PCM
+            (s16le mono, Content-Type audio/L16;rate=24000): the first
+            audio chunk arrives after ONE sentence instead of the whole
+            paragraph. Body: {"text", "prompt"?, "language"?, "accent"?,
+            "mode"?, "seed"?}."""
+            n = int(self.headers.get("Content-Length", 0))
+            if n <= 0 or n > _MAX_BODY:
+                self._send_json(400, {"error": "bad Content-Length"})
+                return
+            body = self.rfile.read(n)
+            try:
+                data = json.loads(body)
+                text = data["text"]
+                if not isinstance(text, str) or not text.strip():
+                    raise ValueError('"text" must be a non-empty string')
+                if len(text) > _MAX_TEXT:
+                    raise ValueError(f'"text" exceeds {_MAX_TEXT} characters')
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._send_json(400, {"error": str(e)})
+                return
+            stream = stream_fn(
+                text,
+                prompt=data.get("prompt"),
+                language=str(data.get("language", "auto")),
+                accent=str(data.get("accent", "no-accent")),
+                mode=str(data.get("mode", "sliding-window")),
+                seed=int(data.get("seed", 0)),
+            )
+            try:
+                first = next(stream)  # synthesize before committing a 200
+            except StopIteration:
+                self._send_json(400, {"error": "no sentences in text"})
+                return
+            except Exception as e:  # noqa: BLE001 (surface as 500)
+                self._send_json(500, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/L16;rate=24000")
+            self.send_header("X-Sample-Rate", "24000")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(wav: np.ndarray) -> None:
+                pcm = np.clip(np.asarray(wav), -1.0, 1.0)
+                raw = (pcm * 32767.0).astype("<i2").tobytes()
+                self.wfile.write(f"{len(raw):X}\r\n".encode())
+                self.wfile.write(raw)
+                self.wfile.write(b"\r\n")
+
+            try:
+                chunk(first)
+                for wav in stream:
+                    chunk(wav)
+                self.wfile.write(b"0\r\n\r\n")
+            except BrokenPipeError:
+                log.info("client disconnected mid-stream")
 
     class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
         daemon_threads = True
