@@ -153,3 +153,33 @@ def test_ja_output_fully_tokenizable():
         ids, langs = tok.tokenize(f"_[JA]{text}[JA]")
         assert len(ids) == len(langs)
         assert 0 not in ids, text
+
+
+def test_round3_second_tier_entries():
+    """Spot-goldens for the round-3 second lexicon tier (verbs/adjectives
+    in dictionary form, kun-reading compounds, accented Sino-compounds) —
+    words where the onyomi+heiban fallback produced a wrong reading or
+    accent before the tier landed. Accents per NHK/OJAD convention."""
+    from vallex_tpu.frontend.japanese_data import WORDS
+
+    expected = {
+        "教える": ("おしえる", 0),   # fallback read きょうえる
+        "閉める": ("しめる", 2),
+        "手伝う": ("てつだう", 3),  # rendaku: てつだう not てつたう
+        "食べ物": ("たべもの", 3),
+        "読み方": ("よみかた", 3),
+        "出口": ("でぐち", 1),      # rendaku + accent 1
+        "入口": ("いりぐち", 0),    # kun reading, not にゅうこう
+        "企業": ("きぎょう", 1),
+        "制度": ("せいど", 1),
+        "解釈": ("かいしゃく", 1),
+        "物語": ("ものがたり", 3),
+        "果物": ("くだもの", 2),    # irregular kun, not かぶつ
+        "眼鏡": ("めがね", 1),
+        "珍しい": ("めずらしい", 4),
+        "柔らかい": ("やわらかい", 4),
+    }
+    for surface, (reading, accent) in expected.items():
+        assert WORDS.get(surface) == (reading, accent), (
+            surface, WORDS.get(surface)
+        )
