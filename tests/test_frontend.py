@@ -445,3 +445,27 @@ def test_frontend_empty_span_raises_cleanly():
 
     with _pytest.raises(ValueError):
         tok.tokenize("_[EN][EN]")
+
+
+def test_en_lts_hostile_tier():
+    """Round-3 fourth lexicon block: words whose spellings defeat
+    letter-to-sound entirely (silent clusters, French/Japanese loans,
+    Greek ch-, word-final pronounced -e). All were OOV before the block."""
+    from vallex_tpu.frontend.english import is_oov, word_to_ipa
+
+    expected = {
+        "colonel": "ˈkərnəl",       # no l-t-s path to kernel
+        "choir": "ˈkwaɪər",         # ch = kw
+        "corps": "kɔr",             # silent ps
+        "epitome": "ɪˈpɪtəmi",      # final e pronounced
+        "boatswain": "ˈboʊsən",     # nautical contraction
+        "tsunami": "suˈnɑmi",       # silent t
+        "indict": "ɪnˈdaɪt",        # silent c
+        "niche": "nɪʧ",
+        "paradigm": "ˈpærədaɪm",    # silent g
+        "borough": "ˈbəroʊ",        # -ough = oh here
+        "trough": "trɔf",           # ...but = off here
+    }
+    for w, ipa in expected.items():
+        assert not is_oov(w), w
+        assert word_to_ipa(w) == ipa, (w, word_to_ipa(w))
