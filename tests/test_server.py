@@ -272,3 +272,101 @@ def test_http_synthesize_long_rejects_empty(http_server_streaming):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_wrongly_typed_fields_get_400_not_crash(http_server):
+    """int(None)/int([1]) used to raise TypeError past the handler's
+    except ValueError, killing the connection with no response."""
+    url, _ = http_server
+    for payload in (
+        {"text": "hi", "top_k": None},
+        {"text": "hi", "top_k": [1]},
+        {"text": "hi", "temperature": "warm"},
+        {"text": "hi", "seed": {}},
+    ):
+        req = urllib.request.Request(
+            url + "/synthesize", data=json.dumps(payload).encode()
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError(f"expected 400 for {payload}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, payload
+
+
+def test_long_non_dict_bodies_get_400(http_server_streaming):
+    url = http_server_streaming
+    for body in (b"123", b'["text"]', b'{"text": "hi", "seed": null}'):
+        req = urllib.request.Request(url + "/synthesize-long", data=body)
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError(f"expected 400 for {body!r}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, body
+
+
+def test_stream_capacity_503():
+    import urllib.error
+
+    rec = []
+    bf, sf = _stub_backends(rec)
+    release = threading.Event()
+
+    def slow_stream(text, **kw):
+        yield np.zeros(10, np.float32)
+        release.wait(10)
+        yield np.zeros(10, np.float32)
+
+    b = DynamicBatcher(bf, sf, max_batch=2, max_wait_ms=5)
+    srv = make_server(
+        "127.0.0.1", 0, batcher=b, stream_fn=slow_stream, max_streams=1
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}/synthesize-long"
+    results = {}
+
+    def go(name):
+        req = urllib.request.Request(
+            url, data=json.dumps({"text": "a. b."}).encode()
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                r.read()
+            results[name] = 200
+        except urllib.error.HTTPError as e:
+            results[name] = e.code
+
+    t1 = threading.Thread(target=go, args=("first",))
+    t1.start()
+    time.sleep(0.5)  # first stream is mid-flight, holding the only slot
+    go("second")
+    release.set()
+    t1.join(10)
+    srv.shutdown()
+    b.shutdown()
+    assert results["second"] == 503
+    assert results["first"] == 200
+
+
+def test_submit_shutdown_race_never_hangs():
+    """A submit racing shutdown either raises immediately or resolves —
+    no Future may be left unresolved (it used to hang request_timeout_s)."""
+    for _ in range(20):
+        rec = []
+        b = _batcher(rec, max_batch=2, max_wait_ms=5, delay=0.01)
+        futs, errs = [], []
+
+        def spam():
+            for i in range(10):
+                try:
+                    futs.append(b.submit(SynthesisRequest(f"s{i}")))
+                except RuntimeError:
+                    errs.append(i)
+
+        t = threading.Thread(target=spam)
+        t.start()
+        b.shutdown(timeout=5)
+        t.join(5)
+        for f in futs:
+            f.exception(timeout=5)  # raises concurrent TimeoutError if stuck

@@ -89,6 +89,22 @@ def preload_models(
     global _bundle
     import jax
 
+    # persistent compilation cache: a restarted process (server, CLI,
+    # bench) reuses compiled decode programs instead of paying minutes of
+    # fresh XLA/Mosaic compiles. VALLEX_COMPILE_CACHE overrides the
+    # location; set it empty to disable.
+    cache_dir = os.environ.get(
+        "VALLEX_COMPILE_CACHE", "/tmp/vallex-jax-cache"
+    )
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:  # noqa: BLE001 (older jax: best-effort)
+            pass
+
     cfg = cfg or ModelConfig()
     ecfg = ecfg or EngineConfig()
 

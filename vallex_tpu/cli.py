@@ -86,9 +86,10 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument(
-        "--max-batch", type=int, default=8,
-        help="requests coalesced into one batched decode (measured "
-        "optimum 8 with int8kv, PERFORMANCE.md)",
+        "--max-batch", type=int, default=None,
+        help="requests coalesced into one batched decode; default follows "
+        "the measured optimum for the quantize mode (8 with int8kv, else "
+        "4 — int8/bf16 caches hit VMEM pressure at 8, PERFORMANCE.md)",
     )
     p.add_argument(
         "--max-wait-ms", type=float, default=30.0,
@@ -164,16 +165,22 @@ def main(argv=None) -> int:
 
     if args.cmd == "serve":
         from . import api
+        from .api import _long_text_batch_size
         from .config import EngineConfig
         from .server import serve_forever
 
+        ecfg = EngineConfig(quantize=args.quantize)
         api.preload_models(
             args.checkpoints, random_weights=args.random_weights,
-            ecfg=EngineConfig(quantize=args.quantize),
+            ecfg=ecfg,
+        )
+        max_batch = (
+            args.max_batch if args.max_batch is not None
+            else _long_text_batch_size(ecfg)
         )
         serve_forever(
             args.host, args.port,
-            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            max_batch=max_batch, max_wait_ms=args.max_wait_ms,
         )
         return 0
 

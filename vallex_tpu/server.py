@@ -41,16 +41,21 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+def pcm16(wav: np.ndarray) -> bytes:
+    """Mono float waveform → raw 16-bit little-endian PCM bytes (the one
+    clip/scale conversion both the WAV and streaming outputs share)."""
+    pcm = np.clip(np.asarray(wav), -1.0, 1.0)
+    return (pcm * 32767.0).astype("<i2").tobytes()
+
+
 def wav_bytes(wav: np.ndarray, sr: int = 24000) -> bytes:
     """Mono float waveform → 16-bit PCM WAV container bytes."""
-    pcm = np.clip(wav, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype(np.int16)
     buf = io.BytesIO()
     with wave_mod.open(buf, "wb") as f:
         f.setnchannels(1)
         f.setsampwidth(2)
         f.setframerate(sr)
-        f.writeframes(pcm.tobytes())
+        f.writeframes(pcm16(wav))
     return buf.getvalue()
 
 
@@ -108,6 +113,10 @@ class DynamicBatcher:
         self._q: "queue.Queue[Tuple[SynthesisRequest, Future]]" = queue.Queue()
         self._deferred: List[Tuple[SynthesisRequest, Future]] = []
         self._stop = threading.Event()
+        # serializes submit's check-then-put against shutdown's stop-set:
+        # without it a put can land after the worker's final drain, leaving
+        # that Future unresolved until the client's request timeout
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name="vallex-batcher", daemon=True
         )
@@ -116,18 +125,20 @@ class DynamicBatcher:
     # -- client side ---------------------------------------------------------
 
     def submit(self, req: SynthesisRequest) -> "Future[np.ndarray]":
-        if self._stop.is_set():
-            raise RuntimeError("batcher is shut down")
         fut: "Future[np.ndarray]" = Future()
-        self._q.put((req, fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("batcher is shut down")
+            self._q.put((req, fut))
         return fut
 
     def queue_depth(self) -> int:
         return self._q.qsize() + len(self._deferred)
 
     def shutdown(self, timeout: float = 10.0) -> None:
-        self._stop.set()
-        self._q.put(None)  # wake the worker
+        with self._submit_lock:
+            self._stop.set()
+            self._q.put(None)  # wake the worker
         self._worker.join(timeout)
 
     # -- worker side ---------------------------------------------------------
@@ -241,7 +252,11 @@ _MAX_BODY = 1 << 20  # 1 MiB of JSON is far beyond any sane request
 _MAX_TEXT = 20_000
 
 
-def _parse_request(body: bytes) -> SynthesisRequest:
+def _parse_body(body: bytes) -> Dict[str, Any]:
+    """Parse + shape-check the JSON body (shared by both POST routes).
+    Raises ValueError (→ 400) for everything malformed, including
+    wrongly-typed fields — int(None)/float([]) raise TypeError, which
+    must not escape as a connection-killing handler crash."""
     try:
         data = json.loads(body)
     except json.JSONDecodeError as e:
@@ -253,16 +268,31 @@ def _parse_request(body: bytes) -> SynthesisRequest:
         raise ValueError('"text" must be a non-empty string')
     if len(text) > _MAX_TEXT:
         raise ValueError(f'"text" exceeds {_MAX_TEXT} characters')
+    return data
+
+
+def _field(data: Dict[str, Any], key: str, conv, default):
+    try:
+        return conv(data.get(key, default))
+    except (TypeError, ValueError) as e:
+        raise ValueError(f'"{key}" must be a {conv.__name__}: {e}') from e
+
+
+def _request_from(data: Dict[str, Any]) -> SynthesisRequest:
     return SynthesisRequest(
-        text=text,
+        text=data["text"],
         prompt=data.get("prompt"),
         language=str(data.get("language", "auto")),
         accent=str(data.get("accent", "no-accent")),
-        top_k=int(data.get("top_k", -100)),
-        top_p=float(data.get("top_p", 1.0)),
-        temperature=float(data.get("temperature", 1.0)),
-        seed=int(data.get("seed", 0)),
+        top_k=_field(data, "top_k", int, -100),
+        top_p=_field(data, "top_p", float, 1.0),
+        temperature=_field(data, "temperature", float, 1.0),
+        seed=_field(data, "seed", int, 0),
     )
+
+
+def _parse_request(body: bytes) -> SynthesisRequest:
+    return _request_from(_parse_body(body))
 
 
 def make_server(
@@ -272,10 +302,13 @@ def make_server(
     batcher: Optional[DynamicBatcher] = None,
     request_timeout_s: float = 300.0,
     stream_fn: Optional[Callable] = None,
+    max_streams: int = 2,
 ):
     """Build (but do not start) the HTTP server. Call .serve_forever() on
     the result; .shutdown() stops it. The batcher/stream_fn default to the
-    public api functions — call api.preload_models() first."""
+    public api functions — call api.preload_models() first. max_streams
+    caps concurrent /synthesize-long streams (each bypasses the batcher
+    and drives the device directly; excess requests get a 503)."""
     import http.server
     import socketserver
 
@@ -284,9 +317,13 @@ def make_server(
         from . import api
 
         stream_fn = api.stream_audio_from_long_text
+    stream_slots = threading.BoundedSemaphore(max_streams)
 
     class Handler(http.server.BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # a client that sends fewer body bytes than its Content-Length
+        # must not pin a handler thread forever (slowloris)
+        timeout = 60
 
         def log_message(self, fmt, *args):  # route through logging
             log.info("%s - %s", self.address_string(), fmt % args)
@@ -297,6 +334,21 @@ def make_server(
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)
+
+        def _read_body(self) -> Optional[bytes]:
+            """Read the request body, or send a 400 and return None. A
+            rejected oversized/absent Content-Length also closes the
+            connection — the unread body bytes would otherwise be parsed
+            as the next request line on this keep-alive connection."""
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                n = 0
+            if n <= 0 or n > _MAX_BODY:
+                self.close_connection = True
+                self._send_json(400, {"error": "bad Content-Length"})
+                return None
+            return self.rfile.read(n)
 
         def _send_json(self, code: int, obj: Dict[str, Any]) -> None:
             self._send(
@@ -330,21 +382,16 @@ def make_server(
             if self.path != "/synthesize":
                 self._send_json(404, {"error": "not found"})
                 return
-            n = int(self.headers.get("Content-Length", 0))
-            if n <= 0 or n > _MAX_BODY:
-                self._send_json(400, {"error": "bad Content-Length"})
+            body = self._read_body()
+            if body is None:
                 return
-            body = self.rfile.read(n)
             try:
-                req = _parse_request(body)
+                data = _parse_body(body)
+                req = _request_from(data)
             except ValueError as e:
                 self._send_json(400, {"error": str(e)})
                 return
-            as_json = False
-            try:
-                as_json = json.loads(body).get("format") == "json"
-            except Exception:  # noqa: BLE001 (already validated)
-                pass
+            as_json = data.get("format") == "json"
             try:
                 wav = b.submit(req).result(timeout=request_timeout_s)
             except TimeoutError:
@@ -368,58 +415,69 @@ def make_server(
             (s16le mono, Content-Type audio/L16;rate=24000): the first
             audio chunk arrives after ONE sentence instead of the whole
             paragraph. Body: {"text", "prompt"?, "language"?, "accent"?,
-            "mode"?, "seed"?}."""
-            n = int(self.headers.get("Content-Length", 0))
-            if n <= 0 or n > _MAX_BODY:
-                self._send_json(400, {"error": "bad Content-Length"})
+            "mode"?, "seed"?}. Concurrency is capped at max_streams —
+            each stream bypasses the batcher and drives the device
+            directly, so unbounded handler threads would contend the
+            decode (503 when full)."""
+            body = self._read_body()
+            if body is None:
                 return
-            body = self.rfile.read(n)
             try:
-                data = json.loads(body)
-                text = data["text"]
-                if not isinstance(text, str) or not text.strip():
-                    raise ValueError('"text" must be a non-empty string')
-                if len(text) > _MAX_TEXT:
-                    raise ValueError(f'"text" exceeds {_MAX_TEXT} characters')
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                data = _parse_body(body)
+                kwargs = dict(
+                    prompt=data.get("prompt"),
+                    language=str(data.get("language", "auto")),
+                    accent=str(data.get("accent", "no-accent")),
+                    mode=str(data.get("mode", "sliding-window")),
+                    seed=_field(data, "seed", int, 0),
+                )
+            except ValueError as e:
                 self._send_json(400, {"error": str(e)})
                 return
-            stream = stream_fn(
-                text,
-                prompt=data.get("prompt"),
-                language=str(data.get("language", "auto")),
-                accent=str(data.get("accent", "no-accent")),
-                mode=str(data.get("mode", "sliding-window")),
-                seed=int(data.get("seed", 0)),
-            )
-            try:
-                first = next(stream)  # synthesize before committing a 200
-            except StopIteration:
-                self._send_json(400, {"error": "no sentences in text"})
+            if not stream_slots.acquire(blocking=False):
+                self._send_json(
+                    503, {"error": f"at capacity ({max_streams} streams)"}
+                )
                 return
-            except Exception as e:  # noqa: BLE001 (surface as 500)
-                self._send_json(500, {"error": str(e)})
-                return
-            self.send_response(200)
-            self.send_header("Content-Type", "audio/L16;rate=24000")
-            self.send_header("X-Sample-Rate", "24000")
-            self.send_header("Transfer-Encoding", "chunked")
-            self.end_headers()
-
-            def chunk(wav: np.ndarray) -> None:
-                pcm = np.clip(np.asarray(wav), -1.0, 1.0)
-                raw = (pcm * 32767.0).astype("<i2").tobytes()
-                self.wfile.write(f"{len(raw):X}\r\n".encode())
-                self.wfile.write(raw)
-                self.wfile.write(b"\r\n")
-
             try:
-                chunk(first)
-                for wav in stream:
-                    chunk(wav)
-                self.wfile.write(b"0\r\n\r\n")
-            except BrokenPipeError:
-                log.info("client disconnected mid-stream")
+                stream = stream_fn(data["text"], **kwargs)
+                try:
+                    first = next(stream)  # synthesize before committing 200
+                except StopIteration:
+                    self._send_json(400, {"error": "no sentences in text"})
+                    return
+                except Exception as e:  # noqa: BLE001 (surface as 500)
+                    self._send_json(500, {"error": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/L16;rate=24000")
+                self.send_header("X-Sample-Rate", "24000")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(wav: np.ndarray) -> None:
+                    raw = pcm16(wav)
+                    self.wfile.write(f"{len(raw):X}\r\n".encode())
+                    self.wfile.write(raw)
+                    self.wfile.write(b"\r\n")
+
+                try:
+                    chunk(first)
+                    for wav in stream:
+                        chunk(wav)
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    self.close_connection = True
+                    log.info("client disconnected mid-stream")
+                except Exception:  # noqa: BLE001
+                    # mid-stream synthesis failure after the 200: nothing
+                    # valid can follow — drop the connection (no 0-chunk
+                    # terminator) so the client sees a truncated stream
+                    # rather than a clean end, and keep the handler alive
+                    self.close_connection = True
+                    log.exception("mid-stream synthesis failure")
+            finally:
+                stream_slots.release()
 
     class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
         daemon_threads = True
