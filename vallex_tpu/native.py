@@ -1,4 +1,4 @@
-"""ctypes bindings for the native host runtime (native/vallex_native.cpp).
+"""ctypes bindings for the native host runtime (vallex_tpu/native/…cpp).
 
 Builds the shared library on demand with the system compiler (no pybind11 in
 this image) and exposes: tokenize (char→id), load_wav, resample. Every entry
@@ -19,7 +19,9 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+# package-local: the C++ sources + Makefile ship inside the wheel, so the
+# on-demand build works in installed layouts too
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libvallex_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -31,8 +33,10 @@ def _build() -> bool:
     if not os.path.exists(src):
         return False
     try:
+        # -B: always recompile — a stale or foreign-platform binary (e.g.
+        # copied from another machine) must be replaced, not kept
         subprocess.run(
-            ["make", "-C", _NATIVE_DIR], check=True,
+            ["make", "-B", "-C", _NATIVE_DIR], check=True,
             capture_output=True, timeout=120,
         )
         return os.path.exists(_LIB_PATH)
@@ -52,7 +56,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
-        return None
+        # binary exists but doesn't load (built on another platform):
+        # rebuild for this machine and retry once
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
 
     lib.vn_set_vocab.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
