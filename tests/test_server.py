@@ -370,3 +370,42 @@ def test_submit_shutdown_race_never_hangs():
         t.join(5)
         for f in futs:
             f.exception(timeout=5)  # raises concurrent TimeoutError if stuck
+
+
+def test_metrics_counters_and_endpoint(http_server):
+    url, _ = http_server
+    req = urllib.request.Request(
+        url + "/synthesize", data=json.dumps({"text": "count me"}).encode()
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        r.read()
+    with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    lines = dict(
+        line.split(" ", 1) for line in text.splitlines()
+        if line and not line.startswith("#")
+    )
+    assert float(lines["vallex_http_synthesize_total"]) >= 1
+    assert float(lines["vallex_decode_requests_total"]) >= 1
+    assert float(lines["vallex_audio_seconds_total"]) > 0
+    assert float(lines["vallex_synth_seconds_total"]) >= 0
+
+
+def test_metrics_batch_retry_accounting():
+    from vallex_tpu.server import Metrics
+
+    rec = []
+    m = Metrics()
+    bf, sf = _stub_backends(rec, fail_texts=("bad",), delay=0.05)
+    b = DynamicBatcher(bf, sf, max_batch=4, max_wait_ms=150, metrics=m)
+    b.submit(SynthesisRequest("warmup")).result(timeout=10)
+    futs = [b.submit(SynthesisRequest(t)) for t in ("ok1", "bad", "ok2")]
+    for f in futs[::2]:
+        f.result(timeout=10)
+    with pytest.raises(ValueError):
+        futs[1].result(timeout=10)
+    b.shutdown()
+    assert m.get("vallex_batch_retries_total") == 1
+    assert m.get("vallex_synth_errors_total") == 1
+    assert m.get("vallex_decode_requests_total") == 4

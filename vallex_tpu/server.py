@@ -59,6 +59,29 @@ def wav_bytes(wav: np.ndarray, sr: int = 24000) -> bytes:
     return buf.getvalue()
 
 
+class Metrics:
+    """Thread-safe monotonic counters rendered in the Prometheus text
+    exposition format (GET /metrics). Deliberately dependency-free."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._c: Dict[str, float] = {}
+
+    def inc(self, name: str, value: float = 1.0) -> None:
+        with self._lock:
+            self._c[name] = self._c.get(name, 0.0) + value
+
+    def get(self, name: str) -> float:
+        with self._lock:
+            return self._c.get(name, 0.0)
+
+    def render(self) -> str:
+        with self._lock:
+            items = sorted(self._c.items())
+        lines = [f"# TYPE {k} counter\n{k} {v:g}" for k, v in items]
+        return "\n".join(lines) + ("\n" if lines else "")
+
+
 @dataclass
 class SynthesisRequest:
     text: str
@@ -100,6 +123,7 @@ class DynamicBatcher:
         *,
         max_batch: int = 8,
         max_wait_ms: float = 30.0,
+        metrics: Optional[Metrics] = None,
     ):
         if batch_fn is None or single_fn is None:
             from . import api
@@ -108,6 +132,7 @@ class DynamicBatcher:
             single_fn = single_fn or api.generate_audio
         self.batch_fn = batch_fn
         self.single_fn = single_fn
+        self.metrics = metrics or Metrics()
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._q: "queue.Queue[Tuple[SynthesisRequest, Future]]" = queue.Queue()
@@ -203,6 +228,12 @@ class DynamicBatcher:
         reqs = [r for r, _ in group]
         futs = [f for _, f in group]
         r0 = reqs[0]
+        m = self.metrics
+        m.inc("vallex_decode_calls_total")
+        m.inc("vallex_decode_requests_total", len(reqs))
+        if len(reqs) > 1:
+            m.inc("vallex_batched_calls_total")
+        t0 = time.monotonic()
         try:
             if len(reqs) == 1:
                 waves = [
@@ -220,10 +251,16 @@ class DynamicBatcher:
                     top_k=r0.top_k, top_p=r0.top_p,
                     temperature=r0.temperature, seed=r0.seed,
                 )
+            m.inc("vallex_synth_seconds_total", time.monotonic() - t0)
+            m.inc(
+                "vallex_audio_seconds_total",
+                sum(len(w) for w in waves) / 24000.0,
+            )
             for fut, w in zip(futs, waves):
                 fut.set_result(w)
         except Exception as batch_err:  # noqa: BLE001
             if len(reqs) == 1:
+                m.inc("vallex_synth_errors_total")
                 futs[0].set_exception(batch_err)
                 return
             # one bad request must not poison the batch: retry singly
@@ -231,17 +268,22 @@ class DynamicBatcher:
                 "batched synthesis failed (%s); retrying %d requests singly",
                 batch_err, len(reqs),
             )
+            m.inc("vallex_batch_retries_total")
             for r, fut in zip(reqs, futs):
                 try:
-                    fut.set_result(
-                        self.single_fn(
-                            r.text, prompt=r.prompt, language=r.language,
-                            accent=r.accent, top_k=r.top_k, top_p=r.top_p,
-                            temperature=r.temperature, seed=r.seed,
-                        )
+                    wave = self.single_fn(
+                        r.text, prompt=r.prompt, language=r.language,
+                        accent=r.accent, top_k=r.top_k, top_p=r.top_p,
+                        temperature=r.temperature, seed=r.seed,
                     )
+                    m.inc(
+                        "vallex_audio_seconds_total", len(wave) / 24000.0
+                    )
+                    fut.set_result(wave)
                 except Exception as e:  # noqa: BLE001
+                    m.inc("vallex_synth_errors_total")
                     fut.set_exception(e)
+            m.inc("vallex_synth_seconds_total", time.monotonic() - t0)
 
 
 # ---------------------------------------------------------------------------
@@ -361,6 +403,11 @@ def make_server(
                 self._send_json(
                     200, {"status": "ok", "queue_depth": b.queue_depth()}
                 )
+            elif self.path == "/metrics":
+                self._send(
+                    200, "text/plain; version=0.0.4",
+                    b.metrics.render().encode("utf-8"),
+                )
             elif self.path == "/presets":
                 import os
 
@@ -382,6 +429,7 @@ def make_server(
             if self.path != "/synthesize":
                 self._send_json(404, {"error": "not found"})
                 return
+            b.metrics.inc("vallex_http_synthesize_total")
             body = self._read_body()
             if body is None:
                 return
@@ -434,7 +482,9 @@ def make_server(
             except ValueError as e:
                 self._send_json(400, {"error": str(e)})
                 return
+            b.metrics.inc("vallex_http_synthesize_long_total")
             if not stream_slots.acquire(blocking=False):
+                b.metrics.inc("vallex_stream_rejects_total")
                 self._send_json(
                     503, {"error": f"at capacity ({max_streams} streams)"}
                 )
