@@ -173,3 +173,14 @@ def test_stream_long_text_matches_nonstreaming_length(bundle):
     assert len(parts) == 3  # one yield per sentence
     assert all(np.isfinite(p).all() for p in parts)
     assert sum(len(p) for p in parts) == len(full)
+
+
+def test_generate_audio_code_switched_mix(bundle):
+    """Code-switched zh/en input goes through language='mix' (reference:
+    generation.py:96-138 detects per-span languages; lang prompt falls
+    back to en) and must synthesize end-to-end."""
+    wave = api.generate_audio(
+        "我喜欢 machine learning 和语音合成。", prompt="paimon", top_k=1,
+    )
+    assert wave.ndim == 1 and len(wave) > 0
+    assert np.isfinite(wave).all()
