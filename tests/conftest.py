@@ -10,6 +10,11 @@ import os
 # and something at interpreter startup pins jax_platforms="axon,cpu",
 # ignoring the env var — so force the config directly after import.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# tests must not share the persistent compilation cache with TPU/serving
+# runs: XLA:CPU AOT artifacts compiled under different machine-feature
+# flags load with "could lead to SIGILL" warnings (api.preload_models
+# enables the cache by default; empty disables it)
+os.environ["VALLEX_COMPILE_CACHE"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -184,3 +184,23 @@ def test_generate_audio_code_switched_mix(bundle):
     )
     assert wave.ndim == 1 and len(wave) > 0
     assert np.isfinite(wave).all()
+
+
+def test_empty_text_raises_clearly(bundle):
+    with pytest.raises(ValueError, match="[Ee]mpty text"):
+        api.generate_audio("", prompt=None, language="en", top_k=1)
+
+
+def test_text_past_largest_bucket_auto_extends(bundle):
+    """Text longer than the largest configured text bucket must
+    auto-extend (one extra compile at 128-granularity) rather than fail —
+    the reference accepts any length up to its ~22 s audio ceiling."""
+    long_text = (
+        "The quick brown fox jumps over the lazy dog and keeps running. "
+        * 4
+    )
+    wave = api.generate_audio(
+        long_text, prompt=None, language="en", top_k=1, max_duration=0.5
+    )
+    assert wave.ndim == 1 and len(wave) > 0
+    assert np.isfinite(wave).all()
