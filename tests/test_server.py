@@ -409,3 +409,20 @@ def test_metrics_batch_retry_accounting():
     assert m.get("vallex_batch_retries_total") == 1
     assert m.get("vallex_synth_errors_total") == 1
     assert m.get("vallex_decode_requests_total") == 4
+
+
+def test_groups_pad_to_power_of_two_batch_shapes():
+    """Group sizes pad to {2,4,...,max_batch} so every size reuses one
+    compiled program; results still route only to the real requests."""
+    rec = []
+    b = _batcher(rec, max_batch=8, max_wait_ms=150, delay=0.05)
+    b.submit(SynthesisRequest("warmup")).result(timeout=10)
+    futs = [b.submit(SynthesisRequest(f"g{i}")) for i in range(3)]
+    for i, f in enumerate(futs):
+        assert len(f.result(timeout=10)) == 100 + 2  # its own text
+    b.shutdown()
+    batch_calls = [r for r in rec if r[0] == "batch"]
+    assert len(batch_calls) == 1
+    texts = batch_calls[0][1]
+    assert len(texts) == 4  # 3 real + 1 pad
+    assert texts == ["g0", "g1", "g2", "g2"]

@@ -96,6 +96,11 @@ def main(argv=None) -> int:
         help="how long a lone request waits for batch companions",
     )
     p.add_argument(
+        "--warmup", action="store_true",
+        help="compile the serving programs (single + batched decode) "
+        "before accepting traffic",
+    )
+    p.add_argument(
         "--quantize", default="none",
         choices=["none", "int8", "w8a8", "int8kv"],
         help="engine quantization (opt-in; A/B fidelity first)",
@@ -178,6 +183,10 @@ def main(argv=None) -> int:
             args.max_batch if args.max_batch is not None
             else _long_text_batch_size(ecfg)
         )
+        if args.warmup:
+            from .server import warmup
+
+            warmup(max_batch)
         serve_forever(
             args.host, args.port,
             max_batch=max_batch, max_wait_ms=args.max_wait_ms,

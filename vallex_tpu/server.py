@@ -224,6 +224,22 @@ class DynamicBatcher:
         for _, fut in leftovers:
             fut.set_exception(RuntimeError("server shutting down"))
 
+    def _pad_size(self, n: int) -> int:
+        """Pad a request group to the next power-of-2 batch size (capped
+        at max_batch). The batched decode is one compiled program PER
+        static batch shape; without padding, every distinct group size
+        that load produces triggers its own multi-minute compile. Padding
+        costs only the extra lanes' cache DMA — the weight stream (the
+        dominant term) is shared either way. Greedy outputs are unchanged
+        (batched-equals-single parity holds per lane); sampled draws
+        depend on batch shape, so they are distributionally equivalent
+        rather than bit-stable — exactly as for any other change in how
+        concurrent requests happen to group."""
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
     def _execute(self, group) -> None:
         reqs = [r for r, _ in group]
         futs = [f for _, f in group]
@@ -244,13 +260,16 @@ class DynamicBatcher:
                     )
                 ]
             else:
+                padded = reqs + [reqs[-1]] * (self._pad_size(len(reqs))
+                                              - len(reqs))
+                m.inc("vallex_pad_requests_total", len(padded) - len(reqs))
                 waves = self.batch_fn(
-                    [r.text for r in reqs],
-                    [r.prompt for r in reqs],
+                    [r.text for r in padded],
+                    [r.prompt for r in padded],
                     language=r0.language, accent=r0.accent,
                     top_k=r0.top_k, top_p=r0.top_p,
                     temperature=r0.temperature, seed=r0.seed,
-                )
+                )[: len(reqs)]
             m.inc("vallex_synth_seconds_total", time.monotonic() - t0)
             m.inc(
                 "vallex_audio_seconds_total",
@@ -536,6 +555,36 @@ def make_server(
     srv = Server((host, port), Handler)
     srv.batcher = b  # type: ignore[attr-defined]
     return srv
+
+
+def warmup(max_batch: int, prompt: Optional[str] = "paimon") -> None:
+    """Compile the serving programs BEFORE accepting traffic: the
+    single-request program plus every batch shape the DynamicBatcher can
+    produce (groups pad to powers of 2 capped at max_batch, so that set
+    is {2, 4, …, max_batch} — one compiled program each). With the
+    persistent compilation cache this is fast on every restart after the
+    first; without it, it moves the minutes of XLA/Mosaic compiles out of
+    the first requests' latency."""
+    from . import api
+
+    sizes = [1]
+    b = 2
+    while b < max_batch:
+        sizes.append(b)
+        b *= 2
+    if max_batch > 1:
+        sizes.append(max_batch)
+    t0 = time.monotonic()
+    log.info("warmup: compiling serving programs (batch shapes %s)", sizes)
+    text = "Server warm up sentence, medium length for the usual bucket."
+    for n in sizes:
+        if n == 1:
+            api.generate_audio(text, prompt=prompt, top_k=1, seed=0)
+        else:
+            api.generate_audio_batch(
+                [text] * n, [prompt] * n, top_k=1, seed=0
+            )
+    log.info("warmup done in %.1f s", time.monotonic() - t0)
 
 
 def serve_forever(
