@@ -163,6 +163,11 @@ def main():
         _, _, _, sm_rtf = measure("int8", top_k=-100, runs=(3, 3))
         detail["sampled_rtf"] = round(sm_rtf, 4)
     if within_budget():
+        # int8 + int8 KV cache, single request: the best measured
+        # single-stream config (halves per-step cache DMA on top of int8)
+        _, _, _, kv_rtf = measure("int8kv", runs=(1, 2))
+        detail["int8kv_rtf"] = round(kv_rtf, 4)
+    if within_budget():
         # bf16 strict SAMPLED mode via speculative sampling; seed 3 runs
         # to the length cap under random weights (a stable ~11 s
         # utterance — early-EOS seeds would let fixed costs dominate)
