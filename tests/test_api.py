@@ -204,3 +204,55 @@ def test_text_past_largest_bucket_auto_extends(bundle):
     )
     assert wave.ndim == 1 and len(wave) > 0
     assert np.isfinite(wave).all()
+
+
+def test_long_text_language_mix_prompt_swap(bundle):
+    """language='mix' (user-tagged text, the reference's contract for
+    code-switched input) with the sliding-window prompt swap used to
+    crash with KeyError('mix') when the swap assigned 'mix' as the next
+    sentence's prompt language — it must fall back to 'en' like
+    generate_audio's prologue. RandomState(1).rand()<0.5, so the first
+    swap definitely triggers."""
+    text = (
+        "[EN]First sentence here[EN]。[ZH]第二句在这里[ZH]。"
+        "[EN]Third one closes[EN]。"
+    )
+    wave = api.generate_audio_from_long_text(
+        text, prompt="paimon", language="mix", mode="sliding-window",
+        seed=1,
+    )
+    assert wave.ndim == 1 and len(wave) > 0
+    parts = list(api.stream_audio_from_long_text(
+        text, prompt="paimon", language="mix", mode="sliding-window",
+        seed=1,
+    ))
+    assert sum(len(p) for p in parts) == len(wave)
+
+
+def test_overlong_prompt_raises_clearly(bundle):
+    """A voice prompt too long for the largest audio bucket must raise a
+    clear ValueError, not crash with a numpy broadcast error or silently
+    emit garbage from a negative generation cap."""
+    too_long = np.zeros((ECFG.audio_buckets[-1] - 1, 8), np.int32)
+    with pytest.raises(ValueError, match="voice prompt"):
+        bundle.pipeline.synthesize(
+            np.arange(5, dtype=np.int32), np.zeros(5, np.int32), too_long,
+            top_k=1, return_wave=False,
+        )
+
+
+def test_empty_batch_returns_empty(bundle):
+    assert api.generate_audio_batch([], None) == []
+
+
+def test_engines_share_one_packed_cache(bundle):
+    assert bundle.ar.packed_cache is bundle.pipeline.packed_cache
+
+
+def test_prompt_device_buffers_cached(bundle):
+    pipe = api._bundle.pipeline
+    pipe._prompt_cache.clear()
+    for seed in (0, 1):
+        api.generate_audio("Cache the prompt.", prompt="paimon",
+                           top_k=1, seed=seed, max_duration=0.3)
+    assert len(pipe._prompt_cache) == 1  # same prompt+buckets → one entry

@@ -159,13 +159,20 @@ def preload_models(
 
         encodec_params = jax.device_put(EC.init_encodec(jax.random.PRNGKey(2)))
 
+    # ONE packed-weight cache shared by every engine over these params —
+    # private caches would pin duplicate ~300 MB packed sets on device
+    from .engine.ar import PackedWeightsCache
+
+    packed_cache = PackedWeightsCache(params)
     _bundle = ModelBundle(
         params=params,
         cfg=cfg,
         ecfg=ecfg,
-        ar=AREngine(params, cfg, ecfg),
+        ar=AREngine(params, cfg, ecfg, packed_cache=packed_cache),
         nar=NAREngine(params, cfg, ecfg),
-        pipeline=SynthesisPipeline(params, cfg, ecfg, vocos_params),
+        pipeline=SynthesisPipeline(
+            params, cfg, ecfg, vocos_params, packed_cache=packed_cache
+        ),
         vocos_params=vocos_params,
         encodec_params=encodec_params,
         random_weights=rand,
@@ -363,6 +370,8 @@ def generate_audio_batch(
     the reference's knob — models/vallex.py:836-853) all run the fused
     kernel path. → list of float waveforms @ 24 kHz, one per text."""
     bundle = _require_bundle()
+    if not texts:
+        return []
     if prompts is None:
         prompts = [None] * len(texts)
     if len(prompts) != len(texts):
@@ -388,6 +397,28 @@ def generate_audio_batch(
             wave if wave is not None else codes_to_wave(bundle, codes)
         )
     return waves
+
+
+def _slide_prompt(bundle, sent, codes, language, rng, fixed):
+    """Sliding-window prompt update after one sentence (reference:
+    generation.py:264-269): with p=0.5 the prompt becomes this sentence's
+    text + last ≤225 generated frames, else it reverts to `fixed`
+    (= the original (audio, text, lang) prompt triple). Shared by
+    generate_audio_from_long_text and stream_audio_from_long_text so the
+    two paths cannot drift."""
+    if rng.rand() >= 0.5:
+        return fixed
+    lang = classify(sent) if language == "auto" else language
+    lang_token = lang2token[lang]
+    s_text = lang_token + sent.replace("\n", "").strip(" ") + lang_token
+    phone_tokens, _ = bundle.tokenizer.tokenize(f"_{s_text}".strip())
+    # "mix" is a span marker, not a prompt language — the model has no
+    # language id for it (same fallback as generate_audio, line ~237)
+    return (
+        codes[-225:] if len(codes) > 225 else codes,
+        np.asarray(phone_tokens, np.int32),
+        lang if lang != "mix" else "en",
+    )
 
 
 def _long_text_batch_size(ecfg: EngineConfig) -> int:
@@ -470,18 +501,11 @@ def generate_audio_from_long_text(
             language, accent, best_of=best_of, seed=seed + i,
         )
         all_codes.append(codes)
-        if mode == "sliding-window" and rng.rand() < 0.5:
-            # swap prompt to this sentence's output
-            lang_token = lang2token[
-                classify(sent) if language == "auto" else language
-            ]
-            s_text = lang_token + sent.replace("\n", "").strip(" ") + lang_token
-            phone_tokens, _ = bundle.tokenizer.tokenize(f"_{s_text}".strip())
-            cur_text = np.asarray(phone_tokens, np.int32)
-            cur_audio = codes[-225:] if len(codes) > 225 else codes
-            cur_lang = classify(sent) if language == "auto" else language
-        elif mode == "sliding-window":
-            cur_audio, cur_text, cur_lang = audio_prompt, text_prompt, lang_pr
+        if mode == "sliding-window":
+            cur_audio, cur_text, cur_lang = _slide_prompt(
+                bundle, sent, codes, language, rng,
+                (audio_prompt, text_prompt, lang_pr),
+            )
     codes = np.concatenate(all_codes, axis=0)
     return codes_to_wave(bundle, codes)
 
@@ -571,17 +595,11 @@ def stream_audio_from_long_text(
             language, accent, best_of=best_of, seed=seed + i,
         )
         yield codes_to_wave(bundle, codes)
-        if mode == "sliding-window" and rng.rand() < 0.5:
-            lang_token = lang2token[
-                classify(sent) if language == "auto" else language
-            ]
-            s_text = lang_token + sent.replace("\n", "").strip(" ") + lang_token
-            phone_tokens, _ = bundle.tokenizer.tokenize(f"_{s_text}".strip())
-            cur_text = np.asarray(phone_tokens, np.int32)
-            cur_audio = codes[-225:] if len(codes) > 225 else codes
-            cur_lang = classify(sent) if language == "auto" else language
-        elif mode == "sliding-window":
-            cur_audio, cur_text, cur_lang = audio_prompt, text_prompt, lang_pr
+        if mode == "sliding-window":
+            cur_audio, cur_text, cur_lang = _slide_prompt(
+                bundle, sent, codes, language, rng,
+                (audio_prompt, text_prompt, lang_pr),
+            )
 
 
 # ---------------------------------------------------------------------------

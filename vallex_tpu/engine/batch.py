@@ -145,8 +145,11 @@ def make_batched_synthesis(
     speculative = getattr(ecfg, "speculative", "auto") in ("auto", "on", True)
     packed = packed_draft = None
     if decode_mode == "megakernel":
+        # mirror ar_generate's spec gating: greedy spec does not require
+        # plain sampling (greedy + top_p<1 still drafts)
         need_draft = bool(
-            speculative and plain and decode_steps > 1 and quantize == "none"
+            speculative and (plain or ecfg.top_k == 1) and decode_steps > 1
+            and quantize == "none"
         )
         packed, packed_draft = prepare_packed_weights(
             params, compute_dtype=ecfg.compute_dtype,

@@ -26,6 +26,7 @@ from .ar import (
     ar_generate,
     ar_generate_batch,
     pad_batched_requests,
+    validate_prompt_len,
 )
 from .nar import nar_generate, nar_use_flash
 
@@ -224,6 +225,7 @@ class SynthesisPipeline:
         cfg: ModelConfig,
         ecfg: EngineConfig,
         vocos_params: Optional[Params] = None,
+        packed_cache: Optional[PackedWeightsCache] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -238,15 +240,46 @@ class SynthesisPipeline:
                 "megakernel" if jax.default_backend() not in ("cpu",) else "xla"
             )
         self.decode_mode = mode
-        self.packed_cache = PackedWeightsCache(params)
+        # SHARE the packed-weight cache with any sibling engine over the
+        # same params (api.preload_models passes one cache to both the
+        # pipeline and the AREngine): two private caches would pin two
+        # identical ~300 MB packed/quantized weight sets on device
+        self.packed_cache = packed_cache or PackedWeightsCache(params)
+        self._prompt_cache: Dict[Tuple, Tuple] = {}
 
-    def _packed_args(self, *, plain_sampling, best_of, quantize,
+    def _prompt_dev(self, prompt: np.ndarray, p_audio: int, t_audio: int):
+        """Device-resident prompt buffers, cached by content + bucket.
+        Preset voices repeat across a session; rebuilding + re-uploading
+        the [1, p_audio-1] cb0 pad and the [1, t_audio, 8] code pad per
+        utterance costs two eager puts (~0.3-0.5 ms each) plus the host
+        copies — a per-call fixed cost in the short-sentence path. The
+        EOS padding of unwritten slots matters (they must not count as
+        generated frames — see AREngine.generate)."""
+        cfg = self.cfg
+        key = (prompt.tobytes(), p_audio, t_audio)
+        hit = self._prompt_cache.get(key)
+        if hit is None:
+            Tp = len(prompt)
+            prompt_pad = np.full((1, p_audio - 1), cfg.eos_id, np.int32)
+            prompt_pad[0, :Tp] = prompt[:, 0]
+            codes_pad = np.zeros(
+                (1, t_audio, cfg.num_quantizers), np.int32
+            )
+            codes_pad[0, :Tp] = prompt
+            if len(self._prompt_cache) >= 64:
+                self._prompt_cache.clear()
+            hit = (jnp.asarray(prompt_pad), jnp.asarray(codes_pad))
+            self._prompt_cache[key] = hit
+        return hit
+
+    def _packed_args(self, *, plain_sampling, greedy, best_of, quantize,
                      decode_steps, speculative):
-        """Device-cached packed megakernel weights (see AREngine)."""
+        """Device-cached packed megakernel weights (see
+        AREngine._packed_args for the gating rationale)."""
         if self.decode_mode != "megakernel":
             return None, None
         need_draft = bool(
-            speculative and plain_sampling and decode_steps > 1
+            speculative and (plain_sampling or greedy) and decode_steps > 1
             and best_of == 1 and quantize == "none"
         )
         return self.packed_cache.get(
@@ -284,6 +317,7 @@ class SynthesisPipeline:
             else np.asarray(prompt_codes, np.int32)
         )
         Tp = len(prompt)
+        validate_prompt_len(Tp, e.audio_buckets)
         p_audio = _bucket(Tp + 1, e.audio_buckets)
         want = 16 * S if max_gen_frames is None else min(16 * S, max_gen_frames)
         t_audio = _bucket(
@@ -296,12 +330,9 @@ class SynthesisPipeline:
         text_pad[0, :S] = text_ids
         lang_pad = np.zeros((1, s_text), np.int32)
         lang_pad[0, :S] = lang_ids
-        # EOS-pad prompt slots (see AREngine.generate: unwritten pad slots
-        # must not count as generated frames)
-        prompt_pad = np.full((1, p_audio - 1), cfg.eos_id, np.int32)
-        prompt_pad[0, :Tp] = prompt[:, 0]
-        prompt_codes_pad = np.zeros((1, t_audio, cfg.num_quantizers), np.int32)
-        prompt_codes_pad[0, :Tp] = prompt
+        prompt_pad_dev, prompt_codes_dev = self._prompt_dev(
+            prompt, p_audio, t_audio
+        )
 
         # --- AR (device) ---------------------------------------------------
         timer = self.timer
@@ -312,8 +343,9 @@ class SynthesisPipeline:
             "auto", "on", True,
         )
         packed, packed_draft = self._packed_args(
-            plain_sampling=plain, best_of=best_of, quantize=quantize,
-            decode_steps=decode_steps, speculative=speculative,
+            plain_sampling=plain, greedy=bool(top_k == 1), best_of=best_of,
+            quantize=quantize, decode_steps=decode_steps,
+            speculative=speculative,
         )
         # put shared inputs ONCE (text/lang/lengths feed both AR and the
         # NAR tail — re-putting them costs ~0.3-0.5 ms each); sampling
@@ -326,7 +358,7 @@ class SynthesisPipeline:
             res: ARResult = ar_generate(
                 self.params, cfg,
                 text_dev, lang_dev, xlen_dev,
-                jnp.asarray(prompt_pad), plen_dev,
+                prompt_pad_dev, plen_dev,
                 _seed32(seed),
                 _dev_scalar(int(top_k), "int32"),
                 _dev_scalar(float(top_p), "float32"),
@@ -354,7 +386,7 @@ class SynthesisPipeline:
                 self.params,
                 self.vocos_params if with_wave else None,
                 cfg, res.tokens, res.best_beam, res.gen_len,
-                jnp.asarray(prompt_codes_pad), text_dev, lang_dev,
+                prompt_codes_dev, text_dev, lang_dev,
                 xlen_dev, plen_dev,
                 s_text=s_text, t_audio=t_audio,
                 compute_dtype=e.compute_dtype,
