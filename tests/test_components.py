@@ -284,7 +284,9 @@ def test_fbank_shapes_and_range():
         np.random.RandomState(0).randn(1, 24000).astype(np.float32) * 0.1
     )
     feats = extract_fbank(wav)
-    assert feats.shape == (1, 24000 // 256 + 1, 100)
+    # reference framing: reflect-pad (n_fft-hop)/2 + center=False
+    # (data/fbank.py:103-108) → samples // hop frames
+    assert feats.shape == (1, 24000 // 256, 100)
     assert np.isfinite(np.asarray(feats)).all()
     # a pure tone concentrates energy in few mel bins
     t = np.arange(24000) / 24000
@@ -319,3 +321,95 @@ def test_prompted_features_container():
     assert pf.sum() == 8
     a, b = pf.data
     assert a.shape == (3,) and b.shape == (2, 4)
+
+
+def test_load_wav_24bit_fallback(tmp_path, monkeypatch):
+    """24-bit PCM enrollment WAVs must load through the stdlib fallback
+    (sample width 3 → sign-extended int32)."""
+    import wave as wave_mod
+
+    import numpy as np
+
+    from vallex_tpu import native
+    from vallex_tpu.utils.audio import load_wav
+
+    sig = (0.5 * np.sin(np.arange(2400) * 0.05)).astype(np.float64)
+    as24 = np.clip(sig * 8388607.0, -8388608, 8388607).astype(np.int32)
+    raw = bytearray()
+    for v in as24:
+        raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+    p = str(tmp_path / "s24.wav")
+    with wave_mod.open(p, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(24000)
+        f.writeframes(bytes(raw))
+    monkeypatch.setattr(native, "load_wav", lambda _p: None)  # force fallback
+    wav, sr = load_wav(p, target_sr=24000)
+    assert sr == 24000 and len(wav) == 2400
+    np.testing.assert_allclose(wav, sig, atol=2e-6)
+
+
+def test_fbank_matches_reference_pipeline():
+    """Pin the extractor to the reference BigVGAN recipe (magnitude
+    spectrum, slaney-scale slaney-normalized mel, log clip 1e-5) by
+    recomputing it with torch.stft + an independent numpy port of
+    librosa.filters.mel — the exact ops the reference uses
+    (data/fbank.py:109-129)."""
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from vallex_tpu.codec.fbank import HOP, N_FFT, extract_fbank
+
+    def librosa_mel_np(sr, n_fft, n_mels, fmin, fmax):
+        def hz_to_mel(f):
+            f = np.atleast_1d(np.asarray(f, np.float64))
+            f_sp = 200.0 / 3
+            logstep = np.log(6.4) / 27.0
+            m = f / f_sp
+            t = f >= 1000.0
+            m[t] = 1000.0 / f_sp + np.log(f[t] / 1000.0) / logstep
+            return m
+
+        def mel_to_hz(m):
+            m = np.asarray(m, np.float64)
+            f_sp = 200.0 / 3
+            logstep = np.log(6.4) / 27.0
+            f = m * f_sp
+            t = m >= 1000.0 / f_sp
+            f[t] = 1000.0 * np.exp(logstep * (m[t] - 1000.0 / f_sp))
+            return f
+
+        fftfreqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+        mel_f = mel_to_hz(
+            np.linspace(hz_to_mel(fmin)[0], hz_to_mel(fmax)[0], n_mels + 2)
+        )
+        fdiff = np.diff(mel_f)
+        ramps = mel_f[:, None] - fftfreqs[None, :]
+        w = np.zeros((n_mels, len(fftfreqs)))
+        for i in range(n_mels):
+            w[i] = np.maximum(
+                0, np.minimum(-ramps[i] / fdiff[i], ramps[i + 2] / fdiff[i + 1])
+            )
+        enorm = 2.0 / (mel_f[2:] - mel_f[:-2])
+        return w * enorm[:, None]
+
+    wav = np.random.RandomState(7).randn(24000).astype(np.float32) * 0.1
+    y = torch.nn.functional.pad(
+        torch.from_numpy(wav)[None],
+        ((N_FFT - HOP) // 2, (N_FFT - HOP) // 2), mode="reflect",
+    )
+    spec = torch.stft(
+        y, N_FFT, hop_length=HOP, win_length=N_FFT,
+        window=torch.hann_window(N_FFT), center=False,
+        onesided=True, return_complex=True,
+    )
+    mag = torch.sqrt(spec.real**2 + spec.imag**2 + 1e-9).numpy()[0]  # [F, T]
+    mel_basis = librosa_mel_np(24000, N_FFT, 100, 0.0, 12000.0)
+    ref = np.log(np.clip(mel_basis @ mag, 1e-5, None)).T  # [T, 100]
+
+    ours = np.asarray(extract_fbank(jnp.asarray(wav[None])))[0]
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-3)

@@ -139,3 +139,49 @@ def test_trainer_cli_end_to_end(tmp_path):
     import os
 
     assert any(f.endswith(".png") for f in os.listdir(viz))
+
+
+def test_eve_callable_schedule_and_true_decay():
+    """eve() used to crash with callable schedules (state[0].count on a
+    non-chain state) and applied weight decay with the WRONG SIGN (weights
+    grew by lr*decay*p every step instead of shrinking)."""
+    import jax.numpy as jnp
+
+    from vallex_tpu.train.scaled_adam import eden_schedule, eve
+
+    opt = eve(eden_schedule(0.1, warmup=1.0), weight_decay=0.1,
+              target_rms=0.1)
+    p = {"w": jnp.full((4, 4), 0.5)}
+    state = opt.init(p)
+    g = {"w": jnp.zeros((4, 4))}
+    updates, state = opt.update(g, state, p)  # crashes pre-fix
+    import optax
+
+    p2 = optax.apply_updates(p, updates)
+    # zero gradient + weight decay must move weights TOWARD zero
+    assert float(jnp.abs(p2["w"]).max()) < 0.5
+
+
+def test_adamw_honors_warmup():
+    from vallex_tpu.train.step import make_optimizer
+
+    import jax.numpy as jnp
+
+    short = make_optimizer(base_lr=1.0, warmup=2.0)
+    long_ = make_optimizer(base_lr=1.0, warmup=2000.0)
+    p = {"w": jnp.ones((2, 2))}
+    g = {"w": jnp.ones((2, 2))}
+    s1, s2 = short.init(p), long_.init(p)
+    for _ in range(3):  # eden's ramp starts at 0.5 for ANY warmup; the
+        u1, s1 = short.update(g, s1, p)  # schedules separate after a few
+        u2, s2 = long_.update(g, s2, p)  # steps (short is fully ramped)
+    assert float(jnp.abs(u2["w"]).max()) < float(jnp.abs(u1["w"]).max())
+
+
+def test_prepend_bos_false_rejected():
+    import pytest
+
+    from vallex_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="prepend_bos"):
+        ModelConfig(prepend_bos=False)

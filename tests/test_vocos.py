@@ -63,3 +63,43 @@ def test_bandwidth_conditioning_changes_output():
     w2 = np.asarray(VC.vocos_decode(params, jnp.asarray(codes), 2))
     w0 = np.asarray(VC.vocos_decode(params, jnp.asarray(codes), 0))
     assert not np.allclose(w2, w0)
+
+
+def test_bucketed_decode_matches_exact_on_valid_region():
+    """Zero-padded code rows are NOT silence (code 0 is a real codebook
+    vector): without the t_len feature mask the conv stack's receptive
+    field (±27 frames) bled phantom audio back into the tail of the
+    valid region. The bucketed/padded decode must now match the
+    exact-size decode everywhere."""
+    import numpy as np
+
+    params = VC.init_vocos(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(0)
+    T = 77  # deliberately far from any bucket boundary
+    codes = rng.randint(0, 1024, (1, T, 8))
+    exact = np.asarray(VC.vocos_decode(params, jnp.asarray(codes)))
+    bucketed = np.asarray(VC.vocos_decode_bucketed(params, codes))
+    assert bucketed.shape[1] == T * VC.HOP
+    np.testing.assert_allclose(
+        bucketed, exact[:, : T * VC.HOP], rtol=0, atol=2e-4
+    )
+
+
+def test_decode_t_len_masks_padding_features():
+    import numpy as np
+
+    params = VC.init_vocos(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(1)
+    T, pad_to = 50, 96
+    codes = rng.randint(0, 1024, (1, pad_to, 8))
+    codes[:, T:] = 0  # "padding" that is actually codebook entry 0
+    masked = np.asarray(VC.vocos_decode(
+        params, jnp.asarray(codes), t_len=jnp.asarray(T)
+    ))
+    exact = np.asarray(VC.vocos_decode(params, jnp.asarray(codes[:, :T])))
+    np.testing.assert_allclose(
+        masked[:, : T * VC.HOP], exact, rtol=0, atol=2e-4
+    )
+    # and WITHOUT the mask the tail genuinely diverges (the bug existed)
+    unmasked = np.asarray(VC.vocos_decode(params, jnp.asarray(codes)))
+    assert np.abs(unmasked[:, : T * VC.HOP] - exact).max() > 1e-3

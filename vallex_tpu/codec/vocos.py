@@ -144,11 +144,26 @@ def _layer_norm(p, x, eps=1e-6):
 
 
 def backbone_apply(
-    params: Params, feats: jnp.ndarray, bandwidth_id: jnp.ndarray
+    params: Params, feats: jnp.ndarray, bandwidth_id: jnp.ndarray,
+    t_len=None,
 ) -> jnp.ndarray:
-    """[B, T, 128] → [B, T, 512]."""
+    """[B, T, 128] → [B, T, 512].
+
+    t_len (scalar or [B], dynamic): rows ≥ t_len are re-zeroed after the
+    embed conv and after EVERY block — biases and norm shifts make zero
+    inputs nonzero, and without the re-mask those phantom values bleed
+    back into the valid tail through each conv's receptive field. With
+    the mask, every conv window that straddles the boundary sees exactly
+    the zeros a SAME-padded exact-length run would see."""
+    if t_len is None:
+        mask = lambda x: x  # noqa: E731
+    else:
+        rows = jnp.arange(feats.shape[1])[None, :, None]
+        valid = rows < jnp.reshape(jnp.atleast_1d(t_len), (-1, 1, 1))
+        mask = lambda x: jnp.where(valid, x, 0.0)  # noqa: E731
+
     x = _conv1d_same(feats, params["embed"]["w"], params["embed"]["b"])
-    x = _ada_layer_norm(params["norm"], x, bandwidth_id)
+    x = mask(_ada_layer_norm(params["norm"], x, bandwidth_id))
 
     def block_body(x, bp):
         res = x
@@ -157,10 +172,10 @@ def backbone_apply(
         h = jnp.dot(h, bp["pwconv1"]["w"]) + bp["pwconv1"]["b"]
         h = jax.nn.gelu(h, approximate=False)
         h = jnp.dot(h, bp["pwconv2"]["w"]) + bp["pwconv2"]["b"]
-        return res + bp["gamma"] * h, None
+        return mask(res + bp["gamma"] * h), None
 
     x, _ = jax.lax.scan(block_body, x, params["blocks"])
-    return _layer_norm(params["final_norm"], x)
+    return mask(_layer_norm(params["final_norm"], x))
 
 
 def istft(
@@ -168,6 +183,7 @@ def istft(
     n_fft: int = N_FFT,
     hop: int = HOP,
     padding: str = "same",
+    frame_valid=None,
 ) -> jnp.ndarray:
     """Inverse STFT, Hann window.
 
@@ -204,19 +220,35 @@ def istft(
     ) * win  # [B, T, n_fft]
 
     out_len = n_fft + hop * (T - 1)
+    # frame_valid [B, T] (dynamic): padded-bucket decodes mask phantom
+    # frames out of BOTH the overlap-add numerator and the window-envelope
+    # denominator — leaving them in the envelope attenuates the last
+    # (n_fft - hop) valid samples even when their spectrum is zero
+    if frame_valid is not None:
+        fv = frame_valid.astype(frames.dtype)  # [B, T]
+        frames = frames * fv[:, :, None]
     # scatter-free overlap-add: split each frame into R hop-sized strips and
     # sum the R statically-shifted strip tracks (TPU scatters serialize)
     strips = frames.reshape(B, T, R, hop)
     out_blocks = jnp.zeros((B, T + R - 1, hop), frames.dtype)
     env_strips = (win**2).reshape(R, hop)
-    env_blocks = jnp.zeros((T + R - 1, hop))
     for j in range(R):
         out_blocks = out_blocks.at[:, j : j + T].add(strips[:, :, j])
-        env_blocks = env_blocks.at[j : j + T].add(
-            jnp.broadcast_to(env_strips[j], (T, hop))
-        )
     wave = out_blocks.reshape(B, out_len)
-    env = env_blocks.reshape(out_len)
+    if frame_valid is None:
+        env_blocks = jnp.zeros((T + R - 1, hop))
+        for j in range(R):
+            env_blocks = env_blocks.at[j : j + T].add(
+                jnp.broadcast_to(env_strips[j], (T, hop))
+            )
+        env = env_blocks.reshape(out_len)[None]
+    else:
+        env_blocks = jnp.zeros((B, T + R - 1, hop))
+        for j in range(R):
+            env_blocks = env_blocks.at[:, j : j + T].add(
+                env_strips[j][None, None] * fv[:, :, None]
+            )
+        env = env_blocks.reshape(B, out_len)
     wave = wave / jnp.maximum(env, 1e-11)
     if padding == "same":
         pad = (n_fft - hop) // 2
@@ -227,7 +259,9 @@ def istft(
     return wave[:, pad : out_len - pad]
 
 
-def head_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+def head_apply(
+    params: Params, x: jnp.ndarray, frame_valid=None
+) -> jnp.ndarray:
     """[B, T, 512] → waveform [B, T*hop] via log-mag/phase ISTFT
     (same-padded, per the shipped Vocos head)."""
     h = jnp.dot(x, params["head"]["w"]) + params["head"]["b"]
@@ -237,16 +271,32 @@ def head_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     # clamp keeps the ISTFT finite and is a no-op for trained checkpoints.
     mag = jnp.minimum(jnp.exp(jnp.clip(mag, max=1e2)), 1e30)
     spec = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-    return istft(spec)
+    return istft(spec, frame_valid=frame_valid)
 
 
 def vocos_decode(
-    params: Params, codes: jnp.ndarray, bandwidth_id: int = 2
+    params: Params, codes: jnp.ndarray, bandwidth_id: int = 2,
+    t_len=None,
 ) -> jnp.ndarray:
-    """[B, T, 8] EnCodec codes → [B, samples] waveform @24 kHz."""
+    """[B, T, 8] EnCodec codes → [B, samples] waveform @24 kHz.
+
+    t_len (scalar or [B], dynamic — no recompile per value) marks the
+    valid frame count: features beyond it are zeroed BEFORE the conv
+    stack. This matters because code id 0 is a real codebook vector, not
+    silence — zero-padded code rows would inject phantom features whose
+    contamination the convs' receptive field (9 stacked k=7 ConvNeXt
+    blocks ≈ ±27 frames) spreads back into the tail of the valid audio.
+    Zero FEATURES are the conv stack's true zero boundary."""
     feats = codes_to_features(params, codes)
-    x = backbone_apply(params, feats, jnp.asarray(bandwidth_id))
-    return head_apply(params, x)
+    fv = None
+    if t_len is not None:
+        rows = jnp.arange(codes.shape[1])[None, :, None]
+        tl = jnp.reshape(jnp.atleast_1d(t_len), (-1, 1, 1))
+        feats = jnp.where(rows < tl, feats, 0.0)
+        fv = (rows[..., 0] < tl[..., 0])  # [B|1, T]
+        fv = jnp.broadcast_to(fv, (codes.shape[0], codes.shape[1]))
+    x = backbone_apply(params, feats, jnp.asarray(bandwidth_id), t_len=t_len)
+    return head_apply(params, x, frame_valid=fv)
 
 
 # Frame-count buckets for the jitted decode path (recompile per bucket, not
@@ -259,12 +309,9 @@ _decode_jit = None
 def vocos_decode_bucketed(
     params: Params, codes, bandwidth_id: int = 2
 ) -> "jnp.ndarray":
-    """Jit-compiled decode with zero-padded frame buckets.
-
-    Zero-padding matches the conv stack's own zero boundary handling, so
-    frames away from the junction are bit-identical to an unpadded run; only
-    the final ~2 hops of overlap-add see the padded frames.
-    """
+    """Jit-compiled decode with zero-padded frame buckets. The valid
+    length rides in as a dynamic scalar so padded rows contribute ZERO
+    features (see vocos_decode: zero codes are not silence)."""
     global _decode_jit
     import numpy as np
 
@@ -279,7 +326,10 @@ def vocos_decode_bucketed(
         bucket = T  # beyond the largest bucket: compile exact size
     padded = np.zeros((B, bucket, Q), codes.dtype)
     padded[:, :T] = codes
-    wave = _decode_jit(params, jnp.asarray(padded), bandwidth_id=bandwidth_id)
+    wave = _decode_jit(
+        params, jnp.asarray(padded), bandwidth_id=bandwidth_id,
+        t_len=jnp.asarray(T, jnp.int32),
+    )
     return wave[:, : T * HOP]
 
 

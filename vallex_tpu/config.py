@@ -91,6 +91,11 @@ class ModelConfig:
     num_quantizers: int = NUM_QUANTIZERS
     num_languages: int = 3
     prefix_mode: int = PREFIX_MODE
+    # The decode engines and the AR loss both assume a BOS token (as the
+    # shipped checkpoint was trained); prepend_bos=False is rejected in
+    # __post_init__ rather than silently mis-training: with the smaller
+    # 1025-row audio embedding, index bos_id=1025 clips to the EOS row
+    # under jit and every sequence would train as if it started with EOS.
     prepend_bos: bool = True
     share_embedding: bool = True
     norm_first: bool = True
@@ -108,6 +113,16 @@ class ModelConfig:
     def ar_audio_vocab(self) -> int:
         # 1024 codes + EOS(1024) + BOS(1025) when prepend_bos
         return self.num_audio_tokens + 1 + int(self.prepend_bos)
+
+    def __post_init__(self):
+        if not self.prepend_bos:
+            raise ValueError(
+                "prepend_bos=False is not supported: the decode engines"
+                " and ar_loss unconditionally prepend BOS (id 1025), and"
+                " without the BOS embedding row that index silently clips"
+                " to EOS under jit. The shipped checkpoint uses"
+                " prepend_bos=True."
+            )
 
     @property
     def eos_id(self) -> int:

@@ -169,7 +169,12 @@ def _nar_tail(
         return gen_codes, None
     from ..codec.vocos import vocos_decode
 
-    return gen_codes, vocos_decode(vocos_params, gen_codes, bandwidth_id=2)
+    # t_len=gl: rows past gen_len hold code 0, which is a REAL codebook
+    # vector — without the valid-length mask its phantom features bleed
+    # ~27 frames back into the tail of the real audio (see vocos_decode)
+    return gen_codes, vocos_decode(
+        vocos_params, gen_codes, bandwidth_id=2, t_len=gl
+    )
 
 
 @functools.partial(
@@ -213,7 +218,10 @@ def _nar_tail_batch(
         return gen_codes, None
     from ..codec.vocos import vocos_decode
 
-    return gen_codes, vocos_decode(vocos_params, gen_codes, bandwidth_id=2)
+    # per-request valid lengths (see _nar_tail: zero codes are not silence)
+    return gen_codes, vocos_decode(
+        vocos_params, gen_codes, bandwidth_id=2, t_len=gl
+    )
 
 
 class SynthesisPipeline:

@@ -137,11 +137,15 @@ def eve(
                 return u  # no decay on biases/scales
             rms = jnp.sqrt(jnp.mean(p.astype(jnp.float32) ** 2))
             decay = weight_decay * jnp.clip(rms / target_rms, 0.0, 2.0)
-            return u - decay * p
+            # + : the whole update is scaled by -lr below, so adding the
+            # decay term here yields p -= lr*decay*p (true decay); the
+            # opposite sign would GROW weights every step
+            return u + decay * p
 
         updates = jax.tree.map(apply, updates, params)
+        # state is base's ScaleByAdamState (not a chain tuple)
         lr = (
-            learning_rate(state[0].count)
+            learning_rate(state.count)
             if callable(learning_rate)
             else learning_rate
         )

@@ -43,11 +43,12 @@ def make_optimizer(
     base_lr: float = 0.05,
     weight_decay: float = 1e-4,
     clip_norm: float = 1.0,
+    warmup: float = 500.0,
 ) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(
-            learning_rate=eden_schedule(base_lr),
+            learning_rate=eden_schedule(base_lr, warmup=warmup),
             b1=0.9,
             b2=0.95,
             weight_decay=weight_decay,

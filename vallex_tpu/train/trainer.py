@@ -95,7 +95,10 @@ def _make_optimizer(args, params):
     elif args.optimizer == "eve":
         base = eve(sched, weight_decay=args.weight_decay)
     else:
-        base = make_adamw(args.base_lr, args.weight_decay)
+        base = make_adamw(
+            args.base_lr, args.weight_decay,
+            warmup=float(args.warmup_steps),
+        )
 
     if args.train_stage in (1, 2):
         from ..models.vallex import stage_param_labels
@@ -200,6 +203,13 @@ def run(args) -> dict:
         lambda p, b, r: total_loss(p, cfg, b, r, jnp.dtype(args.dtype))[0],
         static_argnums=(),
     )
+    # jitted once: the un-jitted jax.grad would re-execute the whole
+    # backward op-by-op on the host at every diag interval
+    diag_grads = jax.jit(
+        lambda p, b, r: jax.grad(
+            lambda q: total_loss(q, cfg, b, r, jnp.dtype(args.dtype))[0]
+        )(p)
+    )
 
     last_metrics = {}
     t0 = time.time()
@@ -227,13 +237,8 @@ def run(args) -> dict:
                     rate,
                 )
             if global_step % args.diag_interval == 0:
-                def loss_fn(p):
-                    return total_loss(
-                        p, cfg, batch, step_rng, jnp.dtype(args.dtype)
-                    )[0]
-
                 with mesh:
-                    grads = jax.grad(loss_fn)(state.params)
+                    grads = diag_grads(state.params, batch, step_rng)
                 log.info("%s", format_grad_diagnostics(
                     grad_diagnostics(grads)))
             if global_step % args.save_every == 0:

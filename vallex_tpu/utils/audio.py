@@ -41,6 +41,17 @@ def load_wav(path: str, target_sr: int = 24000) -> Tuple[np.ndarray, int]:
 
     if width == 2:
         data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 3:
+        # 24-bit PCM (a common studio-enrollment format): widen the
+        # little-endian 3-byte samples to int32 and scale
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        as32 = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        as32 = (as32 << 8) >> 8  # sign-extend bit 23
+        data = as32.astype(np.float32) / 8388608.0
     elif width == 4:
         data = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
     elif width == 1:

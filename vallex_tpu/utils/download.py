@@ -52,10 +52,52 @@ def download_file_from_google_drive(
     file_id: str, dest_dir: str, filename: str, chunk: int = 32768
 ) -> str:
     """Google Drive fetch with the confirm-token dance
-    (reference: utils/download.py:5-45)."""
+    (reference: utils/download.py:5-45): files large enough to trigger
+    the virus-scan interstitial return an HTML confirmation page on the
+    first GET carrying a `download_warning` cookie; re-request with
+    confirm=<token> to get the real bytes (stdlib urllib, no requests)."""
+    import http.cookiejar
     import urllib.parse
+    import urllib.request
 
-    base = "https://docs.google.com/uc?export=download"
-    url = f"{base}&id={urllib.parse.quote(file_id)}"
+    base = "https://docs.google.com/uc?export=download&confirm=1"
+    qid = urllib.parse.quote(file_id)
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(jar)
+    )
     out = os.path.join(dest_dir, filename)
-    return download_file(url, out, chunk)
+    os.makedirs(dest_dir, exist_ok=True)
+    tmp = out + ".part"
+    try:
+        with opener.open(f"{base}&id={qid}") as resp:
+            token = next(
+                (c.value for c in jar
+                 if c.name.startswith("download_warning")), None,
+            )
+            if token is None:
+                _stream_to(resp, tmp, chunk)
+            else:
+                resp.read()  # drain the interstitial
+                with opener.open(
+                    f"{base}&id={qid}&confirm={urllib.parse.quote(token)}"
+                ) as resp2:
+                    _stream_to(resp2, tmp, chunk)
+        os.replace(tmp, out)
+    except Exception as e:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise RuntimeError(
+            f"Google Drive download failed ({e}). Manually download file"
+            f" id {file_id} and place it at {out}."
+        ) from e
+    return out
+
+
+def _stream_to(resp, path: str, chunk: int) -> None:
+    with open(path, "wb") as f:
+        while True:
+            buf = resp.read(chunk)
+            if not buf:
+                break
+            f.write(buf)

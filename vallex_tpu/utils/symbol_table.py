@@ -122,15 +122,15 @@ class SymbolTable(Generic[Symbol]):
                     f"symbol {sym!r}: id {combined[sym]} vs {idx}"
                 )
             combined[sym] = idx
-        out = SymbolTable(combined.items(), eps=self.eps)
-        if len(out._inv) != len(combined):
-            # two symbols claimed one id somewhere
-            for idx in self._inv.keys() & other._inv.keys():
-                if self._inv[idx] != other._inv[idx]:
-                    raise ValueError(
-                        f"id {idx}: {self._inv[idx]!r} vs {other._inv[idx]!r}"
-                    )
-        return out
+        # id conflicts (two symbols claiming one id) must be diagnosed
+        # BEFORE construction — the constructor's _insert would raise its
+        # generic message first, making the friendly one unreachable
+        for idx in self._inv.keys() & other._inv.keys():
+            if self._inv[idx] != other._inv[idx]:
+                raise ValueError(
+                    f"id {idx}: {self._inv[idx]!r} vs {other._inv[idx]!r}"
+                )
+        return SymbolTable(combined.items(), eps=self.eps)
 
     # -- views ---------------------------------------------------------------
 
