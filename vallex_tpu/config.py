@@ -23,7 +23,7 @@ SAMPLE_RATE = 24000
 
 NUM_TEXT_TOKENS = 2048
 NUM_AUDIO_TOKENS = 1024  # EnCodec RVQ bins per codebook
-NUM_MEL_BINS = 100  # BigVGAN x_vector knows it only embeds x_vectors
+NUM_MEL_BINS = 100  # mel bins for the debug Transformer TTS / BigVGAN fbank
 
 # EnCodec frame rate: 24000 Hz / 320-sample hop = 75 frames/s
 ENCODEC_FRAME_RATE = 75
