@@ -53,6 +53,7 @@ def test_generate_audio_with_preset_prompt(bundle):
     assert wave.ndim == 1 and len(wave) > 0
 
 
+@pytest.mark.slow
 def test_generate_audio_max_duration(bundle):
     """max_duration caps generated audio (random weights never emit EOS,
     so uncapped generation runs to the 16*text_len frame cap)."""
@@ -78,6 +79,7 @@ def test_generate_audio_accent_control(bundle):
     assert (len(w1) != len(w2)) or not np.allclose(w1, w2)
 
 
+@pytest.mark.slow
 def test_long_text_fixed_prompt(bundle):
     wave = api.generate_audio_from_long_text(
         "One sentence here. Another one there.",

@@ -11,6 +11,9 @@ from vallex_tpu.engine.batch import batch_synthesize
 from vallex_tpu.models.vallex import init_vallex
 from vallex_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow  # kernel-interpret / torch-parity tier
+
+
 TINY = ModelConfig(d_model=64, num_heads=4, num_layers=2, ffn_dim=128)
 ECFG = EngineConfig(
     text_buckets=(16,), audio_buckets=(64,), compute_dtype="float32",

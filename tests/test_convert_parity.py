@@ -27,6 +27,9 @@ from torch.nn.utils import weight_norm  # noqa: E402
 from vallex_tpu.codec import encodec as EC  # noqa: E402
 from vallex_tpu.codec import vocos as VC  # noqa: E402
 
+pytestmark = pytest.mark.slow  # kernel-interpret / torch-parity tier
+
+
 
 # ---------------------------------------------------------------------------
 # Torch EnCodec 24 kHz reconstruction (facebookresearch/encodec layouts)

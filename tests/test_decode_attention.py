@@ -7,6 +7,9 @@ import jax.numpy as jnp
 
 from vallex_tpu.ops import decode_attention as DA
 
+pytestmark = pytest.mark.slow  # kernel-interpret / torch-parity tier
+
+
 
 def _reference(q, new_k, new_v, cache_k, cache_v, x_len, pos, s_text):
     """Plain masked softmax attention over cache ∪ own kv."""

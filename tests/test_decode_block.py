@@ -17,6 +17,9 @@ from vallex_tpu.config import EngineConfig, ModelConfig
 from vallex_tpu.engine import ar as AR
 from vallex_tpu.models import vallex as V
 
+pytestmark = pytest.mark.slow  # kernel-interpret / torch-parity tier
+
+
 D, H, NL = 256, 4, 2
 CFG = ModelConfig(d_model=D, num_heads=H, num_layers=NL, ffn_dim=2 * D)
 

@@ -7,6 +7,9 @@ import jax.numpy as jnp
 
 from vallex_tpu.models import layers as L
 
+pytestmark = pytest.mark.slow  # kernel-interpret / torch-parity tier
+
+
 
 @pytest.mark.parametrize("x_len,pos", [(100, 3), (128, 200)])
 def test_megakernel_matches_layer_math(x_len, pos, monkeypatch):

@@ -21,6 +21,7 @@ sys.path.insert(
 )
 
 
+@pytest.mark.slow
 def test_dry_run_small(tmp_path):
     import first_weights as FW
 

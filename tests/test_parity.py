@@ -31,6 +31,9 @@ from vallex_tpu.models import layers as L  # noqa: E402
 from vallex_tpu.models import vallex as V  # noqa: E402
 from vallex_tpu.utils.checkpoint import convert_torch_state_dict  # noqa: E402
 
+pytestmark = pytest.mark.slow  # kernel-interpret / torch-parity tier
+
+
 D, H, NL = 64, 4, 2
 CFG = ModelConfig(d_model=D, num_heads=H, num_layers=NL, ffn_dim=4 * D)
 

@@ -8,11 +8,16 @@ Monte-Carlo: the marginal of the first emitted token must match p_0 even
 when q_0 is badly mismatched.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vallex_tpu.ops.sampling import speculative_accept
+
+pytestmark = pytest.mark.slow  # kernel-interpret / torch-parity tier
+
 
 V = 8
 K = 4

@@ -23,6 +23,7 @@ def _batch(B=2, S=12, T=24):
     }
 
 
+@pytest.mark.slow
 def test_total_loss_finite_and_near_uniform():
     from vallex_tpu.models.vallex import init_vallex
     from vallex_tpu.train.loss import total_loss
@@ -38,6 +39,7 @@ def test_total_loss_finite_and_near_uniform():
     assert 4.0 < float(metrics["nar_loss"]) < 40.0
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     from vallex_tpu.models.vallex import init_vallex
     from vallex_tpu.train.step import (
@@ -59,6 +61,7 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0], losses  # overfits a fixed batch
 
 
+@pytest.mark.slow
 def test_two_stage_masking_freezes_other_stage():
     import optax
 
@@ -89,6 +92,7 @@ def test_two_stage_masking_freezes_other_stage():
     )
 
 
+@pytest.mark.slow
 def test_trainer_cli_end_to_end(tmp_path):
     """Full trainer driver: tiny model, synthetic HDF5 data, 1 epoch with
     ScaledAdam + stage-1 masking, orbax save, then --resume for epoch 2."""
@@ -185,3 +189,188 @@ def test_prepend_bos_false_rejected():
 
     with pytest.raises(ValueError, match="prepend_bos"):
         ModelConfig(prepend_bos=False)
+
+
+# ---------------------------------------------------------------------------
+# NAR prefix modes 0/1/2/4 — pinned against the reference's _prepare_prompts
+# logic (models/vallex.py:307-365), reconstructed in-test in numpy.
+# ---------------------------------------------------------------------------
+
+def _np_sine_pe(max_len, dim):
+    pos = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, dim, 2) * -(np.log(10000.0) / dim))
+    pe = np.zeros((max_len, dim))
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe
+
+
+def _prepare_ref(emb, codes, audio_lens, stage, prefix_mode, prefix_len=0,
+                 starts=None, prompt_codes=None):
+    """Reference _prepare_prompts semantics in numpy: returns, per batch
+    element, (concat embedding BEFORE masking/PE, loss-included frame set)."""
+    B, T, Q = codes.shape
+
+    def upto(c, lim):  # emb0[c0] + sum_{1<=j<lim} embj[cj]
+        y = emb[0][c[..., 0]].copy()
+        for j in range(1, lim):
+            y += emb[j][c[..., j]]
+        return y
+
+    outs, losses = [], []
+    for b in range(B):
+        L_b = int(audio_lens[b])
+        keep = np.arange(T) < L_b
+        if prefix_mode == 0:
+            y = upto(codes[b], stage)
+            outs.append((np.zeros((0, emb.shape[-1])), y))
+            losses.append(keep)
+        elif prefix_mode == 1:
+            pre = upto(codes[b, :prefix_len], Q)
+            suf = upto(codes[b, prefix_len:], stage)
+            outs.append((np.zeros((0, emb.shape[-1])),
+                         np.concatenate([pre, suf], 0)))
+            losses.append(keep & (np.arange(T) >= prefix_len))
+        elif prefix_mode == 2:
+            s = int(starts[b])
+            win = codes[b, s:s + prefix_len]
+            outs.append((upto(win, Q), upto(codes[b], stage)))
+            in_win = (np.arange(T) >= s) & (np.arange(T) < s + prefix_len)
+            losses.append(keep & ~in_win)
+        elif prefix_mode == 4:
+            outs.append((upto(prompt_codes[b], Q), upto(codes[b], stage)))
+            losses.append(keep)
+    return outs, losses
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 4])
+def test_nar_prepare_matches_reference_semantics(mode):
+    from vallex_tpu.models import layers as L
+    from vallex_tpu.models.vallex import init_vallex
+    from vallex_tpu.train.loss import nar_prepare
+
+    params = init_vallex(jax.random.PRNGKey(0), TINY)
+    rng = np.random.RandomState(3)
+    B, T, Q = 2, 24, 8
+    codes = rng.randint(0, 1024, (B, T, Q)).astype(np.int32)
+    audio_lens = np.array([T, T - 6], np.int32)
+    stage = 3
+    prefix_len = {0: 0, 1: 5, 2: 4, 4: 0}[mode]
+    starts = np.array([2, 7], np.int32) if mode == 2 else None
+    prompt_codes = (
+        rng.randint(0, 1024, (B, 6, Q)).astype(np.int32) if mode == 4 else None
+    )
+
+    pe = L.make_sine_pe(TINY.max_position, TINY.d_model)
+    y_pos, col_valid, loss_mask, targets, y_start = jax.tree.map(
+        np.asarray,
+        nar_prepare(
+            params, TINY, jnp.asarray(codes), jnp.asarray(audio_lens),
+            jnp.asarray(stage), jnp.asarray(prefix_len), pe,
+            prefix_mode=mode,
+            prompt_codes=(None if prompt_codes is None
+                          else jnp.asarray(prompt_codes)),
+            prompt_starts=None if starts is None else jnp.asarray(starts),
+            dtype=jnp.float32,
+        ),
+    )
+
+    emb = np.asarray(params["nar_audio_embeddings"]["weight"], np.float64)
+    pe_np = _np_sine_pe(TINY.max_position, TINY.d_model)
+    alpha = float(params["nar_audio_position"]["alpha"])
+    outs, losses = _prepare_ref(
+        emb, codes, audio_lens, stage, mode, prefix_len, starts, prompt_codes
+    )
+
+    if mode in (0, 1):
+        assert y_start == 0 and y_pos.shape[1] == T
+    else:
+        assert y_start == y_pos.shape[1] - T
+
+    for b in range(B):
+        prompt_ref, y_ref = outs[b]
+        # reference concat: [prompt; y] with contiguous positions, PE added
+        concat = np.concatenate([prompt_ref, y_ref], 0)
+        pos = np.arange(concat.shape[0])
+        ref_with_pe = concat + alpha * pe_np[pos]
+        # ours: prompt buffer slots < len(prompt_ref) + the T frames after
+        # y_start; frames beyond audio_lens[b] are zero-masked (check valid)
+        got_prompt = y_pos[b, : len(prompt_ref)]
+        got_y = y_pos[b, y_start : y_start + int(audio_lens[b])]
+        got = np.concatenate([got_prompt, got_y], 0)
+        want = np.concatenate(
+            [ref_with_pe[: len(prompt_ref)],
+             ref_with_pe[len(prompt_ref) : len(prompt_ref) + int(audio_lens[b])]],
+            0,
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        # loss mask matches the reference's kept-frame set exactly
+        np.testing.assert_array_equal(loss_mask[b] > 0.5, losses[b])
+        # column validity: prompt tail + padded frames masked
+        if y_start:
+            assert not col_valid[b, len(prompt_ref) : y_start].any()
+        assert col_valid[b, : len(prompt_ref)].all()
+        assert (col_valid[b, y_start:] == (np.arange(T) < audio_lens[b])).all()
+    # targets are codebook `stage` verbatim
+    np.testing.assert_array_equal(targets, codes[..., stage])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", [0, 2, 4])
+def test_total_loss_other_prefix_modes_train(mode):
+    """Modes 0/2/4 produce finite losses and nonzero flowing gradients."""
+    from vallex_tpu.models.vallex import init_vallex
+    from vallex_tpu.train.loss import total_loss
+
+    params = init_vallex(jax.random.PRNGKey(0), TINY)
+    batch = _batch()
+    if mode == 4:
+        rng = np.random.RandomState(1)
+        batch["prompt_codes"] = jnp.asarray(
+            rng.randint(0, 1024, (2, 6, 8)), jnp.int32
+        )
+    (loss, metrics), grads = jax.value_and_grad(
+        lambda p: total_loss(
+            p, TINY, batch, jax.random.PRNGKey(1), jnp.float32, mode
+        ),
+        has_aux=True,
+    )(params)
+    assert np.isfinite(float(loss))
+    g = np.asarray(grads["nar_audio_embeddings"]["weight"])
+    assert np.abs(g).sum() > 0
+
+
+def test_mode2_window_sampler_in_bounds():
+    """Per-utterance window starts stay within [0, len_b - prefix_len]
+    (reference: random.Random.randint inclusive upper)."""
+    from vallex_tpu.train.loss import sample_nar_prompt
+
+    audio_lens = jnp.asarray([100, 40, 64], jnp.int32)
+    hits_upper = False
+    for seed in range(50):
+        prefix_len, starts = sample_nar_prompt(
+            jax.random.PRNGKey(seed), audio_lens, 2
+        )
+        assert int(prefix_len) == 10  # min(225, 40//4)
+        s = np.asarray(starts)
+        assert (s >= 0).all() and (s <= np.asarray(audio_lens) - 10).all()
+        hits_upper |= bool((s == np.asarray(audio_lens) - 10).any())
+    assert hits_upper  # inclusive upper bound is reachable
+
+
+def test_mode1_sampler_matches_reference_distribution():
+    """prefix_len ~ U[0, 2·⌊min/4⌋) then capped at 225
+    (reference models/vallex.py:321-323)."""
+    from vallex_tpu.train.loss import sample_nar_prompt
+
+    audio_lens = jnp.asarray([600, 480], jnp.int32)  # min//4 = 120
+    seen = set()
+    for seed in range(200):
+        prefix_len, starts = sample_nar_prompt(
+            jax.random.PRNGKey(seed), audio_lens, 1
+        )
+        assert starts is None
+        v = int(prefix_len)
+        assert 0 <= v <= 225
+        seen.add(v)
+    assert max(seen) > 120  # upper range is 2·int_low (capped), not int_low

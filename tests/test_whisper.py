@@ -10,6 +10,9 @@ import jax.numpy as jnp
 
 from vallex_tpu.asr import whisper as W
 
+pytestmark = pytest.mark.slow  # kernel-interpret / torch-parity tier
+
+
 TINY = W.WhisperConfig(
     d_model=64, num_heads=4, encoder_layers=2, decoder_layers=2,
     vocab=640, eot=500, sot=501, translate=502, transcribe=503,

@@ -42,7 +42,13 @@ def add_model_arguments(parser) -> None:
     parser.add_argument("--num-decoder-layers", type=int, default=12)
     parser.add_argument("--norm-first", action="store_true", default=True)
     parser.add_argument("--add-prenet", action="store_true", default=False)
-    parser.add_argument("--prefix-mode", type=int, default=1)
+    parser.add_argument(
+        "--prefix-mode", type=int, default=1, choices=(0, 1, 2, 4),
+        help="NAR acoustic-prompt construction (reference "
+             "models/vallex.py:307-365): 0 = none, 1 = prefix-at-beginning "
+             "(shipped checkpoint), 2 = random window prepended, "
+             "4 = dataset-provided PromptedFeatures prompt",
+    )
     parser.add_argument("--share-embedding", action="store_true", default=True)
     parser.add_argument("--prepend-bos", action="store_true", default=True)
     parser.add_argument("--num-quantizers", type=int, default=8)

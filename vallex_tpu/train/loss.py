@@ -8,13 +8,29 @@ the framework is trainable end-to-end on TPU:
   AR: teacher-forced next-token cross-entropy over codebook 0 with the
       BOS-prepend / EOS-append convention of `pad_y_eos`
       (reference: models/vallex.py:294-305).
-  NAR: one uniformly-sampled stage j ∈ [1,7] per step; the running
-      embedding sums codebooks < j over the suffix and all 8 codebooks over
-      a random prefix of min(225, len/4) frames (prefix_mode=1 semantics,
-      models/vallex.py:318-334); cross-entropy on codebook j over the
-      suffix.
+  NAR: one uniformly-sampled stage j ∈ [1,7] per step; the acoustic-prompt
+      construction follows the reference's `_prepare_prompts`
+      (models/vallex.py:307-365) for every prefix_mode it defines:
 
-Everything is fixed-shape and mask-based so one jit covers a whole bucket.
+      mode 0 — no prompt: the running embedding sums codebooks < j over the
+          whole utterance; loss on codebook j over all valid frames.
+      mode 1 — prefix-at-beginning (the shipped checkpoint's mode): a random
+          prefix of the SAME utterance (len ~ U[0, 2·⌊len/4⌋) capped at 225)
+          sums all 8 codebooks; the suffix sums codebooks < j; loss over the
+          suffix only.
+      mode 2 — random window prompt: a min(225, ⌊min_len/4⌋)-frame window at
+          a per-utterance random start is PREPENDED (all 8 codebooks); the
+          target frames inside that window are dropped from the loss (the
+          reference overwrites their codebook-j code with NUM_AUDIO_TOKENS,
+          its CE ignore_index); loss over the remaining valid frames.
+      mode 4 — dataset-provided prompt (PromptedFeatures): prompt codes
+          [B, P, 8] are prepended (all 8 codebooks); loss over all valid
+          frames of the utterance.
+
+Everything is fixed-shape and mask-based so one jit covers a whole bucket:
+mode 2's variable window lives in a static 225-frame buffer with the tail
+masked, and the prepended-prompt modes apply the positional embedding in two
+offset slices so frame positions match the reference's contiguous concat.
 """
 
 from __future__ import annotations
@@ -87,6 +103,150 @@ def ar_loss(
     return _ce(logits, targets.astype(jnp.int32), loss_mask)
 
 
+PROMPT_FRAMES = 225  # 24000/320 · 3 s (reference: models/vallex.py:323)
+
+
+def _sum_codebook_embs(emb, codes, upto, dtype):
+    """Σ_{1≤j<upto} emb[j][codes[..., j]] added to emb[0][codes[..., 0]].
+
+    `upto` may be a traced scalar (per-step sampled stage) or
+    cfg.num_quantizers for an all-codebooks prompt sum.
+    """
+    y = jnp.take(emb[0], codes[..., 0], axis=0).astype(dtype)
+    for j in range(1, codes.shape[-1]):
+        ej = jnp.take(emb[j], codes[..., j], axis=0).astype(dtype)
+        y = y + ej * jnp.where(j < upto, 1.0, 0.0).astype(dtype)
+    return y
+
+
+def nar_prepare(
+    params: Params,
+    cfg: ModelConfig,
+    codes: jnp.ndarray,  # [B, T, 8]
+    audio_lens: jnp.ndarray,  # [B]
+    stage: jnp.ndarray,  # [] int in [1, 7]
+    prefix_len: jnp.ndarray,  # [] int (mode 1: sampled ≤ 225; mode 2: batch window len)
+    pe_table: jnp.ndarray,
+    prefix_mode: int = 1,
+    prompt_codes: jnp.ndarray | None = None,  # [B, P, 8] (mode 4)
+    prompt_starts: jnp.ndarray | None = None,  # [B] (mode 2 window starts)
+    dtype=jnp.bfloat16,
+):
+    """Audio-side inputs for one NAR training pass, per prefix_mode.
+
+    Reimplements the reference's `_prepare_prompts`
+    (models/vallex.py:307-365) with static shapes: prepended prompts live in
+    a fixed-width buffer (mode 2: 225 frames; mode 4: prompt_codes.shape[1])
+    whose invalid tail is masked, and the positional embedding is applied in
+    two slices (prompt at offset 0, utterance at offset prefix_len) so frame
+    positions match the reference's contiguous torch.concat.
+
+    Returns (y_pos [B, L, D], col_valid [B, L] bool, loss_mask [B, T] f32,
+    targets [B, T] int32, y_start int) where L = T (modes 0/1) or
+    P + T (modes 2/4) and logits are taken from h[:, S+y_start:].
+    """
+    B, T = codes.shape[:2]
+    emb = params["nar_audio_embeddings"]["weight"]  # [8, 1025, D]
+    alpha = params["nar_audio_position"]["alpha"]
+
+    pos_t = jnp.arange(T)[None, :, None]  # [1, T, 1]
+    valid = pos_t < audio_lens[:, None, None]
+    targets = jnp.take_along_axis(
+        codes, jnp.broadcast_to(stage, (B, T, 1)).astype(jnp.int32), axis=-1
+    )[..., 0].astype(jnp.int32)
+
+    if prefix_mode == 0:
+        # no prompt: codebooks < stage everywhere; loss on every valid frame
+        y_emb = _sum_codebook_embs(emb, codes, stage, dtype)
+        y_emb = y_emb * valid.astype(dtype)
+        y_pos = L.sine_pe_apply(pe_table, alpha, y_emb)
+        loss_mask = valid[..., 0].astype(jnp.float32)
+        return y_pos, valid[..., 0], loss_mask, targets, 0
+
+    if prefix_mode == 1:
+        # prefix-at-beginning: first prefix_len frames sum ALL codebooks,
+        # the suffix sums codebooks < stage; loss over the suffix
+        in_prefix = pos_t < prefix_len
+        y_emb = jnp.take(emb[0], codes[..., 0], axis=0).astype(dtype)
+        for j in range(1, cfg.num_quantizers):
+            ej = jnp.take(emb[j], codes[..., j], axis=0).astype(dtype)
+            add = jnp.where(in_prefix, 1.0, 0.0) + jnp.where(
+                jnp.logical_and(~in_prefix, j < stage), 1.0, 0.0
+            )
+            y_emb = y_emb + ej * add.astype(dtype)
+        y_emb = y_emb * valid.astype(dtype)
+        y_pos = L.sine_pe_apply(pe_table, alpha, y_emb)
+        loss_mask = jnp.logical_and(~in_prefix[..., 0], valid[..., 0]).astype(
+            jnp.float32
+        )
+        return y_pos, valid[..., 0], loss_mask, targets, 0
+
+    if prefix_mode == 2:
+        # random-window prompt, prepended: window [start_b, start_b+prefix_len)
+        # of the SAME utterance sums all 8 codebooks; the window's frames are
+        # dropped from the loss (reference sets their codebook-`stage` code
+        # to NUM_AUDIO_TOKENS, its CE ignore_index)
+        P = min(PROMPT_FRAMES, T)  # window len ≤ min_len/4 < T always
+        assert prompt_starts is not None, "mode 2 needs per-utterance starts"
+        # pad the time axis so dynamic_slice never clamps a legitimate start
+        # (only the first prefix_len ≤ len_b − start frames are ever valid)
+        padded = jnp.pad(codes, ((0, 0), (0, P), (0, 0)))
+        window = jax.vmap(
+            lambda c, s: jax.lax.dynamic_slice_in_dim(c, s, P, axis=0)
+        )(padded, prompt_starts)  # [B, P, 8]
+        prompt_emb = _sum_codebook_embs(
+            emb, window, cfg.num_quantizers, dtype
+        )
+        pos_p = jnp.arange(P)[None, :, None]
+        prompt_valid = pos_p < prefix_len
+        prompt_emb = prompt_emb * prompt_valid.astype(dtype)
+        prompt_pos = L.sine_pe_apply(pe_table, alpha, prompt_emb)
+
+        y_emb = _sum_codebook_embs(emb, codes, stage, dtype)
+        y_emb = y_emb * valid.astype(dtype)
+        y_pos = L.sine_pe_apply(pe_table, alpha, y_emb, offset=prefix_len)
+
+        full = jnp.concatenate([prompt_pos, y_pos], axis=1)  # [B, P+T, D]
+        col_valid = jnp.concatenate(
+            [
+                jnp.broadcast_to(prompt_valid[..., 0], (B, P)),
+                valid[..., 0],
+            ],
+            axis=1,
+        )
+        in_window = jnp.logical_and(
+            pos_t[..., 0] >= prompt_starts[:, None],
+            pos_t[..., 0] < prompt_starts[:, None] + prefix_len,
+        )
+        loss_mask = jnp.logical_and(valid[..., 0], ~in_window).astype(
+            jnp.float32
+        )
+        return full, col_valid, loss_mask, targets, P
+
+    if prefix_mode == 4:
+        # dataset-provided prompt (PromptedFeatures), prepended whole; loss
+        # over every valid frame of the utterance
+        assert prompt_codes is not None, "mode 4 needs prompt_codes [B,P,8]"
+        P = prompt_codes.shape[1]
+        prompt_emb = _sum_codebook_embs(
+            emb, prompt_codes, cfg.num_quantizers, dtype
+        )
+        prompt_pos = L.sine_pe_apply(pe_table, alpha, prompt_emb)
+
+        y_emb = _sum_codebook_embs(emb, codes, stage, dtype)
+        y_emb = y_emb * valid.astype(dtype)
+        y_pos = L.sine_pe_apply(pe_table, alpha, y_emb, offset=P)
+
+        full = jnp.concatenate([prompt_pos, y_pos], axis=1)
+        col_valid = jnp.concatenate(
+            [jnp.ones((B, P), bool), valid[..., 0]], axis=1
+        )
+        loss_mask = valid[..., 0].astype(jnp.float32)
+        return full, col_valid, loss_mask, targets, P
+
+    raise ValueError(f"prefix_mode must be 0/1/2/4, got {prefix_mode}")
+
+
 def nar_loss(
     params: Params,
     cfg: ModelConfig,
@@ -99,49 +259,60 @@ def nar_loss(
     prefix_len: jnp.ndarray,  # [] int (sampled by the caller, ≤ 225)
     pe_table: jnp.ndarray,
     dtype=jnp.bfloat16,
+    prefix_mode: int = 1,
+    prompt_codes: jnp.ndarray | None = None,
+    prompt_starts: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     B, S = text_ids.shape
     T = codes.shape[1]
-    emb = params["nar_audio_embeddings"]["weight"]  # [8, 1025, D]
 
     x = V.text_input(params, cfg, text_ids, lang_ids, "nar", pe_table, dtype)
-
-    pos_t = jnp.arange(T)[None, :, None]  # [1, T, 1]
-    in_prefix = pos_t < prefix_len
-    valid = pos_t < audio_lens[:, None, None]
-
-    # running embedding: cb0 everywhere; cbs 1..7 on prefix; cbs < stage on
-    # suffix (prefix_mode=1; reference: models/vallex.py:318-334)
-    y_emb = jnp.take(emb[0], codes[..., 0], axis=0).astype(dtype)
-    for j in range(1, cfg.num_quantizers):
-        ej = jnp.take(emb[j], codes[..., j], axis=0).astype(dtype)
-        add = jnp.where(in_prefix, 1.0, 0.0) + jnp.where(
-            jnp.logical_and(~in_prefix, j < stage), 1.0, 0.0
-        )
-        y_emb = y_emb + ej * add.astype(dtype)
-    y_emb = y_emb * valid.astype(dtype)
-
-    y_pos = L.sine_pe_apply(
-        pe_table, params["nar_audio_position"]["alpha"], y_emb
+    y_pos, col_valid, loss_mask, targets, y_start = nar_prepare(
+        params, cfg, codes, audio_lens, stage, prefix_len, pe_table,
+        prefix_mode, prompt_codes, prompt_starts, dtype,
     )
     xy = jnp.concatenate([x, y_pos], axis=1)
 
-    cols = jnp.arange(S + T)[None, :]
-    ok = jnp.where(
-        cols < S, cols < text_lens[:, None], (cols - S) < audio_lens[:, None]
-    )
+    cols = jnp.arange(S)[None, :]
+    ok = jnp.concatenate([cols < text_lens[:, None], col_valid], axis=1)
     mask = jnp.where(ok, 0.0, V.NEG_INF).astype(jnp.float32)[:, None, None, :]
 
     h = V.nar_forward_stage(params, cfg, xy, stage - 1, mask, remat=True)
-    logits = V.nar_logits(params, h[:, S:], stage - 1)  # [B, T, 1024]
+    logits = V.nar_logits(params, h[:, S + y_start :], stage - 1)  # [B,T,1024]
+    return _ce(logits, targets, loss_mask)
 
-    targets = jnp.take_along_axis(
-        codes, jnp.broadcast_to(stage, (B, T, 1)).astype(jnp.int32), axis=-1
-    )[..., 0]
-    loss_mask = jnp.logical_and(~in_prefix[..., 0], valid[..., 0]).astype(
-        jnp.float32
-    )
-    return _ce(logits, targets.astype(jnp.int32), loss_mask)
+
+def sample_nar_prompt(
+    rng: jax.Array,
+    audio_lens: jnp.ndarray,
+    prefix_mode: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
+    """(prefix_len, prompt_starts) per the reference's samplers.
+
+    mode 1: prefix_len ~ U[0, 2·⌊0.25·min_len⌋) then capped at 225
+            (reference: models/vallex.py:321-323, torch.randint upper-excl).
+    mode 2: prefix_len = min(225, ⌊0.25·min_len⌋) deterministic; per-
+            utterance window start ~ U[0, len_b − prefix_len] inclusive
+            (reference: models/vallex.py:339-342, random.Random.randint).
+    """
+    r_len, r_start = jax.random.split(rng)
+    min_len = jnp.min(audio_lens).astype(jnp.int32)
+    if prefix_mode == 1:
+        int_low = min_len // 4
+        prefix_len = jax.random.randint(
+            r_len, (), 0, jnp.maximum(int_low * 2, 1)
+        )
+        return jnp.minimum(prefix_len, PROMPT_FRAMES), None
+    if prefix_mode == 2:
+        prefix_len = jnp.minimum(min_len // 4, PROMPT_FRAMES)
+        starts = jax.random.randint(
+            r_start,
+            (audio_lens.shape[0],),
+            0,
+            jnp.maximum(audio_lens - prefix_len + 1, 1),
+        )
+        return prefix_len, starts
+    return jnp.zeros((), jnp.int32), None  # modes 0/4: no sampling
 
 
 def total_loss(
@@ -150,15 +321,19 @@ def total_loss(
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
     dtype=jnp.bfloat16,
+    prefix_mode: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Combined AR + NAR objective over a collated batch."""
+    """Combined AR + NAR objective over a collated batch.
+
+    prefix_mode selects the NAR acoustic-prompt construction (0/1/2/4,
+    reference models/vallex.py:307-365). Mode 4 reads the dataset-provided
+    prompt from batch["prompt_codes"] ([B, P, 8], PromptedFeatures)."""
     pe = L.make_sine_pe(cfg.max_position, cfg.d_model)
     r1, r2 = jax.random.split(rng)
     stage = jax.random.randint(r1, (), 1, cfg.num_quantizers)
-    max_prefix = jnp.minimum(
-        (jnp.min(batch["audio_lens"]) // 4).astype(jnp.int32), 225
+    prefix_len, prompt_starts = sample_nar_prompt(
+        r2, batch["audio_lens"], prefix_mode
     )
-    prefix_len = jax.random.randint(r2, (), 0, jnp.maximum(max_prefix, 1))
 
     l_ar = ar_loss(
         params, cfg,
@@ -169,6 +344,9 @@ def total_loss(
         params, cfg,
         batch["text_ids"], batch["lang_ids"], batch["text_lens"],
         batch["codes"], batch["audio_lens"], stage, prefix_len, pe, dtype,
+        prefix_mode=prefix_mode,
+        prompt_codes=batch.get("prompt_codes") if prefix_mode == 4 else None,
+        prompt_starts=prompt_starts,
     )
     loss = l_ar + l_nar
     return loss, {"loss": loss, "ar_loss": l_ar, "nar_loss": l_nar}

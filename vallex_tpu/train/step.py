@@ -70,7 +70,9 @@ def init_train_state(params: Params, optimizer) -> TrainState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "optimizer", "dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "optimizer", "dtype", "prefix_mode")
+)
 def train_step(
     state: TrainState,
     batch: Dict[str, jnp.ndarray],
@@ -79,11 +81,14 @@ def train_step(
     cfg: ModelConfig,
     optimizer: optax.GradientTransformation,
     dtype: str = "bfloat16",
+    prefix_mode: int = 1,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step. Shardings flow in from the arguments (GSPMD)."""
 
     def loss_fn(params):
-        return total_loss(params, cfg, batch, rng, jnp.dtype(dtype))
+        return total_loss(
+            params, cfg, batch, rng, jnp.dtype(dtype), prefix_mode
+        )
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params

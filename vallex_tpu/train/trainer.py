@@ -200,14 +200,18 @@ def run(args) -> dict:
         log.info("saved %s", path)
 
     eval_loss = jax.jit(
-        lambda p, b, r: total_loss(p, cfg, b, r, jnp.dtype(args.dtype))[0],
+        lambda p, b, r: total_loss(
+            p, cfg, b, r, jnp.dtype(args.dtype), cfg.prefix_mode
+        )[0],
         static_argnums=(),
     )
     # jitted once: the un-jitted jax.grad would re-execute the whole
     # backward op-by-op on the host at every diag interval
     diag_grads = jax.jit(
         lambda p, b, r: jax.grad(
-            lambda q: total_loss(q, cfg, b, r, jnp.dtype(args.dtype))[0]
+            lambda q: total_loss(
+                q, cfg, b, r, jnp.dtype(args.dtype), cfg.prefix_mode
+            )[0]
         )(p)
     )
 
@@ -221,6 +225,7 @@ def run(args) -> dict:
                 state, metrics = train_step(
                     state, batch, step_rng,
                     cfg=cfg, optimizer=optimizer, dtype=args.dtype,
+                    prefix_mode=cfg.prefix_mode,
                 )
             global_step += 1
             if global_step % args.log_interval == 0:
