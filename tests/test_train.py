@@ -374,3 +374,47 @@ def test_mode1_sampler_matches_reference_distribution():
         assert 0 <= v <= 225
         seen.add(v)
     assert max(seen) > 120  # upper range is 2·int_low (capped), not int_low
+
+
+@pytest.mark.slow
+def test_flash_training_paths_match_mask_paths():
+    """use_flash=True (prefix-causal AR + padding-mask NAR through the
+    Pallas flash kernels, interpret mode on CPU) reproduces the additive-
+    mask paths' loss and gradients within fold-order tolerance."""
+    import jax.experimental.pallas as _pl
+
+    from vallex_tpu.models.vallex import init_vallex
+    from vallex_tpu.train.loss import total_loss
+
+    params = init_vallex(jax.random.PRNGKey(0), TINY)
+    rng_np = np.random.RandomState(7)
+    B, S, T = 2, 100, 120  # NOT flash-block-aligned: exercises the padding
+    batch = {
+        "text_ids": jnp.asarray(rng_np.randint(5, 99, (B, S)), jnp.int32),
+        "lang_ids": jnp.zeros((B, S), jnp.int32),
+        "text_lens": jnp.asarray([S, S - 13], jnp.int32),
+        "codes": jnp.asarray(rng_np.randint(0, 1024, (B, T, 8)), jnp.int32),
+        "audio_lens": jnp.asarray([T, T - 37], jnp.int32),
+    }
+
+    def run(flash):
+        return jax.value_and_grad(
+            lambda p: total_loss(
+                p, TINY, batch, jax.random.PRNGKey(1), jnp.float32, 1, flash
+            )[0]
+        )(params)
+
+    loss_mask_, grads_mask = run(False)
+
+    orig = _pl.pallas_call
+    _pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        loss_flash, grads_flash = run(True)
+    finally:
+        _pl.pallas_call = orig
+
+    assert abs(float(loss_flash) - float(loss_mask_)) < 1e-3
+    for gm, gf in zip(jax.tree.leaves(grads_mask), jax.tree.leaves(grads_flash)):
+        np.testing.assert_allclose(
+            np.asarray(gm), np.asarray(gf), rtol=2e-3, atol=2e-3
+        )

@@ -208,6 +208,7 @@ def attention_core_flash(
     v: jnp.ndarray,
     q_seg: jnp.ndarray,
     kv_seg: jnp.ndarray,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Flash (blocked online-softmax) attention via the Pallas TPU kernel.
 
@@ -215,9 +216,10 @@ def attention_core_flash(
     for the NAR's 7 full-sequence stages that is ~35 GB of HBM score traffic
     per utterance, several times the weight traffic. The flash kernel keeps
     the softmax state in VMEM. Masking is segment-based (valid=1, pad=0 —
-    queries attend keys with the SAME id), which covers key-padding masks
-    exactly; use attention_core for masks flash cannot express (e.g. the AR
-    prefill's text-visible + audio-causal pattern).
+    queries attend keys with the SAME id), optionally composed with a causal
+    constraint; this covers key-padding and causal+padding masks exactly.
+    For the AR training pass's prefix-causal mask (bidirectional text block
+    + causal audio block) use attention_core_flash_prefix.
     q,k,v: [B, H, T, hd]; q_seg/kv_seg: [B, T] int32.
     """
     from jax.experimental.pallas.ops.tpu import flash_attention as _fa
@@ -234,18 +236,57 @@ def attention_core_flash(
     # The library defaults are 128x128 blocks — at our sizes (T ~ 1280,
     # hd 64) the per-block overhead dominates. One KV pass per q block
     # (the whole [T, hd] K/V fits VMEM many times over) is ~2x faster.
+    # Under causal, cap KV blocks at 512 so above-diagonal blocks are
+    # actually skipped instead of computed-and-masked.
     bq = _largest_block(T, 512)
-    bk = _largest_block(k.shape[-2], 1536)
+    bk = _largest_block(k.shape[-2], 512 if causal else 1536)
     out = _fa.flash_attention(
         q, k, v,
         segment_ids=_fa.SegmentIds(q=q_seg, kv=kv_seg),
         sm_scale=1.0 / math.sqrt(hd),
-        causal=False,
+        causal=causal,
         block_sizes=_fa.BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+            # backward blocks (needed under autodiff — training forwards)
+            block_q_major_dkv=bq, block_k_major_dkv=bk,
+            block_k_dkv=bk, block_q_dkv=bq,
+            block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
         ),
     )
     return out.astype(q.dtype)
+
+
+def attention_core_flash_prefix(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_seg: jnp.ndarray,
+    kv_seg: jnp.ndarray,
+    text_len: int,
+) -> jnp.ndarray:
+    """Prefix-causal flash attention: a fully-bidirectional text block of
+    static length `text_len` followed by a causal audio block that also sees
+    the whole text block (the AR training mask; reference:
+    models/vallex.py:535-549 semantics batched over padded buckets).
+
+    Expressed as two flash calls: causal over the full sequence (correct for
+    every audio row — all text indices precede them) plus a non-causal pass
+    over the text block alone, whose rows replace the causal output's text
+    rows. The text block is short (~10-20% of the sequence), so the rerun
+    costs far less than materializing the [T, T] mask would.
+    """
+    out_causal = attention_core_flash(q, k, v, q_seg, kv_seg, causal=True)
+    out_text = attention_core_flash(
+        q[:, :, :text_len],
+        k[:, :, :text_len],
+        v[:, :, :text_len],
+        q_seg[:, :text_len],
+        kv_seg[:, :text_len],
+        causal=False,
+    )
+    return jnp.concatenate(
+        [out_text, out_causal[:, :, text_len:]], axis=2
+    )
 
 
 def mha_apply(
@@ -254,9 +295,15 @@ def mha_apply(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     segments=None,
+    prefix_flash: Optional[int] = None,
 ) -> jnp.ndarray:
     q, k, v = mha_qkv(p, x, num_heads)
     if segments is not None:
+        if prefix_flash is not None:
+            return mha_out(
+                p,
+                attention_core_flash_prefix(q, k, v, *segments, prefix_flash),
+            )
         return mha_out(p, attention_core_flash(q, k, v, *segments))
     return mha_out(p, attention_core(q, k, v, mask))
 
@@ -294,9 +341,11 @@ def encoder_layer_apply(
     mask: Optional[jnp.ndarray] = None,
     stage_emb: Optional[jnp.ndarray] = None,
     segments=None,
+    prefix_flash: Optional[int] = None,
 ) -> jnp.ndarray:
     h = _norm(p["norm1"], x, stage_emb)
-    x = x + mha_apply(p["self_attn"], h, num_heads, mask, segments)
+    x = x + mha_apply(p["self_attn"], h, num_heads, mask, segments,
+                      prefix_flash)
     h = _norm(p["norm2"], x, stage_emb)
     h = linear_apply(p["linear1"], h)
     h = jax.nn.relu(h)
@@ -330,21 +379,28 @@ def encoder_stack_apply(
     stage_emb: Optional[jnp.ndarray] = None,
     segments=None,
     remat: bool = False,
+    prefix_flash: Optional[int] = None,
 ) -> jnp.ndarray:
     """Run the full stack via lax.scan over the layer axis + final norm.
 
     segments=(q_seg, kv_seg) switches attention to the flash kernel
-    (attention_core_flash) — only valid for key-padding-style masks.
+    (attention_core_flash) — valid for key-padding-style masks; with
+    prefix_flash=<static text length> it runs the prefix-causal variant
+    (bidirectional text block + causal audio block) instead.
 
     remat=True rematerializes each layer under autodiff (training): only
     the per-layer scan inputs are saved instead of every intermediate, so
     activation memory drops ~num_layers× at one extra forward of compute.
+    remat="dots" instead saves each layer's matmul outputs and recomputes
+    only the cheap elementwise ops — ~5× less recompute than full remat for
+    ~4× the activation memory (still ~3× under no-remat's peak).
     Forward-only callers are unaffected (jax.checkpoint is transparent
     outside differentiation)."""
 
     def apply(carry, layer_p):
         return encoder_layer_apply(
-            layer_p, carry, num_heads, mask, stage_emb, segments
+            layer_p, carry, num_heads, mask, stage_emb, segments,
+            prefix_flash,
         )
 
     if remat:
@@ -352,7 +408,12 @@ def encoder_stack_apply(
         # the default's optimization barriers would inhibit XLA fusion
         # inside each layer (the jax.checkpoint docs recommend this
         # combination for scan bodies)
-        apply = jax.checkpoint(apply, prevent_cse=False)
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if remat == "dots"
+            else None
+        )
+        apply = jax.checkpoint(apply, prevent_cse=False, policy=policy)
 
     x, _ = jax.lax.scan(lambda c, lp: (apply(c, lp), None), x, p["layers"])
     return _norm(p["norm"], x, stage_emb)

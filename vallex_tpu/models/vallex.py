@@ -177,10 +177,17 @@ def ar_forward(
     xy: jnp.ndarray,
     mask: Optional[jnp.ndarray],
     remat: bool = False,
+    segments=None,
+    prefix_flash: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Full-sequence AR decoder pass → hidden states [B, S, D]."""
+    """Full-sequence AR decoder pass → hidden states [B, S, D].
+
+    segments + prefix_flash=<static text length> runs attention through the
+    prefix-causal Pallas flash kernel instead of materializing the additive
+    mask (TPU training fast path)."""
     return L.encoder_stack_apply(
-        params["ar_decoder"], xy, cfg.num_heads, mask, remat=remat
+        params["ar_decoder"], xy, cfg.num_heads, mask, remat=remat,
+        segments=segments, prefix_flash=prefix_flash,
     )
 
 

@@ -56,6 +56,27 @@ def _ce(logits: jnp.ndarray, targets: jnp.ndarray, mask: jnp.ndarray):
     return total / count
 
 
+def _ceil128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _flash_friendly(total: int) -> int:
+    """Smallest multiple of 128 ≥ total whose 128-block count is divisible
+    by 2, 3 or 4 — so attention_core_flash can tile with ≥256-wide blocks.
+    With prime block counts (e.g. 1408 = 11·128) the kernel degrades to
+    128-wide blocks, where per-block overhead dominates the whole pass."""
+    n = _ceil128(total)
+    while (n // 128) % 4 and (n // 128) % 3 and (n // 128) % 2:
+        n += 128
+    return n
+
+
+def _pad_to(x: jnp.ndarray, length: int, axis: int = 1) -> jnp.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, length - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
 def ar_loss(
     params: Params,
     cfg: ModelConfig,
@@ -66,6 +87,8 @@ def ar_loss(
     audio_lens: jnp.ndarray,  # [B]
     pe_table: jnp.ndarray,
     dtype=jnp.bfloat16,
+    use_flash: bool = False,
+    remat: bool = True,
 ) -> jnp.ndarray:
     B, S = text_ids.shape
     T = audio_cb0.shape[1]
@@ -84,8 +107,32 @@ def ar_loss(
 
     x = V.text_input(params, cfg, text_ids, lang_ids, "ar", pe_table, dtype)
     y_emb = V.ar_audio_input(params, cfg, y_in, pe_table, 0, dtype)
-    xy = jnp.concatenate([x, y_emb], axis=1)  # [B, S+T+1]
+    loss_mask = (pos_t <= audio_lens[:, None]).astype(jnp.float32)
 
+    if use_flash:
+        # prefix-causal Pallas flash path: pad the text and audio regions
+        # independently to multiples of 128 (flash block granularity; the
+        # regions carry their own positional embeddings, so the inserted
+        # padding is invisible outside the segment masks)
+        S2 = _ceil128(S)
+        T2 = _flash_friendly(S2 + _ceil128(T + 1)) - S2
+        xy = jnp.concatenate([_pad_to(x, S2), _pad_to(y_emb, T2)], axis=1)
+        text_seg = (jnp.arange(S2)[None] < text_lens[:, None]).astype(
+            jnp.int32
+        )
+        audio_seg = jnp.logical_and(
+            jnp.arange(T2)[None] <= audio_lens[:, None],
+            jnp.arange(T2)[None] < T + 1,
+        ).astype(jnp.int32)
+        seg = jnp.concatenate([text_seg, audio_seg], axis=1)
+        h = V.ar_forward(
+            params, cfg, xy, None, remat=remat,
+            segments=(seg, seg), prefix_flash=S2,
+        )
+        logits = V.ar_logits(params, h[:, S2 : S2 + T + 1])
+        return _ce(logits, targets.astype(jnp.int32), loss_mask)
+
+    xy = jnp.concatenate([x, y_emb], axis=1)  # [B, S+T+1]
     total = S + T + 1
     rows = jnp.arange(total)[None, :, None]
     cols = jnp.arange(total)[None, None, :]
@@ -97,9 +144,8 @@ def ar_loss(
     ok = jnp.logical_and(jnp.logical_or(col_text_ok, col_audio_ok), causal)
     mask = jnp.where(ok, 0.0, V.NEG_INF).astype(jnp.float32)[:, None]
 
-    h = V.ar_forward(params, cfg, xy, mask, remat=True)
+    h = V.ar_forward(params, cfg, xy, mask, remat=remat)
     logits = V.ar_logits(params, h[:, S:])  # [B, T+1, 1025]
-    loss_mask = (pos_t <= audio_lens[:, None]).astype(jnp.float32)
     return _ce(logits, targets.astype(jnp.int32), loss_mask)
 
 
@@ -262,6 +308,8 @@ def nar_loss(
     prefix_mode: int = 1,
     prompt_codes: jnp.ndarray | None = None,
     prompt_starts: jnp.ndarray | None = None,
+    use_flash: bool = False,
+    remat: bool = True,
 ) -> jnp.ndarray:
     B, S = text_ids.shape
     T = codes.shape[1]
@@ -271,13 +319,30 @@ def nar_loss(
         params, cfg, codes, audio_lens, stage, prefix_len, pe_table,
         prefix_mode, prompt_codes, prompt_starts, dtype,
     )
-    xy = jnp.concatenate([x, y_pos], axis=1)
+    text_valid = jnp.arange(S)[None, :] < text_lens[:, None]
 
-    cols = jnp.arange(S)[None, :]
-    ok = jnp.concatenate([cols < text_lens[:, None], col_valid], axis=1)
+    if use_flash:
+        # the NAR mask is pure key padding — exactly what flash segment ids
+        # express; pad regions independently to the 128 block granularity
+        S2 = _ceil128(S)
+        L2 = _flash_friendly(S2 + _ceil128(y_pos.shape[1])) - S2
+        xy = jnp.concatenate([_pad_to(x, S2), _pad_to(y_pos, L2)], axis=1)
+        seg = jnp.concatenate(
+            [_pad_to(text_valid, S2), _pad_to(col_valid, L2)], axis=1
+        ).astype(jnp.int32)
+        h = V.nar_forward_stage(
+            params, cfg, xy, stage - 1, None, segments=(seg, seg),
+            remat=remat,
+        )
+        h_y = h[:, S2 + y_start : S2 + y_start + T]
+        logits = V.nar_logits(params, h_y, stage - 1)
+        return _ce(logits, targets, loss_mask)
+
+    xy = jnp.concatenate([x, y_pos], axis=1)
+    ok = jnp.concatenate([text_valid, col_valid], axis=1)
     mask = jnp.where(ok, 0.0, V.NEG_INF).astype(jnp.float32)[:, None, None, :]
 
-    h = V.nar_forward_stage(params, cfg, xy, stage - 1, mask, remat=True)
+    h = V.nar_forward_stage(params, cfg, xy, stage - 1, mask, remat=remat)
     logits = V.nar_logits(params, h[:, S + y_start :], stage - 1)  # [B,T,1024]
     return _ce(logits, targets, loss_mask)
 
@@ -322,12 +387,21 @@ def total_loss(
     rng: jax.Array,
     dtype=jnp.bfloat16,
     prefix_mode: int = 1,
+    use_flash: bool | str = False,
+    remat: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Combined AR + NAR objective over a collated batch.
 
     prefix_mode selects the NAR acoustic-prompt construction (0/1/2/4,
     reference models/vallex.py:307-365). Mode 4 reads the dataset-provided
-    prompt from batch["prompt_codes"] ([B, P, 8], PromptedFeatures)."""
+    prompt from batch["prompt_codes"] ([B, P, 8], PromptedFeatures).
+    use_flash routes both forwards through the Pallas flash-attention
+    kernels (TPU fast path; identical math up to fold order)."""
+    if use_flash == "auto":
+        # measured crossover (PERFORMANCE.md): the Pallas flash kernels beat
+        # the materialized-mask path once the quadratic score tensor is big
+        # enough; below it the mask path's smaller padding wins
+        use_flash = batch["codes"].shape[1] >= 800
     pe = L.make_sine_pe(cfg.max_position, cfg.d_model)
     r1, r2 = jax.random.split(rng)
     stage = jax.random.randint(r1, (), 1, cfg.num_quantizers)
@@ -339,6 +413,7 @@ def total_loss(
         params, cfg,
         batch["text_ids"], batch["lang_ids"], batch["text_lens"],
         batch["codes"][..., 0], batch["audio_lens"], pe, dtype,
+        use_flash=use_flash, remat=remat,
     )
     l_nar = nar_loss(
         params, cfg,
@@ -347,6 +422,7 @@ def total_loss(
         prefix_mode=prefix_mode,
         prompt_codes=batch.get("prompt_codes") if prefix_mode == 4 else None,
         prompt_starts=prompt_starts,
+        use_flash=use_flash, remat=remat,
     )
     loss = l_ar + l_nar
     return loss, {"loss": loss, "ar_loss": l_ar, "nar_loss": l_nar}

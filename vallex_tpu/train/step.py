@@ -71,7 +71,8 @@ def init_train_state(params: Params, optimizer) -> TrainState:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "optimizer", "dtype", "prefix_mode")
+    jax.jit,
+    static_argnames=("cfg", "optimizer", "dtype", "prefix_mode", "use_flash", "remat"),
 )
 def train_step(
     state: TrainState,
@@ -82,12 +83,15 @@ def train_step(
     optimizer: optax.GradientTransformation,
     dtype: str = "bfloat16",
     prefix_mode: int = 1,
+    use_flash: bool = False,
+    remat: bool = True,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step. Shardings flow in from the arguments (GSPMD)."""
 
     def loss_fn(params):
         return total_loss(
-            params, cfg, batch, rng, jnp.dtype(dtype), prefix_mode
+            params, cfg, batch, rng, jnp.dtype(dtype), prefix_mode,
+            use_flash, remat,
         )
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -57,6 +57,12 @@ def get_parser() -> argparse.ArgumentParser:
         "--optimizer", type=str, default="scaled_adam",
         choices=("scaled_adam", "adamw", "eve"),
     )
+    g.add_argument(
+        "--flash-attn", type=str, default="auto",
+        choices=("auto", "on", "off"),
+        help="route the training forwards through the Pallas flash-"
+             "attention kernels (auto = on for TPU backends, off on CPU)",
+    )
     g.add_argument("--base-lr", type=float, default=0.05)
     g.add_argument("--warmup-steps", type=int, default=500)
     g.add_argument("--weight-decay", type=float, default=1e-4)
@@ -166,6 +172,13 @@ def run(args) -> dict:
                 {k: v.numpy() for k, v in sd.items()}, cfg
             )
 
+    # "auto" defers to total_loss's measured per-bucket crossover (flash
+    # wins once the quadratic score tensor dominates, T ≥ ~800 frames)
+    use_flash = {
+        "on": True,
+        "off": False,
+        "auto": "auto" if jax.default_backend() != "cpu" else False,
+    }[args.flash_attn]
     dp = args.dp or max(1, jax.device_count() // args.tp)
     mesh = make_mesh(
         dp=dp, tp=args.tp, devices=jax.devices()[: dp * args.tp]
@@ -201,7 +214,7 @@ def run(args) -> dict:
 
     eval_loss = jax.jit(
         lambda p, b, r: total_loss(
-            p, cfg, b, r, jnp.dtype(args.dtype), cfg.prefix_mode
+            p, cfg, b, r, jnp.dtype(args.dtype), cfg.prefix_mode, use_flash
         )[0],
         static_argnums=(),
     )
@@ -210,7 +223,8 @@ def run(args) -> dict:
     diag_grads = jax.jit(
         lambda p, b, r: jax.grad(
             lambda q: total_loss(
-                q, cfg, b, r, jnp.dtype(args.dtype), cfg.prefix_mode
+                q, cfg, b, r, jnp.dtype(args.dtype), cfg.prefix_mode,
+                use_flash,
             )[0]
         )(p)
     )
@@ -225,7 +239,7 @@ def run(args) -> dict:
                 state, metrics = train_step(
                     state, batch, step_rng,
                     cfg=cfg, optimizer=optimizer, dtype=args.dtype,
-                    prefix_mode=cfg.prefix_mode,
+                    prefix_mode=cfg.prefix_mode, use_flash=use_flash,
                 )
             global_step += 1
             if global_step % args.log_interval == 0:
