@@ -1,6 +1,8 @@
 """Tests for the auxiliary components: VALL-F, debug TTS, data pipeline,
 ScaledAdam/schedules, scaling toolkit, model factory, continual, visualizer."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -413,3 +415,39 @@ def test_fbank_matches_reference_pipeline():
     ours = np.asarray(extract_fbank(jnp.asarray(wav[None])))[0]
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_cli_synthesize_subprocess(tmp_path):
+    """The console entrypoint works as a real OS process (imports, argparse,
+    preload, synthesis, wav write) — in-process tests can hide broken
+    __main__ wiring. --config shrinks the model so the subprocess stays
+    fast on CPU."""
+    import json
+    import subprocess
+    import sys
+
+    cfg = {
+        "model": {"d_model": 64, "num_heads": 4, "num_layers": 2,
+                  "ffn_dim": 128},
+        "engine": {"text_buckets": [128], "audio_buckets": [256],
+                   "compute_dtype": "float32"},
+    }
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out = tmp_path / "o.wav"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["VALLEX_COMPILE_CACHE"] = ""
+    proc = subprocess.run(
+        [sys.executable, "-m", "vallex_tpu.cli", "synthesize", "Hi.",
+         "--random-weights", "--top-k", "1", "--config", str(cfg_path),
+         "--platform", "cpu",  # axon images pin jax_platforms at startup
+         "--checkpoints", str(tmp_path), "-o", str(out)],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 44  # wav header + data
+    assert "wrote" in proc.stdout

@@ -20,8 +20,21 @@ import sys
 def _load(args):
     from . import api
 
+    cfg = ecfg = None
+    if getattr(args, "config", None):
+        import json
+
+        from .config import EngineConfig, ModelConfig
+
+        with open(args.config) as f:
+            overrides = json.load(f)
+        if "model" in overrides:
+            cfg = ModelConfig(**overrides["model"])
+        if "engine" in overrides:
+            ecfg = EngineConfig(**overrides["engine"])
     return api.preload_models(
-        args.checkpoints, random_weights=args.random_weights
+        args.checkpoints, random_weights=args.random_weights,
+        cfg=cfg, ecfg=ecfg,
     )
 
 
@@ -30,6 +43,17 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--random-weights", action="store_true",
         help="run with random weights (structure/benchmark mode)",
+    )
+    p.add_argument(
+        "--config", default=None,
+        help="JSON file with config overrides: "
+             '{"model": {ModelConfig fields}, "engine": {EngineConfig '
+             "fields}}",
+    )
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force the JAX backend (some environments pin jax_platforms "
+             "at interpreter startup, ignoring JAX_PLATFORMS)",
     )
 
 
@@ -108,6 +132,11 @@ def main(argv=None) -> int:
     _add_common(p)
 
     args = parser.parse_args(argv)
+
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.cmd == "list-presets":
         import os
