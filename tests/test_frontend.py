@@ -285,9 +285,13 @@ def test_english_oov_rate_news_corpus():
 def test_english_lts_accuracy_floor():
     """LTS quality gate, measured against the embedded lexicon as gold
     (the same CMUdict-convention IPA the checkpoint saw): phoneme error
-    rate (stress-stripped Levenshtein over IPA chars) must stay under 20%
-    and exact-match above 38%. Round-3 measured: PER 18.1%, exact 41.4%
-    (was 24.6%/30.1% before the suffix/prefix/reduction rules)."""
+    rate (stress-stripped Levenshtein over IPA chars) must stay under 18%
+    and exact-match above 41%. Round-4 measured: PER 17.0%, exact 43.2%
+    (18.6%/40.7% before the inflection/palatalization/coda rule batch;
+    24.6%/30.1% in round 2). The remaining error mass is stress-dependent
+    vowel quality (unstressed ɪ/ɛ vs ə) that letter rules cannot see —
+    measured: blanket reduction of ɛ or ɪ makes PER WORSE (17.3→17.8);
+    the next real lever is a stress-aware aligner, not more rules."""
     from vallex_tpu.frontend.english import letter_to_sound
 
     lex = {}
@@ -327,8 +331,8 @@ def test_english_lts_accuracy_floor():
         exact += e == 0
     per = tot_err / tot_ph
     em = exact / n
-    assert per < 0.20, f"LTS PER regressed: {100*per:.1f}%"
-    assert em > 0.38, f"LTS exact-match regressed: {100*em:.1f}%"
+    assert per < 0.18, f"LTS PER regressed: {100*per:.1f}%"
+    assert em > 0.41, f"LTS exact-match regressed: {100*em:.1f}%"
 
 
 def test_english_proper_noun_goldens():
@@ -469,3 +473,67 @@ def test_en_lts_hostile_tier():
     for w, ipa in expected.items():
         assert not is_oov(w), w
         assert word_to_ipa(w) == ipa, (w, word_to_ipa(w))
+
+
+def test_lts_hostile_worst50_served_from_lexicon():
+    """Spot-goldens for the 50 words where the raw LTS rules diverge most
+    from the checkpoint convention (round-4 ranking): production
+    (word_to_ipa) must serve every one from the lexicon verbatim — these
+    are exactly the pronunciations a TTS user notices when they break."""
+    from vallex_tpu.frontend.english import word_to_ipa
+
+    worst = [
+        ("copenhagen", "ˌkoʊpənˈheɪgən"),
+        ("protege", "ˈproʊtəʒeɪ"),
+        ("lesotho", "ləˈsutu"),
+        ("volkswagen", "ˈvoʊksˌwægən"),
+        ("rendezvous", "ˈrɑndeɪvu"),
+        ("pyongyang", "ˈpjɔŋˈjɑŋ"),
+        ("obrien", "oʊˈbraɪən"),
+        ("nonetheless", "ˌnənðəˈlɛs"),
+        ("microsoft", "ˈmaɪkroʊˌsɔft"),
+        ("israelis", "ɪzˈreɪliz"),
+        ("indonesian", "ˌɪndoʊˈniʒən"),
+        ("indonesia", "ˌɪndoʊˈniʒə"),
+        ("humanitarian", "hjuˌmænəˈtɛriən"),
+        ("forecastle", "ˈfoʊksəl"),
+        ("entrepreneur", "ˌɑntrəprəˈnər"),
+        ("elaborate", "ɪˈlæbrət"),
+        ("ecosystem", "ˈikoʊˌsɪstəm"),
+        ("croissant", "kwɑˈsɑnt"),
+        ("crochet", "kroʊˈʃeɪ"),
+        ("connoisseur", "ˌkɑnəˈsər"),
+        ("chauffeur", "ʃoʊˈfər"),
+        ("chaos", "ˈkeɪˌɑs"),
+        ("bouquet", "buˈkeɪ"),
+        ("barbados", "bɑrˈbeɪdoʊs"),
+        ("appropriate", "əˈproʊpriət"),
+        ("anxiety", "æŋˈzaɪəti"),
+        ("alexandra", "ˌælɪgˈzændrə"),
+        ("alexander", "ˌælɪgˈzændər"),
+        ("worcester", "ˈwʊstər"),
+        ("venezuelan", "ˌvɛnəˈzweɪlən"),
+        ("venezuela", "ˌvɛnəˈzweɪlə"),
+        ("variety", "vəˈraɪəti"),
+        ("vanuatu", "ˌvɑnuˈɑtu"),
+        ("unusual", "ənˈjuʒˌuəl"),
+        ("unexpected", "ˌənɪkˈspɛktəd"),
+        ("tunisia", "tuˈniʒə"),
+        ("tablespoon", "ˈteɪbəlˌspun"),
+        ("suriname", "ˈsʊrəˌnɑm"),
+        ("stranger", "ˈstreɪnʤər"),
+        ("sovereign", "ˈsɑvrən"),
+        ("soldier", "ˈsoʊlʤər"),
+        ("society", "səˈsaɪəti"),
+        ("silhouette", "ˌsɪluˈɛt"),
+        ("shareholder", "ˈʃɛrˌhoʊldər"),
+        ("sesame", "ˈsɛsəmi"),
+        ("scientist", "ˈsaɪəntəst"),
+        ("schultz", "ʃʊlts"),
+        ("saudis", "ˈsaʊdiz"),
+        ("routine", "ruˈtin"),
+        ("romanian", "roʊˈmeɪniən"),
+    ]
+    assert len(worst) == 50
+    for w, gold in worst:
+        assert word_to_ipa(w) == gold, (w, word_to_ipa(w), gold)

@@ -57,7 +57,38 @@ _LTS_RULES = [
     ("con", "^", C + "[a-z]*" + V, "kən"),
     ("com", "^", C + "[a-z]*" + V, "kəm"),
     # unstressed suffixes (vowel required earlier in the word so short
-    # monosyllables — went, ant, pal, age — keep their full vowel)
+    # monosyllables — went, ant, pal, age — keep their full vowel).
+    # Inflected variants (-tions, -ments, -ors, …) come FIRST: rule
+    # matching is first-match, and the bare "$"-anchored forms cannot
+    # fire with a trailing s — without these, every plural of a suffixed
+    # word fell through to letter-by-letter ɛs/ɔrs endings (the largest
+    # single error class in the round-3 PER analysis)
+    ("ations", None, "$", "eɪʃənz"),
+    ("tions",  None, "$", "ʃənz"),
+    ("sions",  V + "$", "$", "ʒənz"),
+    ("sions",  None, "$", "ʃənz"),
+    ("ments",  V + "[a-z]*", "$", "mənts"),
+    ("ances",  V + "[a-z]*", "$", "ənsəz"),
+    ("ences",  V + "[a-z]*", "$", "ənsəz"),
+    ("ians",   None, "$", "iənz"),
+    ("ors",    V + "[a-z]*", "$", "ərz"),
+    ("ers",    V + "[a-z]*", "$", "ərz"),
+    ("als",    V + "[a-z]*", "$", "əlz"),
+    ("ives",   V + "[a-z]*", "$", "ɪvz"),
+    ("ies",    C + "$", "$", "iz"),
+    ("ied",    C + "$", "$", "id"),
+    ("ology",   None, "$", "ɑləʤi"),
+    ("ography", None, "$", "ɑgrəfi"),
+    ("ously",   V + "[a-z]*", "$", "əsli"),
+    ("ages",    V + "[a-z]*", "$", "əʤəz"),
+    ("able",    V + "[a-z]*", "$", "əbəl"),
+    ("ible",    V + "[a-z]*", "$", "əbəl"),
+    # place/person-name codas (washington, johnson, oxford, poland)
+    ("ton",     V + "[a-z]*", "$", "tən"),
+    ("son",     V + "[a-z]*", "$", "sən"),
+    ("ford",    V + "[a-z]*", "$", "fərd"),
+    ("land",    V + "[a-z]*", "$", "lənd"),
+    ("el",      V + "[a-z]*", "$", "əl"),
     ("ation", None, None, "eɪʃən"),
     ("tion",  None, None, "ʃən"),
     ("sion",  V + "$", None, "ʒən"),
@@ -85,7 +116,40 @@ _LTS_RULES = [
     ("le",    "[bcdfgkpstvz]", "$", "əl"),
     # multi-letter graphemes
     ("ture",  None, "$", "ʧər"),
+    ("tures", None, "$", "ʧərz"),
     ("tur",   None, V, "ʧər"),
+    # plural / 3sg endings: voiced after vowels and voiced consonants,
+    # syllabic after sibilants (machines → -nz, uses → -zəz, boxes — the
+    # raw-rule endings previously spelled the 'e' as ɛ and the s as /s/)
+    ("less",  V + "[a-z]*", "$", "ləs"),
+    ("oes",   None, "$", "oʊz"),
+    ("sis",   None, "$", "səs"),           # analysis, basis, diagnosis
+    ("is",    V + "[a-z]*" + C, "$", "əs"),
+    ("us",    None, "$", "əs"),            # campus, virus — never voiced
+    ("ss",    None, "$", "s"),
+    ("ated",  V + "[a-z]*", "$", "eɪtəd"),
+    ("ates",  V + "[a-z]*", "$", "eɪts"),
+    ("es",    "(s|x|z|ch|sh|c|g)", "$", "əz"),
+    ("es",    V + "[a-z]+", "$", "z"),
+    ("s",     "[aeiouy][a-z]*[bdglmnrvw]", "$", "z"),
+    ("s",     V, "$", "z"),
+    # latinate/greek & loanword onsets and codas
+    ("ex",    "^$", "[ai]", "ɪgz"),
+    ("pn",    "^$", None, "n"),
+    ("que",   None, "$", "k"),
+    ("eau",   None, None, "oʊ"),
+    ("u",     "^$", "(n[iey]|s[aeiouy]|t[aeiouy])", "ju"),
+    # closed-compound function words (someone, everywhere, sometimes)
+    ("some",  "^$", "[a-z]", "səm"),
+    ("one",   "(some|any|every)", "$", "wən"),
+    ("where", "(some|any|every|no)", "$", "wɛr"),
+    ("times", V + "[a-z]*", "$", "taɪmz"),
+    # palatalization before a (associate, negotiate, sociable — NOT
+    # society/science, where i is a full nucleus)
+    ("ci",    "[aeiou]", "a", "ʃi"),
+    ("ti",    "[aeiou]", "a", "ʃi"),
+    ("ia",    None, "$", "iə"),
+    ("sm",    V, "$", "zəm"),
     ("ought", None, None, "ɔt"),
     ("aught", None, None, "ɔt"),
     ("augh",  None, None, "æf"),
@@ -95,6 +159,7 @@ _LTS_RULES = [
     ("tch",   None, None, "ʧ"),
     ("dge",   None, None, "ʤ"),
     ("sch",   None, None, "sk"),
+    ("ch",    None, C, "k"),     # greek/loan clusters: technical, chrome
     ("ch",    None, None, "ʧ"),
     ("ck",    None, None, "k"),
     ("sh",    None, None, "ʃ"),
@@ -169,6 +234,8 @@ _LTS_RULES = [
     ("u",     None, C + "e$", "ju"),
     ("e",     None, C + "e$", "i"),
     # single letters
+    ("a",     "^$", C + "[aeiouy]", "ə"),  # about, again, around (unstressed)
+    ("i",     None, "[aeou]", "i"),        # hiatus: period, curious, union
     ("a",     None, None, "æ"),
     ("e",     "^" + C + "+", "$", "i"),  # CV monosyllable: me, he, she
     ("e",     None, "$", ""),         # final silent e
@@ -249,8 +316,13 @@ def letter_to_sound(word: str) -> str:
     """Rule-based G2P for an OOV word → pre-ipa2 IPA (no stress marks)."""
     word = word.lower()
     # doubled consonants spell one sound (pass, hull, apparent); 'cc' is
-    # kept — it splits to /ks/ before e/i (accident, accept)
-    word = _DOUBLE_CONS.sub(r"\1", word)
+    # kept — it splits to /ks/ before e/i (accident, accept). A FINAL
+    # "ss" survives reduction so the -ness/-less suffix rules can see it
+    # and so the plural voicing rule never turns class/pass into -z
+    tail = ""
+    if word.endswith("ss"):
+        word, tail = word[:-2], "ss"
+    word = _DOUBLE_CONS.sub(r"\1", word) + tail
     out = []
     i = 0
     n = len(word)
@@ -380,6 +452,25 @@ def _lookup(word: str, depth: int = 0):
     return None
 
 
+def _hybrid_compound(word: str):
+    """Half-lexicon compounds for the true OOV tail (brexiteers,
+    cyberattack): one half resolves through the lexicon, the other
+    through letter-to-sound. Tried only after full _lookup fails — a
+    correct lexicon half beats running the rules over the whole word.
+    Requires halves >= 4 letters so short accidental splits (e.g.
+    'ing'-like tails) don't fire."""
+    if len(word) < 8:
+        return None
+    for cut in range(len(word) - 4, 3, -1):
+        left, right = word[:cut], word[cut:]
+        lf, rt = _lookup(left, 1), _lookup(right, 1)
+        if lf is not None and rt is None:
+            return lf + letter_to_sound(right)
+        if lf is None and rt is not None:
+            return letter_to_sound(left) + rt.replace("ˈ", "ˌ")
+    return None
+
+
 def is_oov(word: str) -> bool:
     """True when the word falls through to rule-based letter-to-sound."""
     return _lookup(word.lower()) is None
@@ -390,6 +481,9 @@ def word_to_ipa(word: str) -> str:
     found = _lookup(w)
     if found is not None:
         return found
+    hybrid = _hybrid_compound(w)
+    if hybrid is not None:
+        return _add_default_stress(hybrid)
     ipa = letter_to_sound(w)
     return _add_default_stress(ipa)
 
