@@ -77,8 +77,9 @@ CORPUS = [
     ("驚く", 3), ("謝る", 3), ("許す", 2), ("洗う", 0),
     ("開く", 2), ("閉じる", 2), ("消える", 0), ("光る", 2),
     ("咲く", 0), ("生まれる", 0), ("生きる", 2), ("育てる", 3),
-    # i-adjectives (dictionary form)
-    ("良い", 1),  # variant entries below give a tuple of attested NHK accents ("悪い", 2), ("多い", 1), ("少ない", 3),
+    # i-adjectives (dictionary form); variant entries give a tuple of
+    # attested NHK accents
+    ("良い", 1), ("悪い", 2), ("多い", 1), ("少ない", 3),
     ("早い", 2), ("遅い", 2), ("近い", 2), ("遠い", 0),
     ("高い", 2), ("低い", 2), ("安い", 2), ("大きい", 3),
     ("小さい", 3), ("長い", 2), ("短い", 3), ("広い", 2),
@@ -93,6 +94,65 @@ CORPUS = [
     ("眠い", 0), ("痛い", 2), ("怖い", 2), ("危ない", 3),
     ("寂しい", 3), ("恥ずかしい", 4), ("懐かしい", 4),
     ("楽しい", 3), ("嬉しい", 3), ("悲しい", (0, 3)), ("面白い", 4),
+    # --- round-4 extension: everyday nouns ---------------------------------
+    ("空港", 0), ("電話", 0), ("会議", 1), ("飛行機", 2), ("自転車", 2),
+    ("救急車", 3), ("信号", 0), ("地図", 1), ("切符", 0), ("切手", 0),
+    ("鏡", 3), ("布団", 0), ("枕", 1), ("石鹸", 0), ("歯", 1),
+    ("鼻", 0), ("髪", 2), ("背中", 0), ("肩", 1), ("腕", 2),
+    ("膝", 0), ("血", 0), ("涙", 1), ("牛", 0), ("豚", 0),
+    ("羊", 0), ("猿", 1), ("熊", 2), ("兎", 0), ("虫", 0),
+    ("蟻", 0), ("米", 2), ("麦", 1), ("豆", 2), ("芋", 2),
+    ("林檎", 0), ("蜜柑", 1), ("葡萄", 0), ("苺", 0), ("桃", 0),
+    ("森", 0), ("池", 2), ("湖", 3), ("島", 2), ("岩", 2),
+    ("石", 2), ("砂", 0), ("土", 2), ("火", 1),
+    ("野球", 0), ("テニス", 1), ("水泳", 0), ("遊園地", 3), ("温泉", 0),
+    ("神社", 1), ("寺", 2), ("城", 0), ("門", 1), ("屋根", 1),
+    ("階段", 0), ("廊下", 0), ("玄関", 1), ("彼", 1), ("彼女", 1),
+    ("誰", 1), ("何", 1), ("黒", 1), ("白", 1), ("赤", 1),
+    ("青", 1), ("色", 2), ("形", 0), ("半分", 3), ("全部", 1),
+    ("少し", 2), ("毎日", 1), ("毎週", 0), ("毎月", 0), ("毎年", 0),
+    ("来週", 0), ("先週", 0), ("今週", 0), ("来月", 1), ("先月", 1),
+    ("来年", 0), ("去年", 1), ("今年", 0), ("夕方", 0), ("午前", 1),
+    ("午後", 1), ("夜中", 3), ("正月", 4), ("日曜日", 3), ("月曜日", 3),
+    ("火曜日", 2),
+    # --- round-4 extension: verbs ------------------------------------------
+    ("切る", 1), ("着る", 0), ("死ぬ", 0), ("立つ", 1), ("座る", 0),
+    ("住む", 1), ("送る", 0), ("届ける", 3), ("受ける", 2), ("習う", 2),
+    ("飛ぶ", 0), ("登る", 0), ("下がる", 2), ("上がる", 0), ("消す", 0),
+    ("切れる", 2), ("並ぶ", 0), ("急ぐ", 2), ("曲がる", 0), ("渡る", 0),
+    ("吹く", 1), ("降る", 1), ("晴れる", 2), ("曇る", 2),
+    ("始める", 0), ("開ける", 0), ("閉める", 2), ("入れる", 0),
+    ("出す", 1), ("見せる", 2), ("見える", 2), ("聞こえる", 0),
+    ("触る", 0), ("蹴る", 1), ("打つ", 1), ("拾う", 0), ("捨てる", 0),
+    ("磨く", 0), ("脱ぐ", 1), ("履く", 0), ("被る", 2), ("結ぶ", 0),
+    ("運ぶ", 0), ("積む", 0), ("掘る", 1), ("植える", 0),
+    # --- round-4 extension: na-adjectives / adverbs -------------------------
+    ("静か", 1), ("元気", 1), ("有名", 0), ("親切", 1), ("便利", 1),
+    ("簡単", 0), ("大切", 0), ("綺麗", 1), ("丈夫", 0), ("暇", 0),
+    ("好き", 2), ("嫌い", 0), ("上手", 3), ("下手", 2), ("とても", 0),
+    ("ゆっくり", 3), ("たくさん", 0), ("いつも", 1),
+]
+
+# Held-out OOV section: none of these words resolve through the lexicon —
+# they measure the FALLBACK rules themselves (compound junction accent,
+# katakana -3, on'yomi runs). Ground truth follows the same NHK/OJAD
+# convention as CORPUS; known fallback misses are kept (they are the
+# honest measurement, not corpus errors): 電話番号 needs noun-noun
+# merging beyond the prefix/suffix gate, メッセージ is an irregular loan
+# ([1], -3 rule says 3), バスケットボール hits the バス lexicon match,
+# ヘリコプター is [3] where -3 says 4.
+OOV_CORPUS = [
+    # compounds → junction rule
+    ("国際空港", 5), ("株式会社", 5), ("高速道路", 5), ("大学病院", 5),
+    ("電子辞書", 3), ("消防署", 4), ("市役所", 3), ("発電所", 4),
+    ("保育園", 3), ("停留所", 4), ("観光客", 4), ("高等学校", 5),
+    ("研究所", 4), ("案内所", 4), ("電話番号", 4),
+    # katakana loans → -3 rule
+    ("カレンダー", 2), ("エレベーター", 3), ("エスカレーター", 4),
+    ("アルゴリズム", 4), ("スケジュール", 3), ("メッセージ", 1),
+    ("インターネット", 5), ("バスケットボール", 6), ("アイスクリーム", 5),
+    ("サンドイッチ", 4), ("チョコレート", 3), ("ハンバーガー", 3),
+    ("ヘリコプター", 3),
 ]
 
 
@@ -129,3 +189,40 @@ def test_accent_accuracy_number_documented():
             ok += 1
     print(f"accent-type accuracy: {ok}/{len(CORPUS)}")
     assert ok > 0
+
+
+def test_corpus_size_and_provenance():
+    """The corpus now exceeds 500 ground-truth words (round-4 target),
+    with the OOV section measuring the fallback, not the lexicon."""
+    assert len(CORPUS) + len(OOV_CORPUS) > 500
+    assert len(OOV_CORPUS) >= 25
+
+
+def test_oov_words_actually_bypass_the_lexicon():
+    from vallex_tpu.frontend.japanese import WORDS
+
+    for w, _ in OOV_CORPUS:
+        assert w not in WORDS, f"{w} is in the lexicon — move it to CORPUS"
+
+
+def test_oov_fallback_accent_accuracy():
+    """Fallback accuracy on held-out OOV words (VERDICT r3 item 6: the
+    number reported must measure the RULES, not lexicon hits). Round-4
+    measured: 24/28 (compound junction rule + katakana -3). The four
+    misses are documented at OOV_CORPUS and stay in the corpus — the
+    floor guards the rules, the misses mark the next lexicon/merging
+    work."""
+    ok, wrong = 0, []
+    for w, exp in OOV_CORPUS:
+        phrases = _analyze(w)
+        if len(phrases) == 1 and _resolve_accent(phrases[0]) == exp:
+            ok += 1
+        else:
+            got = (
+                _resolve_accent(phrases[0]) if len(phrases) == 1
+                else "split:" + "/".join(p.reading for p in phrases)
+            )
+            wrong.append((w, exp, got))
+    acc = ok / len(OOV_CORPUS)
+    print(f"OOV fallback accuracy: {ok}/{len(OOV_CORPUS)}")
+    assert acc >= 0.80, f"fallback regressed: {acc*100:.0f}%; {wrong}"

@@ -367,6 +367,34 @@ def _loanword_accent(reading: str) -> int:
     return pos
 
 
+# deaccenting second elements: compounds ending in these readings are
+# heiban regardless of length (屋 さかなや, 色 みずいろ, 側 みなみがわ …)
+_DEACCENT_N2 = {"や", "いろ", "がわ", "ふう", "づき", "むき"}
+
+
+def _compound_accent(parts) -> int:
+    """Compound-noun junction accent (the NHK/Kubozono rule set the
+    reference gets from UniDic's accent-concatenation fields,
+    utils/g2p/japanese.py:74-113): the compound's nucleus is decided by
+    the SECOND element (N2) —
+      - N2 of 1-2 moras: nucleus on the final mora of N1;
+      - N2 of 3-4 moras: nucleus on the first mora of N2;
+      - N2 of 5+ moras: N2 keeps its own accent (heiban N2 → heiban);
+      - deaccenting N2s (屋/色/側/風/…): heiban.
+    parts: [(reading, accent | None)] — accent None means the part came
+    from the per-character on'yomi fallback, not the lexicon."""
+    r2, a2 = parts[-1]
+    if r2 in _DEACCENT_N2:
+        return 0
+    n1 = sum(len(_mora_split(r)) for r, _ in parts[:-1])
+    m2 = len(_mora_split(r2))
+    if m2 <= 2:
+        return n1
+    if m2 <= 4 or a2 is None:
+        return n1 + 1
+    return n1 + a2 if a2 > 0 else 0
+
+
 def _resolve_accent(phrase: _Phrase) -> int:
     """Final accent type for the full phrase reading (content + tail)."""
     moras = _mora_split(phrase.reading)
@@ -415,6 +443,39 @@ def _split_tail(tail: str) -> Tuple[str, str]:
             if tail[j : j + ln] in KANA_WORDS:
                 return tail[:j], tail[j:]
     return tail, ""
+
+
+# Compound recognition without POS data: a lexicon word followed by more
+# kanji is a compound ONLY for (a) prefix-like first elements that rarely
+# stand alone, or (b) a single suffix kanji closing the run (卒業+式,
+# 観光+客). Bare noun-noun adjacency (昨日映画を…) stays two phrases —
+# merging it wholesale mis-joins temporal nouns and numeral phrases
+# (measured on the sentence goldens before this gate existed).
+_COMPOUND_PREFIXES = {
+    "国際", "高速", "電子", "携帯", "卒業", "入学", "研究", "自動",
+    "消防", "観光", "株式", "高等", "横断", "地下", "中央", "総合",
+}
+_COMPOUND_SUFFIX_KANJI = set("式所局会園館客場線署課庁証券")
+
+
+def _starts_compound(s: str, i: int, m, n: int) -> bool:
+    """True when the lexicon match at i should instead open a kanji-run
+    compound phrase (the run loop re-matches it as its first part)."""
+    surface = m[0]
+    j = i + len(surface)
+    if j >= n or not _KANJI_RE.match(s[j]):
+        return False
+    if not all(_KANJI_RE.match(c) for c in surface):
+        return False
+    if s[j] in _NUM_KANJI:
+        return False  # 毎朝七時…: numeral phrases parse separately
+    if surface in _COMPOUND_PREFIXES:
+        return True
+    # single suffix kanji closing the kanji run
+    return (
+        s[j] in _COMPOUND_SUFFIX_KANJI
+        and (j + 1 >= n or not _KANJI_RE.match(s[j + 1]))
+    )
 
 
 def _analyze(sentence: str) -> List[_Phrase]:
@@ -467,37 +528,41 @@ def _analyze(sentence: str) -> List[_Phrase]:
                     _push(number_to_kana(str(val)), 0)
                     i += ln
                 continue
-        if m:
+        if m and not _starts_compound(s, i, m, n):
             surface, reading, accent = m
             i += len(surface)
-            # consecutive lexicon kanji words merge into one phrase only
-            # via the kanji-run path below; a matched word starts its own
             _push(reading, accent)
         elif _KANJI_RE.match(ch):
+            # kanji run (incl. recognized compounds — see _starts_compound):
+            # collects lexicon words + per-character on'yomi readings
+            # into parts; the junction rule resolves the accent
             # unknown kanji run: read per character (on'yomi fallback),
             # allowing embedded lexicon words to contribute readings
-            reading_parts = []
-            first_accent: Optional[int] = 0
+            parts = []  # [(reading, accent | None)]
             while i < n and _KANJI_RE.match(s[i]):
                 m2 = _match_word(s, i)
                 if m2 and all(_KANJI_RE.match(c) for c in m2[0]):
-                    reading_parts.append(m2[1])
-                    if not reading_parts[:-1]:
-                        first_accent = m2[2]
+                    parts.append((m2[1], m2[2]))
                     i += len(m2[0])
                     continue
                 if m2:
                     break  # okurigana word (言って…): own phrase next loop
                 c = s[i]
-                if c == "々" and reading_parts:
-                    reading_parts.append(reading_parts[-1])
+                if c == "々" and parts:
+                    parts.append(parts[-1])
                 elif c in ONYOMI:
-                    reading_parts.append(ONYOMI[c])
+                    parts.append((ONYOMI[c], None))
                 else:
                     logger.warning("no reading for kanji %r; skipped", c)
                 i += 1
-            reading = "".join(reading_parts)
-            accent = first_accent if len(reading_parts) == 1 else 0
+            reading = "".join(r for r, _ in parts)
+            if len(parts) == 1:
+                accent = parts[0][1] if parts[0][1] is not None else 0
+            elif parts:
+                # OOV compound: junction rule instead of flat heiban
+                accent = _compound_accent(parts)
+            else:
+                accent = 0
             if reading:
                 _push(reading, accent)
         elif _KATA_RE.match(ch):
