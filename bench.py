@@ -72,6 +72,38 @@ def main():
         p50 = times[len(times) // 2]
         return min(times), p50, dur, min(rtfs)
 
+    def measure_stream(quantize="int8kv", n_sent=8, runs=(1, 2)):
+        """Sentence-by-sentence single-stream serving with dispatch/fetch
+        double-buffering (api.stream_audio_from_long_text): sentence i+1
+        is dispatched before sentence i's end-of-utterance host sync, so
+        the ~25-30 ms tunnel round trip that dominates the lone-sentence
+        p50 is hidden behind device compute in steady state. This is the
+        reference's real long-text workload (generation.py:191-228) as a
+        stream; RTF = wall / total audio over the whole stream, INCLUDING
+        the unoverlappable first-sentence sync and any sliding-prompt
+        data-dependency stalls (p=0.5 per sentence)."""
+        ecfg = EngineConfig(
+            text_buckets=(256,), audio_buckets=(512,), quantize=quantize,
+            top_k=1,
+        )
+        api.preload_models("./checkpoints", random_weights=True, ecfg=ecfg)
+        text = "Hi there, good morning to you. " * n_sent
+        for _ in api.stream_audio_from_long_text(
+            text, prompt="paimon", mode="sliding-window", seed=0
+        ):
+            pass  # warm-up: compile + prompt-bucket programs
+        best = None
+        for seed in runs:
+            t0 = time.time()
+            total = 0
+            for w in api.stream_audio_from_long_text(
+                text, prompt="paimon", mode="sliding-window", seed=seed
+            ):
+                total += len(w)
+            rtf = (time.time() - t0) / (total / SAMPLE_RATE)
+            best = rtf if best is None else min(best, rtf)
+        return best
+
     def measure_batch(R, quantize="int8", runs=(1, 2, 3)):
         """Multi-request batched serving (api.generate_audio_batch): R
         independent texts share every decode step's weight stream on one
@@ -153,6 +185,12 @@ def main():
         detail["short_rtf"] = round(s_rtf, 4)
         detail["short_audio_seconds"] = round(dur_s, 2)
         detail["short_p50_ms"] = round(p50_s * 1000.0, 1)
+    if within_budget():
+        # sentence STREAM: the same short-sentence workload as short_rtf
+        # but as consecutive sentences with dispatch/fetch overlap — the
+        # per-sentence tunnel round trip hides behind the next sentence's
+        # compute (see measure_stream's methodology note)
+        detail["stream_rtf"] = round(measure_stream("int8kv"), 4)
     if within_budget():
         # batched serving: 8 streams on one chip, int8 KV cache
         batch8kv_rtf = measure_batch(8, quantize="int8kv", runs=(1, 2))

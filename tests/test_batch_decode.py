@@ -273,3 +273,95 @@ def test_batched_filtered_greedy_matches_plain(params, monkeypatch):
     finally:
         monkeypatch.undo()
         _reload()
+
+
+def test_beam_batched_best_of_exactness(params, monkeypatch):
+    """best_of ACROSS requests (beams>1 in ar_generate_batch) is exactly
+    R x B independent lane rows plus a per-request argmax: running the
+    same requests expanded B times at beams=1 must produce bit-identical
+    rows, and the returned best sample must be the numpy argmax of the
+    expanded rows' length-normalized logprobs. Greedy here (the in-kernel
+    PRNG has no interpret-mode lowering on CPU); the stochastic
+    beam-diversity + selection check runs on hardware
+    (tools/best_of_checks.py)."""
+    import jax.numpy as jnp
+
+    _interpret(monkeypatch)
+    try:
+        e = EngineConfig(
+            text_buckets=(128,), audio_buckets=(512,),
+            compute_dtype="float32", decode_mode="megakernel",
+            decode_steps=4, speculative="off",
+        )
+        reqs = _requests()[:2]
+        B = 3
+
+        def run(requests, beams):
+            pb = AR.pad_batched_requests(
+                requests, CFG.eos_id, CFG.num_quantizers,
+                e.text_buckets, e.audio_buckets,
+            )
+            return [
+                np.asarray(o) for o in AR.ar_generate_batch(
+                    params, CFG,
+                    jnp.asarray(pb["text"]), jnp.asarray(pb["lang"]),
+                    jnp.asarray(pb["x_lens"]),
+                    jnp.asarray(pb["prompt_pad"]),
+                    jnp.asarray(pb["prompt_lens"]),
+                    jnp.asarray(pb["caps"]),
+                    jnp.asarray(3, jnp.int32),  # seed
+                    jnp.asarray(1, jnp.int32),  # top_k=1: greedy
+                    jnp.asarray(1.0, jnp.float32),
+                    jnp.asarray(1.0, jnp.float32),
+                    s_text=pb["s_text"], p_audio=pb["p_audio"],
+                    t_gen=pb["t_gen"],
+                    compute_dtype="float32", greedy=True,
+                    quantize="none", decode_steps=4, plain_sampling=True,
+                    beams=beams, length_penalty=1.0,
+                )
+            ]
+        y_best, len_best, avg_lp = run(reqs, B)
+        expanded = [r for r in reqs for _ in range(B)]
+        y_all, len_all, avg_all = run(expanded, 1)
+        assert avg_lp.shape == (2, B) and avg_all.shape == (2 * B, 1)
+        # identical lane rows -> identical per-row scores
+        np.testing.assert_allclose(
+            avg_lp.reshape(-1), avg_all.reshape(-1), rtol=1e-6
+        )
+        for r in range(2):
+            pick = int(np.argmax(avg_lp[r]))
+            row = r * B + pick
+            np.testing.assert_array_equal(y_best[r], y_all[row])
+            assert len_best[r] == len_all[row]
+    finally:
+        monkeypatch.undo()
+        _reload()
+
+
+def test_engine_generate_batch_best_of(params, monkeypatch):
+    """AREngine.generate_batch(best_of=B) greedy: beams are clones, so
+    best_of must degenerate to exactly the best_of=1 tokens (the
+    stochastic beam-membership check runs on hardware —
+    tools/best_of_checks.py, the in-kernel PRNG has no CPU interpret
+    lowering)."""
+    _interpret(monkeypatch)
+    try:
+        e = EngineConfig(
+            text_buckets=(128,), audio_buckets=(512,),
+            compute_dtype="float32", decode_mode="megakernel",
+            decode_steps=4, speculative="off",
+        )
+        eng = AR.AREngine(params, CFG, e)
+        reqs = _requests()[:2]
+        B = 3
+        g_best = eng.generate_batch(
+            reqs, best_of=B, top_k=1, temperature=1.0, seed=3
+        )
+        g_one = eng.generate_batch(
+            reqs, best_of=1, top_k=1, temperature=1.0, seed=3
+        )
+        for r in range(2):
+            np.testing.assert_array_equal(g_best[r], g_one[r])
+    finally:
+        monkeypatch.undo()
+        _reload()

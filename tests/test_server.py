@@ -426,3 +426,60 @@ def test_groups_pad_to_power_of_two_batch_shapes():
     texts = batch_calls[0][1]
     assert len(texts) == 4  # 3 real + 1 pad
     assert texts == ["g0", "g1", "g2", "g2"]
+
+
+def test_best_of_requests_coalesce_into_one_decode():
+    """Two concurrent best_of=5 requests share ONE batched call (the
+    signature UI quality mode batches across requests) and the best_of
+    knob reaches the engine; a best_of=1 request never joins them."""
+    rec = []
+    b = _batcher(rec, max_batch=8, max_rows=16, max_wait_ms=200, delay=0.05)
+    b.submit(SynthesisRequest("warmup")).result(timeout=10)
+    futs = [
+        b.submit(SynthesisRequest(f"q{i}", best_of=5)) for i in range(2)
+    ]
+    plain = b.submit(SynthesisRequest("p0", best_of=1))
+    for f in [*futs, plain]:
+        f.result(timeout=10)
+    b.shutdown()
+    batch_calls = [r for r in rec if r[0] == "batch"]
+    assert len(batch_calls) == 1, rec
+    texts, kw = batch_calls[0][1], batch_calls[0][2]
+    assert set(t for t in texts if not t.startswith("p")) == {"q0", "q1"}
+    assert kw["best_of"] == 5
+    assert "p0" not in texts  # different best_of never shares a decode
+    assert b.metrics.get("vallex_batched_calls_total") == 1
+
+
+def test_best_of_group_cap_bounds_total_rows():
+    """A best_of group holds at most max_rows//best_of requests: each
+    request brings best_of decode lanes, and the padded row total must
+    stay within the measured throughput knee."""
+    rec = []
+    b = _batcher(rec, max_batch=8, max_rows=16, max_wait_ms=200, delay=0.05)
+    assert b._group_cap(1) == 8
+    assert b._group_cap(5) == 3
+    assert b._group_cap(16) == 1
+    assert b._group_cap(100) == 1  # oversized best_of → single path
+    b.submit(SynthesisRequest("warmup")).result(timeout=10)
+    futs = [
+        b.submit(SynthesisRequest(f"r{i}", best_of=5)) for i in range(5)
+    ]
+    for f in futs:
+        f.result(timeout=10)
+    b.shutdown()
+    for kind, payload, kw in rec:
+        if kind == "batch":
+            assert len(payload) * kw["best_of"] <= 16, rec
+
+
+def test_parse_request_best_of():
+    r = _parse_request(b'{"text": "hi", "best_of": 5}')
+    assert r.best_of == 5
+    assert _parse_request(b'{"text": "hi"}').best_of == 1
+    with pytest.raises(ValueError):
+        _parse_request(b'{"text": "hi", "best_of": 0}')
+    with pytest.raises(ValueError):
+        _parse_request(b'{"text": "hi", "best_of": 99}')
+    with pytest.raises(ValueError):
+        _parse_request(b'{"text": "hi", "best_of": "five"}')

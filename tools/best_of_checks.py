@@ -1,0 +1,167 @@
+"""Real-TPU checks for beam-batched best_of serving (not run under pytest —
+tests force CPU, and the in-kernel PRNG the stochastic path uses has no
+CPU interpret-mode lowering).
+
+1. Exactness: ar_generate_batch(R=2, beams=3, stochastic) row-for-row vs
+   the same requests expanded 3x at beams=1 — identical lane order must
+   give identical per-row PRNG streams, so tokens/lengths/scores are
+   bitwise equal; the returned best sample must be the numpy argmax of
+   the expanded rows' length-normalized logprobs.
+2. Diversity: a request's beams are genuinely independent samples.
+3. Throughput: 2 requests x best_of=5 in ONE coalesced decode vs the two
+   best_of=5 requests run back-to-back (the reference UI's signature
+   mode, launch-ui.py:295 — previously each ran alone).
+
+Usage: python tools/best_of_checks.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vallex-jax-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from vallex_tpu.config import EngineConfig, ModelConfig
+from vallex_tpu.engine import ar as AR
+from vallex_tpu.models import vallex as V
+
+
+def main():
+    cfg = ModelConfig()
+    params = V.init_vallex(jax.random.PRNGKey(0), cfg)
+    e = EngineConfig(
+        text_buckets=(128,), audio_buckets=(1024,),
+        decode_mode="megakernel", decode_steps=8, speculative="off",
+    )
+    rng = np.random.RandomState(7)
+    reqs = []
+    for S, Tp in ((24, 150), (17, 90)):
+        text = rng.randint(5, 60, size=S).astype(np.int32)
+        lang = np.zeros(S, np.int32)
+        prompt = rng.randint(0, 1024, size=Tp).astype(np.int32)
+        reqs.append((text, lang, prompt))
+    B = 3
+
+    def run(requests, beams):
+        pb = AR.pad_batched_requests(
+            requests, cfg.eos_id, cfg.num_quantizers,
+            e.text_buckets, e.audio_buckets,
+        )
+        out = AR.ar_generate_batch(
+            params, cfg,
+            jnp.asarray(pb["text"]), jnp.asarray(pb["lang"]),
+            jnp.asarray(pb["x_lens"]),
+            jnp.asarray(pb["prompt_pad"]), jnp.asarray(pb["prompt_lens"]),
+            jnp.asarray(pb["caps"]),
+            jnp.asarray(3, jnp.int32),
+            jnp.asarray(-100, jnp.int32),  # plain stochastic sampling
+            jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(1.0, jnp.float32),
+            s_text=pb["s_text"], p_audio=pb["p_audio"], t_gen=pb["t_gen"],
+            compute_dtype=e.compute_dtype, greedy=False,
+            quantize="none", decode_steps=8, plain_sampling=True,
+            beams=beams, length_penalty=1.0,
+        )
+        return [np.asarray(o) for o in out]
+
+    # --- 1+2: agreement vs expansion, selection, diversity ----------------
+    # The decode shapes are identical (6 lane rows both ways); only the
+    # PREFILL batch differs (R=2 broadcast vs R=6), and XLA's per-shape
+    # tiling rounds bf16 differently — measured ~1e-4 relative on the
+    # scores. So the hardware gate is: scores agree to bf16 tolerance,
+    # beams are diverse, and the returned best sample IS the argmax row
+    # of the expanded run (token agreement reported; a mid-stream flip
+    # from epsilon-level logit noise would be visible here).
+    y_best, len_best, avg_lp = run(reqs, B)
+    expanded = [r for r in reqs for _ in range(B)]
+    y_all, len_all, avg_all = run(expanded, 1)
+    np.testing.assert_allclose(
+        avg_lp.reshape(-1), avg_all.reshape(-1), rtol=5e-3,
+        err_msg="per-row scores differ beyond bf16 prefill tolerance",
+    )
+    ok_div = any(len(np.unique(avg_lp[r])) > 1 for r in range(len(reqs)))
+    assert ok_div, f"beams are clones under stochastic sampling: {avg_lp}"
+    picks = []
+    for r in range(len(reqs)):
+        pick = int(np.argmax(avg_lp[r]))
+        pick_exp = int(np.argmax(avg_all.reshape(len(reqs), B)[r]))
+        assert pick == pick_exp, (
+            f"request {r}: selection disagrees ({pick} vs {pick_exp}) — "
+            f"scores too close to separate: {avg_lp[r]}"
+        )
+        row = r * B + pick
+        n = min(len_best[r], len_all[row])
+        agree = int((y_best[r][:n] == y_all[row][:n]).all())
+        div = (
+            n if agree
+            else int(np.argmax(y_best[r][:n] != y_all[row][:n]))
+        )
+        print(f"request {r}: pick {pick}, len {len_best[r]} vs "
+              f"{len_all[row]}, tokens agree {div}/{n}")
+        assert div >= 10, f"request {r} diverged at frame {div}"
+        picks.append(pick)
+    print(f"selection OK: scores {np.round(avg_lp, 4).tolist()}, "
+          f"picks {picks}")
+
+    # --- 3: coalesced best_of=5 vs back-to-back ---------------------------
+    from vallex_tpu.engine.pipeline import SynthesisPipeline
+
+    pipe = SynthesisPipeline(params, cfg, e)
+    bo = 5
+    # the pipeline takes full [Tp, 8] prompt codes (cb0 was enough for the
+    # AR-only exactness part)
+    two = [
+        (t, lg, np.tile(p[:, None], (1, cfg.num_quantizers)))
+        for t, lg, p in reqs[:2]
+    ]
+
+    # greedy for the TIMING leg only: random weights + stochastic sampling
+    # EOS at random lengths, which makes the two configs run different
+    # step counts (and the tunnel adds ±15-30% noise on top). Greedy never
+    # EOSes under random weights, so both run to their 16*x_len caps and
+    # the comparison is step-for-step fair; greedy beams are clones but
+    # the decode COST per row is identical to sampled rows.
+    def coalesced():
+        return pipe.synthesize_batch(
+            two, best_of=bo, top_k=1, temperature=1.0, seed=3,
+            return_wave=False,
+        )
+
+    def sequential():
+        return [
+            pipe.synthesize(
+                t, lg, p, best_of=bo, top_k=1, temperature=1.0,
+                seed=3 + i, return_wave=False,
+            )
+            for i, (t, lg, p) in enumerate(two)
+        ]
+
+    coalesced(), sequential()  # compile
+    times = {}
+    for name, fn in (("coalesced", coalesced), ("sequential", sequential)):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            # force the host sync the pipeline already performs internally
+            _ = out
+            best = min(best, time.perf_counter() - t0)
+        times[name] = best
+    speedup = times["sequential"] / times["coalesced"]
+    print(
+        f"2 x best_of={bo} [{e.quantize}]: "
+        f"coalesced {times['coalesced']*1e3:.1f} ms vs "
+        f"sequential {times['sequential']*1e3:.1f} ms -> {speedup:.2f}x"
+    )
+    print("ALL BEST-OF CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

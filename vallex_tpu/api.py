@@ -278,10 +278,35 @@ def _synthesize_tokens(
 ) -> np.ndarray:
     """Text (+ prompts) → [T, 8] EnCodec codes (reference:
     generation.py:96-146)."""
+    return _synthesize_async(
+        bundle, text, audio_prompt, text_prompt, lang_pr, language,
+        accent, best_of=best_of, temperature=temperature, top_k=top_k,
+        seed=seed, return_wave=False,
+    ).result()[0]
+
+
+def _synthesize_async(
+    bundle: ModelBundle,
+    text: str,
+    audio_prompt: np.ndarray,  # [Tp, 8]
+    text_prompt: np.ndarray,  # [Sp]
+    lang_pr: Optional[str],
+    language: str = "auto",
+    accent: str = "no-accent",
+    best_of: Optional[int] = None,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    seed: int = 0,
+    return_wave: bool = False,
+):
+    """Dispatch one sentence's synthesis and return the PendingSynthesis
+    handle WITHOUT the end-of-utterance host sync — the long-text loops
+    dispatch sentence i+1 before fetching sentence i, hiding the ~20-30 ms
+    tunnel round trip behind device compute (engine/pipeline.py)."""
     text_ids, lang_ids = _prepare_text(
         bundle, text, text_prompt, lang_pr, language, accent
     )
-    codes, _ = bundle.pipeline.synthesize(
+    return bundle.pipeline.synthesize_async(
         text_ids,
         lang_ids,
         audio_prompt if len(audio_prompt) else None,
@@ -289,9 +314,8 @@ def _synthesize_tokens(
         temperature=temperature,
         top_k=top_k,
         seed=seed,
-        return_wave=False,
+        return_wave=return_wave and bundle.vocos_params is not None,
     )
-    return codes
 
 
 def codes_to_wave(bundle: ModelBundle, codes: np.ndarray) -> np.ndarray:
@@ -356,6 +380,7 @@ def generate_audio_batch(
     language: str = "auto",
     accent: str = "no-accent",
     *,
+    best_of: Optional[int] = None,
     temperature: Optional[float] = None,
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
@@ -368,7 +393,11 @@ def generate_audio_batch(
     Requests may use different texts, languages and voice prompts; greedy,
     unfiltered sampling AND filtered sampling (top_k > 1 / 0 < top_p < 1,
     the reference's knob — models/vallex.py:836-853) all run the fused
-    kernel path. → list of float waveforms @ 24 kHz, one per text."""
+    kernel path. best_of > 1 decodes that many samples per request on
+    the shared lane axis and keeps each request's best by
+    length-normalized logprob (the reference UI's signature quality
+    mode, launch-ui.py:295). → list of float waveforms @ 24 kHz, one
+    per text."""
     bundle = _require_bundle()
     if not texts:
         return []
@@ -387,7 +416,8 @@ def generate_audio_batch(
             audio_prompt if len(audio_prompt) else None,
         ))
     results = bundle.pipeline.synthesize_batch(
-        requests, temperature=temperature, top_k=top_k, top_p=top_p,
+        requests, best_of=best_of or bundle.ecfg.best_of,
+        temperature=temperature, top_k=top_k, top_p=top_p,
         seed=seed,
         return_wave=bundle.vocos_params is not None,
     )
@@ -408,6 +438,15 @@ def _slide_prompt(bundle, sent, codes, language, rng, fixed):
     two paths cannot drift."""
     if rng.rand() >= 0.5:
         return fixed
+    return _slid_prompt_triple(bundle, sent, codes, language)
+
+
+def _slid_prompt_triple(bundle, sent, codes, language):
+    """The slide half of _slide_prompt: (audio, text, lang) prompt built
+    from this sentence's text + its last ≤225 generated frames. Split out
+    so the overlapped loops (which pre-draw the coin to know whether the
+    NEXT dispatch depends on THIS sentence's codes) share the exact
+    construction."""
     lang = classify(sent) if language == "auto" else language
     lang_token = lang2token[lang]
     s_text = lang_token + sent.replace("\n", "").strip(" ") + lang_token
@@ -491,21 +530,39 @@ def generate_audio_from_long_text(
             bundle, np.concatenate(batched_codes, axis=0)
         )
 
+    # Sequential loop with dispatch/fetch double-buffering: sentence i+1's
+    # dispatch depends on i's CODES only when the sliding coin (pre-drawn,
+    # host-side — the draw order matches the unoverlapped loop exactly, so
+    # token streams are seed-identical) says "slide"; otherwise i+1 is
+    # dispatched BEFORE i's end-of-utterance host sync, hiding the tunnel
+    # round trip + frontend work behind device compute.
     rng = np.random.RandomState(seed)
     all_codes: List[np.ndarray] = []
-    cur_audio, cur_text, cur_lang = audio_prompt, text_prompt, lang_pr
+    fixed = (audio_prompt, text_prompt, lang_pr)
+    cur = fixed
+    pending = None  # previous sentence's PendingSynthesis
     for i, sent in enumerate(sentences):
         logger.info("synthesize sentence %d/%d", i + 1, len(sentences))
-        codes = _synthesize_tokens(
-            bundle, sent, cur_audio, cur_text, cur_lang,
-            language, accent, best_of=best_of, seed=seed + i,
+        h = _synthesize_async(
+            bundle, sent, cur[0], cur[1], cur[2], language, accent,
+            best_of=best_of, seed=seed + i, return_wave=False,
         )
-        all_codes.append(codes)
-        if mode == "sliding-window":
-            cur_audio, cur_text, cur_lang = _slide_prompt(
-                bundle, sent, codes, language, rng,
-                (audio_prompt, text_prompt, lang_pr),
-            )
+        coin = rng.rand() if mode == "sliding-window" else 1.0
+        if pending is not None:
+            all_codes.append(pending.result()[0])
+            pending = None
+        if coin < 0.5:
+            # next sentence's prompt needs THIS sentence's codes: the
+            # data dependency forbids overlap — sync now
+            codes = h.result()[0]
+            all_codes.append(codes)
+            cur = _slid_prompt_triple(bundle, sent, codes, language)
+        else:
+            if mode == "sliding-window":
+                cur = fixed
+            pending = h
+    if pending is not None:
+        all_codes.append(pending.result()[0])
     codes = np.concatenate(all_codes, axis=0)
     return codes_to_wave(bundle, codes)
 
@@ -586,20 +643,37 @@ def stream_audio_from_long_text(
                     yield wave
         return
 
+    # Double-buffered sequential loop (see generate_audio_from_long_text):
+    # sentence i+1 is dispatched before sentence i's host sync whenever
+    # the pre-drawn sliding coin allows it. The wave comes fused from the
+    # pipeline's single program (AR→NAR→Vocos, one sync) instead of a
+    # separate codes_to_wave dispatch — token streams stay seed-identical;
+    # waveforms can differ from the batch path only within the vocoder's
+    # conv receptive field at sentence boundaries (as documented above).
     rng = np.random.RandomState(seed)
-    cur_audio, cur_text, cur_lang = audio_prompt, text_prompt, lang_pr
+    fixed = (audio_prompt, text_prompt, lang_pr)
+    cur = fixed
+    pending = None
     for i, sent in enumerate(sentences):
         logger.info("stream sentence %d/%d", i + 1, len(sentences))
-        codes = _synthesize_tokens(
-            bundle, sent, cur_audio, cur_text, cur_lang,
-            language, accent, best_of=best_of, seed=seed + i,
+        h = _synthesize_async(
+            bundle, sent, cur[0], cur[1], cur[2], language, accent,
+            best_of=best_of, seed=seed + i, return_wave=True,
         )
-        yield codes_to_wave(bundle, codes)
-        if mode == "sliding-window":
-            cur_audio, cur_text, cur_lang = _slide_prompt(
-                bundle, sent, codes, language, rng,
-                (audio_prompt, text_prompt, lang_pr),
-            )
+        coin = rng.rand() if mode == "sliding-window" else 1.0
+        if pending is not None:
+            yield pending.result()[1]
+            pending = None
+        if coin < 0.5:
+            codes, wave = h.result()
+            yield wave
+            cur = _slid_prompt_triple(bundle, sent, codes, language)
+        else:
+            if mode == "sliding-window":
+                cur = fixed
+            pending = h
+    if pending is not None:
+        yield pending.result()[1]
 
 
 # ---------------------------------------------------------------------------

@@ -120,6 +120,12 @@ def main(argv=None) -> int:
         help="how long a lone request waits for batch companions",
     )
     p.add_argument(
+        "--max-rows", type=int, default=5,
+        help="total decode-lane rows per best_of>1 batched call; the "
+        "default keeps best_of>=3 requests on the single-request beam "
+        "schedule (measured faster — tools/best_of_checks.py)",
+    )
+    p.add_argument(
         "--warmup", action="store_true",
         help="compile the serving programs (single + batched decode) "
         "before accepting traffic",
@@ -219,6 +225,7 @@ def main(argv=None) -> int:
         serve_forever(
             args.host, args.port,
             max_batch=max_batch, max_wait_ms=args.max_wait_ms,
+            max_rows=args.max_rows,
         )
         return 0
 

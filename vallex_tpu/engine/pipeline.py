@@ -224,6 +224,46 @@ def _nar_tail_batch(
     )
 
 
+class PendingSynthesis:
+    """Handle to a dispatched (but not yet fetched) synthesis.
+
+    JAX dispatch is asynchronous: by the time synthesize_async returns,
+    the device is already working and the ONLY remaining cost is the
+    end-of-utterance host sync (~20-30 ms through the execution tunnel).
+    Dispatching the NEXT utterance before calling result() overlaps that
+    mandatory round trip (plus the next utterance's host-side frontend
+    work) with this utterance's compute — the double-buffering that takes
+    the sentence-by-sentence serving path (the reference's real workload,
+    generation.py:191-228) below the single-stream RTF floor."""
+
+    __slots__ = ("_gl", "_codes", "_wave", "_timer")
+
+    def __init__(self, gen_len, gen_codes, wave_dev, timer):
+        self._gl = gen_len
+        self._codes = gen_codes
+        self._wave = wave_dev
+        self._timer = timer
+
+    def result(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """→ (codes [T_gen, 8], wave or None). ONE batched device_get —
+        each extra transfer through the execution tunnel costs a full
+        round trip — with host-side trimming to the generated length."""
+        with self._timer.phase("sync"):
+            if self._wave is not None:
+                gl, codes_all, wave_all = jax.device_get(
+                    (self._gl, self._codes, self._wave)
+                )
+            else:
+                gl, codes_all = jax.device_get((self._gl, self._codes))
+        gen_len = int(gl)
+        codes_np = codes_all[0, :gen_len]
+        if self._wave is not None:
+            from ..codec.vocos import HOP
+
+            return codes_np, wave_all[0, : gen_len * HOP]
+        return codes_np, None
+
+
 class SynthesisPipeline:
     """AR + NAR (+ optional Vocos) with device-resident phase handoff."""
 
@@ -310,6 +350,31 @@ class SynthesisPipeline:
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """→ (codes [T_gen, 8], wave or None). max_gen_frames caps the
         generated length (75 frames/s) and right-sizes the audio bucket."""
+        return self.synthesize_async(
+            text_ids, lang_ids, prompt_codes,
+            best_of=best_of, top_k=top_k, top_p=top_p,
+            temperature=temperature, seed=seed, return_wave=return_wave,
+            max_gen_frames=max_gen_frames,
+        ).result()
+
+    def synthesize_async(
+        self,
+        text_ids: np.ndarray,  # [S]
+        lang_ids: np.ndarray,  # [S]
+        prompt_codes: Optional[np.ndarray] = None,  # [Tp, 8]
+        *,
+        best_of: Optional[int] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        temperature: Optional[float] = None,
+        seed: int = 0,
+        return_wave: bool = True,
+        max_gen_frames: Optional[int] = None,
+    ) -> PendingSynthesis:
+        """Dispatch the full AR → NAR → Vocos program and return WITHOUT
+        the end-of-utterance host sync (see PendingSynthesis): callers
+        that know their next utterance can dispatch it before fetching
+        this one, hiding the tunnel round trip behind device compute."""
         e = self.ecfg
         cfg = self.cfg
         best_of = best_of or e.best_of
@@ -402,30 +467,17 @@ class SynthesisPipeline:
                 with_wave=with_wave,
             )
 
-        # --- single host sync (dispatch is async; the wall time of the whole
-        # utterance lands in this phase). ONE batched device_get: each extra
-        # transfer through the execution tunnel costs a full ~20-30 ms round
-        # trip, so gen_len/codes/wave are fetched together (full buffers)
-        # and trimmed host-side ------------------------------------------------
-        with timer.phase("sync"):
-            if with_wave:
-                gl, codes_all, wave_all = jax.device_get(
-                    (res.gen_len, gen_codes, wave_dev)
-                )
-            else:
-                gl, codes_all = jax.device_get((res.gen_len, gen_codes))
-        gen_len = int(gl)
-        codes_np = codes_all[0, :gen_len]
-        if with_wave:
-            from ..codec.vocos import HOP
-
-            return codes_np, wave_all[0, : gen_len * HOP]
-        return codes_np, None
+        # the host sync (the wall time of the whole utterance) lives in
+        # PendingSynthesis.result(), so callers can overlap it
+        return PendingSynthesis(
+            res.gen_len, gen_codes, wave_dev if with_wave else None, timer
+        )
 
     def synthesize_batch(
         self,
         requests,  # list of (text_ids [S], lang_ids [S], prompt [Tp,8]|None)
         *,
+        best_of: int = 1,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
         temperature: Optional[float] = None,
@@ -437,6 +489,9 @@ class SynthesisPipeline:
         so the per-step weight stream is paid ONCE for the batch; NAR and
         Vocos run batched; one host sync at the end. Filtered sampling
         (top_k > 1 / 0 < top_p < 1) runs the in-kernel bisection filter.
+        best_of > 1 packs R x best_of samples on the lane axis and keeps
+        only each request's best for the NAR/Vocos tail (the reference
+        UI's signature mode, launch-ui.py:295, batched across requests).
         → list of (codes [T_r, 8], wave_r or None)."""
         e = self.ecfg
         cfg = self.cfg
@@ -456,7 +511,7 @@ class SynthesisPipeline:
             # a lone request is exactly the single-request pipeline
             t, lg, p = requests[0]
             codes, wave = self.synthesize(
-                t, lg, p, best_of=1, top_k=top_k, top_p=top_p,
+                t, lg, p, best_of=best_of, top_k=top_k, top_p=top_p,
                 temperature=temperature, seed=seed,
                 return_wave=return_wave,
             )
@@ -507,6 +562,8 @@ class SynthesisPipeline:
                 decode_steps=max(2, getattr(e, "decode_steps", 8)),
                 plain_sampling=plain,
                 packed=packed,
+                beams=int(best_of),
+                length_penalty=e.length_penalty,
             )
 
         # --- NAR + shift + Vocos: one fused program --------------------------

@@ -88,6 +88,7 @@ class SynthesisRequest:
     prompt: Optional[str] = None
     language: str = "auto"
     accent: str = "no-accent"
+    best_of: int = 1
     top_k: int = -100
     top_p: float = 1.0
     temperature: float = 1.0
@@ -96,11 +97,13 @@ class SynthesisRequest:
     def group_key(self) -> Tuple:
         """Requests batch together only when every knob the batched engine
         shares across the batch is identical (api.generate_audio_batch
-        applies language/accent/sampling/seed batch-wide; texts and
-        prompts are per-request)."""
+        applies language/accent/best_of/sampling/seed batch-wide; texts
+        and prompts are per-request). best_of in the key means two
+        concurrent best_of=5 requests coalesce into ONE decode of 10
+        lane-packed samples (engine/ar.py::ar_generate_batch beams)."""
         return (
-            self.language, self.accent, self.top_k, self.top_p,
-            self.temperature, self.seed,
+            self.language, self.accent, self.best_of, self.top_k,
+            self.top_p, self.temperature, self.seed,
         )
 
 
@@ -123,6 +126,7 @@ class DynamicBatcher:
         *,
         max_batch: int = 8,
         max_wait_ms: float = 30.0,
+        max_rows: int = 5,
         metrics: Optional[Metrics] = None,
     ):
         if batch_fn is None or single_fn is None:
@@ -134,6 +138,19 @@ class DynamicBatcher:
         self.single_fn = single_fn
         self.metrics = metrics or Metrics()
         self.max_batch = int(max_batch)
+        # best_of requests occupy best_of decode lanes each; max_rows caps
+        # the TOTAL lane rows of one best_of>1 batched call (single-beam
+        # groups are exempt — they batch to max_batch as before). The
+        # default (5) means best_of>=3 requests run ALONE through the
+        # single-request path: measured on-chip (tools/best_of_checks.py),
+        # coalescing two best_of=5 requests is 1.4-1.6x SLOWER than
+        # back-to-back single runs in every quantize mode — ~5 lane rows
+        # already saturate the shared weight stream, the single-request
+        # beam schedule reads the shared prompt cache ONCE for all beams,
+        # and lockstep makes the short request ride the long one's
+        # frames. Raise max_rows only after the batched kernel learns
+        # grouped shared-prefix DMA (PERFORMANCE.md, known headroom).
+        self.max_rows = int(max_rows)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._q: "queue.Queue[Tuple[SynthesisRequest, Future]]" = queue.Queue()
         self._deferred: List[Tuple[SynthesisRequest, Future]] = []
@@ -181,12 +198,23 @@ class DynamicBatcher:
             return None
         return item
 
+    def _group_cap(self, best_of: int) -> int:
+        """Requests per batched call: max_batch for best_of=1; under
+        best_of each request brings best_of lane rows, so the cap shrinks
+        to keep total rows within max_rows (a best_of > max_rows request
+        simply runs alone through the single path — measured to be the
+        FASTER configuration for best_of>=3, see __init__)."""
+        if best_of <= 1:
+            return self.max_batch
+        return min(self.max_batch, max(1, self.max_rows // best_of))
+
     def _collect_group(self, first) -> List[Tuple[SynthesisRequest, Future]]:
         group = [first]
         key = first[0].group_key()
+        cap = self._group_cap(first[0].best_of)
         incompatible: List[Tuple[SynthesisRequest, Future]] = []
         deadline = time.monotonic() + self.max_wait_s
-        while len(group) < self.max_batch:
+        while len(group) < cap:
             item = self._take(block=True, deadline=deadline)
             if item is None:
                 break
@@ -224,9 +252,9 @@ class DynamicBatcher:
         for _, fut in leftovers:
             fut.set_exception(RuntimeError("server shutting down"))
 
-    def _pad_size(self, n: int) -> int:
+    def _pad_size(self, n: int, best_of: int = 1) -> int:
         """Pad a request group to the next power-of-2 batch size (capped
-        at max_batch). The batched decode is one compiled program PER
+        at the group cap for its best_of). The batched decode is one compiled program PER
         static batch shape; without padding, every distinct group size
         that load produces triggers its own multi-minute compile. Padding
         costs only the extra lanes' cache DMA — the weight stream (the
@@ -238,7 +266,7 @@ class DynamicBatcher:
         b = 1
         while b < n:
             b *= 2
-        return min(b, self.max_batch)
+        return max(n, min(b, self._group_cap(best_of)))
 
     def _execute(self, group) -> None:
         reqs = [r for r, _ in group]
@@ -255,18 +283,21 @@ class DynamicBatcher:
                 waves = [
                     self.single_fn(
                         r0.text, prompt=r0.prompt, language=r0.language,
-                        accent=r0.accent, top_k=r0.top_k, top_p=r0.top_p,
+                        accent=r0.accent, best_of=r0.best_of,
+                        top_k=r0.top_k, top_p=r0.top_p,
                         temperature=r0.temperature, seed=r0.seed,
                     )
                 ]
             else:
-                padded = reqs + [reqs[-1]] * (self._pad_size(len(reqs))
-                                              - len(reqs))
+                padded = reqs + [reqs[-1]] * (
+                    self._pad_size(len(reqs), r0.best_of) - len(reqs)
+                )
                 m.inc("vallex_pad_requests_total", len(padded) - len(reqs))
                 waves = self.batch_fn(
                     [r.text for r in padded],
                     [r.prompt for r in padded],
                     language=r0.language, accent=r0.accent,
+                    best_of=r0.best_of,
                     top_k=r0.top_k, top_p=r0.top_p,
                     temperature=r0.temperature, seed=r0.seed,
                 )[: len(reqs)]
@@ -292,7 +323,8 @@ class DynamicBatcher:
                 try:
                     wave = self.single_fn(
                         r.text, prompt=r.prompt, language=r.language,
-                        accent=r.accent, top_k=r.top_k, top_p=r.top_p,
+                        accent=r.accent, best_of=r.best_of,
+                        top_k=r.top_k, top_p=r.top_p,
                         temperature=r.temperature, seed=r.seed,
                     )
                     m.inc(
@@ -339,12 +371,19 @@ def _field(data: Dict[str, Any], key: str, conv, default):
         raise ValueError(f'"{key}" must be a {conv.__name__}: {e}') from e
 
 
+_MAX_BEST_OF = 16  # decode lanes per request; UI signature mode is 5
+
+
 def _request_from(data: Dict[str, Any]) -> SynthesisRequest:
+    best_of = _field(data, "best_of", int, 1)
+    if not 1 <= best_of <= _MAX_BEST_OF:
+        raise ValueError(f'"best_of" must be in [1, {_MAX_BEST_OF}]')
     return SynthesisRequest(
         text=data["text"],
         prompt=data.get("prompt"),
         language=str(data.get("language", "auto")),
         accent=str(data.get("accent", "no-accent")),
+        best_of=best_of,
         top_k=_field(data, "top_k", int, -100),
         top_p=_field(data, "top_p", float, 1.0),
         temperature=_field(data, "temperature", float, 1.0),
@@ -593,11 +632,14 @@ def serve_forever(
     *,
     max_batch: int = 8,
     max_wait_ms: float = 30.0,
+    max_rows: int = 5,
 ) -> None:
     """Blocking entry point (CLI: ``python -m vallex_tpu.cli serve``)."""
     import signal
 
-    b = DynamicBatcher(max_batch=max_batch, max_wait_ms=max_wait_ms)
+    b = DynamicBatcher(
+        max_batch=max_batch, max_wait_ms=max_wait_ms, max_rows=max_rows
+    )
     srv = make_server(host, port, batcher=b)
 
     def _graceful(signum, frame):  # noqa: ARG001 (signal API)
