@@ -263,28 +263,6 @@ def _prepare_text(
     return text_ids.astype(np.int32), lang_ids
 
 
-def _synthesize_tokens(
-    bundle: ModelBundle,
-    text: str,
-    audio_prompt: np.ndarray,  # [Tp, 8]
-    text_prompt: np.ndarray,  # [Sp]
-    lang_pr: Optional[str],
-    language: str = "auto",
-    accent: str = "no-accent",
-    best_of: Optional[int] = None,
-    temperature: Optional[float] = None,
-    top_k: Optional[int] = None,
-    seed: int = 0,
-) -> np.ndarray:
-    """Text (+ prompts) → [T, 8] EnCodec codes (reference:
-    generation.py:96-146)."""
-    return _synthesize_async(
-        bundle, text, audio_prompt, text_prompt, lang_pr, language,
-        accent, best_of=best_of, temperature=temperature, top_k=top_k,
-        seed=seed, return_wave=False,
-    ).result()[0]
-
-
 def _synthesize_async(
     bundle: ModelBundle,
     text: str,
@@ -429,24 +407,14 @@ def generate_audio_batch(
     return waves
 
 
-def _slide_prompt(bundle, sent, codes, language, rng, fixed):
-    """Sliding-window prompt update after one sentence (reference:
-    generation.py:264-269): with p=0.5 the prompt becomes this sentence's
-    text + last ≤225 generated frames, else it reverts to `fixed`
-    (= the original (audio, text, lang) prompt triple). Shared by
-    generate_audio_from_long_text and stream_audio_from_long_text so the
-    two paths cannot drift."""
-    if rng.rand() >= 0.5:
-        return fixed
-    return _slid_prompt_triple(bundle, sent, codes, language)
-
-
 def _slid_prompt_triple(bundle, sent, codes, language):
-    """The slide half of _slide_prompt: (audio, text, lang) prompt built
-    from this sentence's text + its last ≤225 generated frames. Split out
-    so the overlapped loops (which pre-draw the coin to know whether the
-    NEXT dispatch depends on THIS sentence's codes) share the exact
-    construction."""
+    """Sliding-window prompt after one sentence (reference:
+    generation.py:264-269, the p<0.5 branch): (audio, text, lang) prompt
+    built from this sentence's text + its last ≤225 generated frames.
+    Both long-text loops pre-draw the p=0.5 coin (same rand stream as
+    the reference's per-sentence draw) to know whether the NEXT
+    dispatch depends on THIS sentence's codes, and share this
+    construction for the slide case."""
     lang = classify(sent) if language == "auto" else language
     lang_token = lang2token[lang]
     s_text = lang_token + sent.replace("\n", "").strip(" ") + lang_token
