@@ -72,7 +72,7 @@ def main():
         p50 = times[len(times) // 2]
         return min(times), p50, dur, min(rtfs)
 
-    def measure_stream(quantize="int8kv", n_sent=8, runs=(1, 2)):
+    def measure_stream(quantize="int8", n_sent=8, runs=(1, 2)):
         """Sentence-by-sentence single-stream serving with dispatch/fetch
         double-buffering (api.stream_audio_from_long_text): sentence i+1
         is dispatched before sentence i's end-of-utterance host sync, so
@@ -81,7 +81,10 @@ def main():
         reference's real long-text workload (generation.py:191-228) as a
         stream; RTF = wall / total audio over the whole stream, INCLUDING
         the unoverlappable first-sentence sync and any sliding-prompt
-        data-dependency stalls (p=0.5 per sentence)."""
+        data-dependency stalls (p=0.5 per sentence). Deliberately the
+        SAME engine config as short_rtf (int8, 512 buckets, greedy):
+        every program is then already compiled by the short_rtf warm-up
+        — int8kv/512 would be a fresh multi-minute Mosaic compile."""
         ecfg = EngineConfig(
             text_buckets=(256,), audio_buckets=(512,), quantize=quantize,
             top_k=1,
@@ -190,7 +193,7 @@ def main():
         # but as consecutive sentences with dispatch/fetch overlap — the
         # per-sentence tunnel round trip hides behind the next sentence's
         # compute (see measure_stream's methodology note)
-        detail["stream_rtf"] = round(measure_stream("int8kv"), 4)
+        detail["stream_rtf"] = round(measure_stream("int8"), 4)
     if within_budget():
         # batched serving: 8 streams on one chip, int8 KV cache
         batch8kv_rtf = measure_batch(8, quantize="int8kv", runs=(1, 2))
