@@ -11,25 +11,70 @@ so RTF is representative.
 
 vs_baseline is measured against the driver's north-star target
 RTF ≤ 0.05 (≥20× real-time, BASELINE.json): vs_baseline = 0.05 / RTF.
+
+Budget robustness: measurements are ordered headline → short_rtf →
+stream_rtf → extras (the sentence workload is the reference's real one,
+generation.py:191-228, so its keys must land even on a tight budget), every
+completed run updates a shared state dict, and a SIGALRM watchdog fires
+shortly before the budget expires to emit the JSON line with whatever keys
+completed — a budget kill can no longer lose the whole artifact. The
+persistent compilation cache lives in-repo (.jax_cache/, committed
+pre-warmed) so a fresh driver container skips the multi-minute cold
+Mosaic/XLA compiles that exhausted BENCH_r04's budget before any secondary
+config ran.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# shared mutable state: the watchdog emits from here at any moment
+STATE = {"value": None, "detail": {}}
+_EMITTED = False
+
+
+def emit(final=False):
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    rtf = STATE["value"]
+    result = {
+        "metric": "rtf",
+        "value": round(rtf, 4) if rtf else None,
+        "unit": "wall-sec per audio-sec (full pipeline, 1 chip, int8 weights)",
+        "vs_baseline": round(0.05 / rtf, 3) if rtf else None,
+        "detail": STATE["detail"],
+    }
+    if not final:
+        result["detail"]["budget_killed"] = True
+    print(json.dumps(result), flush=True)
+
+
+def _watchdog(signum, frame):
+    emit(final=False)
+    os._exit(0)
 
 
 def main():
     import jax
-    import numpy as np
+    import numpy as np  # noqa: F401
 
-    # persistent compilation cache: repeat bench runs skip the 3-4 min of
-    # program compiles (works with the remote-compile tunnel too — the cache
-    # stores client-side executables keyed by HLO)
+    # persistent compilation cache, shipped IN the repo pre-warmed: repeat
+    # bench runs — including the driver's, in a fresh container on the same
+    # image — skip the 2-4 min of remote Mosaic/XLA compiles per decode
+    # program (works with the remote-compile tunnel too: the cache stores
+    # client-side executables keyed by HLO)
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/vallex-jax-cache")
+        cache_dir = os.path.join(REPO, ".jax_cache")
+        if not os.path.isdir(cache_dir) or not os.access(cache_dir, os.W_OK):
+            cache_dir = "/tmp/vallex-jax-cache"
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -43,7 +88,8 @@ def main():
     )
 
     def measure(quantize: str, *, best_of=1, top_k=1, runs=(1, 2, 3),
-                utterance=None, max_duration=None, audio_buckets=(1024,)):
+                utterance=None, max_duration=None, audio_buckets=(1024,),
+                on_run=None):
         ecfg = EngineConfig(
             text_buckets=(256,), audio_buckets=audio_buckets,
             quantize=quantize,
@@ -68,6 +114,11 @@ def main():
             times.append(dt)
             dur = len(wave) / SAMPLE_RATE
             rtfs.append(dt / dur)
+            if on_run is not None:
+                # publish incrementally: a budget kill between runs still
+                # leaves the best-so-far in the emitted artifact
+                on_run(min(times), sorted(times)[len(times) // 2], dur,
+                       min(rtfs))
         times.sort()
         p50 = times[len(times) // 2]
         return min(times), p50, dur, min(rtfs)
@@ -105,6 +156,7 @@ def main():
                 total += len(w)
             rtf = (time.time() - t0) / (total / SAMPLE_RATE)
             best = rtf if best is None else min(best, rtf)
+            STATE["detail"]["stream_rtf"] = round(best, 4)
         return best
 
     def measure_batch(R, quantize="int8", runs=(1, 2, 3)):
@@ -143,27 +195,57 @@ def main():
     # decode: int8 draft + one bf16 verify pass — token-exact for greedy,
     # distribution-exact for sampling).
     #
-    # The HEADLINE config is measured first, then secondary configs are
-    # added while a time budget lasts: a cold compile cache costs ~2-4 min
-    # of remote Mosaic/XLA compiles PER distinct decode program through
-    # the tunnel, and the bench must always emit its JSON line inside the
-    # driver's window. Detail keys are present for whatever completed
-    # (everything, on a warm cache — see PERFORMANCE.md for the full
-    # measured tables).
+    # Order: HEADLINE first (it is the artifact's value field), then the
+    # sentence-workload keys short_rtf and stream_rtf (the reference's real
+    # serving shape — these must land even on a tight budget), then the
+    # remaining configs while the budget lasts. See PERFORMANCE.md for the
+    # full measured tables from warm-cache sessions.
     t_start = time.time()
     BUDGET_S = float(os.environ.get("VALLEX_BENCH_BUDGET_S", "360"))
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.signal(signal.SIGTERM, _watchdog)
+    signal.alarm(max(30, int(BUDGET_S) - 15))
 
-    wall, p50, dur, _ = measure("int8", runs=(1, 2, 3, 4, 5))
+    detail = STATE["detail"]
+
+    def on_headline(wall, p50, dur, rtf):
+        STATE["value"] = wall / dur
+        detail.update(
+            audio_seconds=round(dur, 2),
+            wall_seconds=round(wall, 3),
+            xrt=round(dur / wall, 1),
+            p50_ms=round(p50 * 1000.0, 1),
+        )
+
+    wall, p50, dur, _ = measure("int8", runs=(1, 2, 3), on_run=on_headline)
     rtf = wall / dur
-    detail = {
-        "audio_seconds": round(dur, 2),
-        "wall_seconds": round(wall, 3),
-        "xrt": round(dur / wall, 1),
-        "p50_ms": round(p50 * 1000.0, 1),
-    }
+    STATE["value"] = rtf
 
     def within_budget():
         return time.time() - t_start < BUDGET_S
+
+    def on_short(_wall, p50_s, dur_s, s_rtf):
+        detail["short_rtf"] = round(s_rtf, 4)
+        detail["short_audio_seconds"] = round(dur_s, 2)
+        detail["short_p50_ms"] = round(p50_s * 1000.0, 1)
+
+    # short utterance (~2 s): sentence-level serving, where fixed
+    # per-utterance costs dominate (the reference's real workload,
+    # generation.py:191-228 synthesizes sentence by sentence). Random
+    # weights never emit EOS, so the 2 s stop is enforced with the
+    # max_duration cap; a right-sized 512-frame bucket matches what a
+    # short-sentence serving config would use. Runs unconditionally
+    # right after the headline: the watchdog bounds the worst case.
+    measure(
+        "int8", utterance="Hi there, good morning.", runs=(1, 2, 3),
+        max_duration=2.0, audio_buckets=(512,), on_run=on_short,
+    )
+    # sentence STREAM: the same short-sentence workload as short_rtf
+    # but as consecutive sentences with dispatch/fetch overlap — the
+    # per-sentence tunnel round trip hides behind the next sentence's
+    # compute (see measure_stream's methodology note). Also
+    # unconditional: short_rtf's warm-up compiled all of its programs.
+    measure_stream("int8")
 
     if within_budget():
         _, _, _, bf16_rtf = measure("none")
@@ -174,26 +256,6 @@ def main():
         # served with the int8 KV cache (the measured-best beam config)
         _, _, _, b5_rtf = measure("int8kv", best_of=5, runs=(1, 2))
         detail["best_of5_rtf"] = round(b5_rtf, 4)
-    if within_budget():
-        # short utterance (~2 s): sentence-level serving, where fixed
-        # per-utterance costs dominate (the reference's real workload,
-        # generation.py:191-228 synthesizes sentence by sentence). Random
-        # weights never emit EOS, so the 2 s stop is enforced with the
-        # max_duration cap; a right-sized 512-frame bucket matches what a
-        # short-sentence serving config would use
-        _, p50_s, dur_s, s_rtf = measure(
-            "int8", utterance="Hi there, good morning.", runs=(1, 2, 3),
-            max_duration=2.0, audio_buckets=(512,),
-        )
-        detail["short_rtf"] = round(s_rtf, 4)
-        detail["short_audio_seconds"] = round(dur_s, 2)
-        detail["short_p50_ms"] = round(p50_s * 1000.0, 1)
-    if within_budget():
-        # sentence STREAM: the same short-sentence workload as short_rtf
-        # but as consecutive sentences with dispatch/fetch overlap — the
-        # per-sentence tunnel round trip hides behind the next sentence's
-        # compute (see measure_stream's methodology note)
-        detail["stream_rtf"] = round(measure_stream("int8"), 4)
     if within_budget():
         # batched serving: 8 streams on one chip, int8 KV cache
         batch8kv_rtf = measure_batch(8, quantize="int8kv", runs=(1, 2))
@@ -215,14 +277,8 @@ def main():
         _, _, _, bfsm_rtf = measure("none", top_k=-100, runs=(3, 3))
         detail["bf16_sampled_rtf"] = round(bfsm_rtf, 4)
 
-    result = {
-        "metric": "rtf",
-        "value": round(rtf, 4),
-        "unit": "wall-sec per audio-sec (full pipeline, 1 chip, int8 weights)",
-        "vs_baseline": round(0.05 / rtf, 3),
-        "detail": detail,
-    }
-    print(json.dumps(result))
+    signal.alarm(0)
+    emit(final=True)
 
 
 if __name__ == "__main__":

@@ -285,13 +285,18 @@ def test_english_oov_rate_news_corpus():
 def test_english_lts_accuracy_floor():
     """LTS quality gate, measured against the embedded lexicon as gold
     (the same CMUdict-convention IPA the checkpoint saw): phoneme error
-    rate (stress-stripped Levenshtein over IPA chars) must stay under 18%
-    and exact-match above 41%. Round-4 measured: PER 17.0%, exact 43.2%
-    (18.6%/40.7% before the inflection/palatalization/coda rule batch;
-    24.6%/30.1% in round 2). The remaining error mass is stress-dependent
-    vowel quality (unstressed ɪ/ɛ vs ə) that letter rules cannot see —
-    measured: blanket reduction of ɛ or ɪ makes PER WORSE (17.3→17.8);
-    the next real lever is a stress-aware aligner, not more rules."""
+    rate (stress-stripped Levenshtein over IPA chars) must stay under 16%
+    and exact-match above 47%. Round-5 measured: PER 15.6%, exact 48.4%
+    (17.0%/43.2% in round 4; 24.6%/30.1% in round 2). The round-5 gains
+    came from the stress-aware reduction pass (suffix-table stress
+    prediction, 92% accurate on suffix-cued words, gating which unstressed
+    vowels centralize), grapheme-origin overlays for German/French
+    loanwords, magic-e through -s/-d inflection tails, and moving the
+    doubled-consonant collapse into the rule cascade so open-vs-closed
+    syllables (table/apple) stay distinguishable. The remaining error
+    mass is stress position on prefix-cued words (62% predictor accuracy
+    there caps how aggressively vowels can be reduced) and genuinely
+    ambiguous 'o'/'a' letter qualities."""
     from vallex_tpu.frontend.english import letter_to_sound
 
     lex = {}
@@ -331,8 +336,56 @@ def test_english_lts_accuracy_floor():
         exact += e == 0
     per = tot_err / tot_ph
     em = exact / n
-    assert per < 0.18, f"LTS PER regressed: {100*per:.1f}%"
-    assert em > 0.41, f"LTS exact-match regressed: {100*em:.1f}%"
+    assert per < 0.16, f"LTS PER regressed: {100*per:.1f}%"
+    assert em > 0.47, f"LTS exact-match regressed: {100*em:.1f}%"
+
+
+def test_english_loanword_origin_goldens():
+    """Grapheme-origin overlays (VERDICT r4 #3): German/French loanwords
+    keep their source conventions instead of English letter rules. The
+    reference's eng_to_ipa resolves these through CMUdict
+    (utils/g2p/english.py:176-181); 'zeitgeist' was the verified
+    mispronunciation class (round-4 verdict)."""
+    from vallex_tpu.frontend.english import letter_to_sound, word_to_ipa
+
+    assert word_to_ipa("zeitgeist") == "ˈzaɪtgaɪst"
+    assert letter_to_sound("schmidt") == "ʃmɪt"
+    assert letter_to_sound("schultz") == "ʃʊlts"
+    assert letter_to_sound("einstein") == "aɪnstaɪn"
+    assert letter_to_sound("machine") == "məʃin"
+    assert letter_to_sound("chauffeur") == "ʃoʊfər"
+    assert letter_to_sound("bouquet") == "bukeɪ"
+    # Greek sch- still hard outside German-marked words
+    assert letter_to_sound("scheme") == "skim"
+
+
+def test_english_lts_goldens_round5():
+    """Goldens for previously-worst LTS classes (round-4 verdict #3):
+    magic-e through inflection tails, open-vs-closed syllables through
+    doubled consonants, stress-aware reduction, long-o families."""
+    from vallex_tpu.frontend.english import letter_to_sound as lts
+
+    # magic-e survives -s/-d tails
+    assert lts("makes") == "meɪks"
+    assert lts("named") == "neɪmd"
+    assert lts("times") == "taɪmz"
+    # open vs closed syllable via single vs doubled consonant
+    assert lts("table") == "teɪbəl"
+    assert lts("little") == "lɪtəl"
+    assert lts("baby") == "beɪbi"
+    assert lts("happy") == "hæpi"
+    # long-o families
+    assert lts("spoken") == "spoʊkən"
+    assert lts("moment") == "moʊmənt"
+    assert lts("taken") == "teɪkən"
+    # stress-aware reduction: unstressed medial ɪ centralizes, final
+    # -ing keeps ɪ, suffix-cued stress protects the stressed nucleus
+    assert lts("criminal") == "krɪmənəl"
+    assert lts("making") == "meɪkɪŋ"
+    # unstressed 'iCe' endings reduce; -ise/-ize keeps aɪ
+    assert lts("office") == "ɔfəs"
+    assert lts("engine") == "ɛnʤən"
+    assert lts("sunrise") == "sənraɪz"
 
 
 def test_english_proper_noun_goldens():

@@ -12,7 +12,9 @@ CPU interpret-mode lowering).
    best_of=5 requests run back-to-back (the reference UI's signature
    mode, launch-ui.py:295 — previously each ran alone).
 
-Usage: python tools/best_of_checks.py
+Usage: python tools/best_of_checks.py [quantize ...]
+  quantize: none | int8 | int8kv (default: the exactness checks in
+  "none", then timing in int8kv and int8 — the serving beam configs)
 """
 
 import os
@@ -113,7 +115,6 @@ def main():
     # --- 3: coalesced best_of=5 vs back-to-back ---------------------------
     from vallex_tpu.engine.pipeline import SynthesisPipeline
 
-    pipe = SynthesisPipeline(params, cfg, e)
     bo = 5
     # the pipeline takes full [Tp, 8] prompt codes (cb0 was enough for the
     # AR-only exactness part)
@@ -122,44 +123,73 @@ def main():
         for t, lg, p in reqs[:2]
     ]
 
-    # greedy for the TIMING leg only: random weights + stochastic sampling
-    # EOS at random lengths, which makes the two configs run different
-    # step counts (and the tunnel adds ±15-30% noise on top). Greedy never
-    # EOSes under random weights, so both run to their 16*x_len caps and
-    # the comparison is step-for-step fair; greedy beams are clones but
-    # the decode COST per row is identical to sampled rows.
-    def coalesced():
-        return pipe.synthesize_batch(
-            two, best_of=bo, top_k=1, temperature=1.0, seed=3,
-            return_wave=False,
+    modes = sys.argv[1:] or ["int8kv", "int8"]
+    for qmode in modes:
+        eq = EngineConfig(
+            text_buckets=(128,), audio_buckets=(1024,),
+            decode_mode="megakernel", decode_steps=8, speculative="off",
+            quantize=qmode,
         )
+        pipe = SynthesisPipeline(params, cfg, eq)
 
-    def sequential():
-        return [
-            pipe.synthesize(
-                t, lg, p, best_of=bo, top_k=1, temperature=1.0,
-                seed=3 + i, return_wave=False,
+        # greedy for the TIMING leg only: random weights + stochastic
+        # sampling EOS at random lengths, which makes the two configs run
+        # different step counts (and the tunnel adds ±15-30% noise on
+        # top). Greedy never EOSes under random weights, so both run to
+        # their 16*x_len caps and the comparison is step-for-step fair;
+        # greedy beams are clones but the decode COST per row is
+        # identical to sampled rows.
+        def coalesced():
+            return pipe.synthesize_batch(
+                two, best_of=bo, top_k=1, temperature=1.0, seed=3,
+                return_wave=False,
             )
-            for i, (t, lg, p) in enumerate(two)
-        ]
 
-    coalesced(), sequential()  # compile
-    times = {}
-    for name, fn in (("coalesced", coalesced), ("sequential", sequential)):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = fn()
-            # force the host sync the pipeline already performs internally
-            _ = out
-            best = min(best, time.perf_counter() - t0)
-        times[name] = best
-    speedup = times["sequential"] / times["coalesced"]
-    print(
-        f"2 x best_of={bo} [{e.quantize}]: "
-        f"coalesced {times['coalesced']*1e3:.1f} ms vs "
-        f"sequential {times['sequential']*1e3:.1f} ms -> {speedup:.2f}x"
-    )
+        def sequential():
+            return [
+                pipe.synthesize(
+                    t, lg, p, best_of=bo, top_k=1, temperature=1.0,
+                    seed=3 + i, return_wave=False,
+                )
+                for i, (t, lg, p) in enumerate(two)
+            ]
+
+        co, sq = coalesced(), sequential()  # compile
+        # agreement leg (report, not gate): coalesced and lone-request
+        # runs are different compiled paths (R=2 vs R=1 prefill tiling,
+        # t_gen vs t_audio layout, int8kv scales pooled across requests),
+        # so greedy tokens under random weights can flip on epsilon
+        # logits; the bitwise gate lives in
+        # tests/test_batch_decode.py::test_beam_batched_best_of_exactness
+        # (same path, grouped vs expanded)
+        for r in range(2):
+            a, b = co[r][0][:, 0], sq[r][0][:, 0]
+            n = min(len(a), len(b))
+            agree = (
+                n if (a[:n] == b[:n]).all()
+                else int(np.argmax(a[:n] != b[:n]))
+            )
+            print(f"[{qmode}] request {r}: coalesced/sequential tokens "
+                  f"agree {agree}/{n}")
+        times = {}
+        for name, fn in (
+            ("coalesced", coalesced), ("sequential", sequential)
+        ):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = fn()
+                # force the host sync the pipeline performs internally
+                _ = out
+                best = min(best, time.perf_counter() - t0)
+            times[name] = best
+        speedup = times["sequential"] / times["coalesced"]
+        print(
+            f"2 x best_of={bo} [{qmode}]: "
+            f"coalesced {times['coalesced']*1e3:.1f} ms vs "
+            f"sequential {times['sequential']*1e3:.1f} ms -> "
+            f"{speedup:.2f}x"
+        )
     print("ALL BEST-OF CHECKS PASSED")
 
 

@@ -91,10 +91,19 @@ def preload_models(
 
     # persistent compilation cache: a restarted process (server, CLI,
     # bench) reuses compiled decode programs instead of paying minutes of
-    # fresh XLA/Mosaic compiles. VALLEX_COMPILE_CACHE overrides the
-    # location; set it empty to disable.
+    # fresh XLA/Mosaic compiles. A repo-local .jax_cache (shipped
+    # pre-warmed for the bench/serving configs, still writable for new
+    # shapes) wins over the /tmp default so a FRESH container starts
+    # warm; VALLEX_COMPILE_CACHE overrides the location; set it empty to
+    # disable.
+    repo_cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
     cache_dir = os.environ.get(
-        "VALLEX_COMPILE_CACHE", "/tmp/vallex-jax-cache"
+        "VALLEX_COMPILE_CACHE",
+        repo_cache if os.path.isdir(repo_cache)
+        else "/tmp/vallex-jax-cache",
     )
     if cache_dir:
         try:

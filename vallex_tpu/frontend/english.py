@@ -48,14 +48,19 @@ C = "[bcdfghjklmnpqrstvwxz]"
 # fmt: off
 _LTS_RULES = [
     # reducible prefixes (unstressed in most derived words: behave, depict,
-    # resign, exclude, confirm — CMUdict reduces these to ɪ/ə)
-    ("be",  "^", C + "[a-z]*" + V, "bɪ"),
-    ("de",  "^", C + "[a-z]*" + V, "dɪ"),
-    ("re",  "^", C + "[a-z]*" + V, "rɪ"),
-    ("pre", "^", C + "[a-z]*" + V, "prɪ"),
+    # resign, exclude, confirm — CMUdict reduces these to ɪ/ə). The
+    # doubled-letter lookahead keeps them off closed first syllables
+    # (better, pretty, commons — a doubled consonant closes the syllable,
+    # so the vowel is stressed-short, not a reduced prefix)
+    ("be",  "^", r"(?!(.)\1)" + C + "[a-z]*" + V, "bɪ"),
+    ("de",  "^", r"(?!(.)\1)" + C + "[a-z]*" + V, "dɪ"),
+    ("re",  "^", r"(?!(.)\1)" + C + "[a-z]*" + V, "rɪ"),
+    ("pre", "^", r"(?!(.)\1)" + C + "[a-z]*" + V, "prɪ"),
     ("ex",  "^", C, "ɪks"),
-    ("con", "^", C + "[a-z]*" + V, "kən"),
-    ("com", "^", C + "[a-z]*" + V, "kəm"),
+    ("comm", "^", "[aeiouy]", "kəm"),  # commit, command, communicate
+    ("conn", "^", "[aeiouy]", "kən"),  # connect, connection
+    ("con", "^", r"(?!(.)\1)" + C + "[a-z]*" + V, "kən"),
+    ("com", "^", r"(?!(.)\1)" + C + "[a-z]*" + V, "kəm"),
     # unstressed suffixes (vowel required earlier in the word so short
     # monosyllables — went, ant, pal, age — keep their full vowel).
     # Inflected variants (-tions, -ments, -ors, …) come FIRST: rule
@@ -80,7 +85,7 @@ _LTS_RULES = [
     ("ology",   None, "$", "ɑləʤi"),
     ("ography", None, "$", "ɑgrəfi"),
     ("ously",   V + "[a-z]*", "$", "əsli"),
-    ("ages",    V + "[a-z]*", "$", "əʤəz"),
+    ("ages",    V + "[a-z]*", "$", "ɪʤəz"),
     ("able",    V + "[a-z]*", "$", "əbəl"),
     ("ible",    V + "[a-z]*", "$", "əbəl"),
     # place/person-name codas (washington, johnson, oxford, poland)
@@ -89,6 +94,8 @@ _LTS_RULES = [
     ("ford",    V + "[a-z]*", "$", "fərd"),
     ("land",    V + "[a-z]*", "$", "lənd"),
     ("el",      V + "[a-z]*", "$", "əl"),
+    ("ators", None, "$", "eɪtərz"),
+    ("ator",  None, "$", "eɪtər"),
     ("ation", None, None, "eɪʃən"),
     ("tion",  None, None, "ʃən"),
     ("sion",  V + "$", None, "ʒən"),
@@ -104,7 +111,7 @@ _LTS_RULES = [
     ("ence",  V + "[a-z]*", "$", "əns"),
     ("ant",   V + "[a-z]*", "$", "ənt"),
     ("ent",   V + "[a-z]*", "$", "ənt"),
-    ("age",   V + "[a-z]*", "$", "əʤ"),
+    ("age",   V + "[a-z]*", "$", "ɪʤ"),  # village, marriage (CMU IH0)
     ("ful",   V + "[a-z]*", "$", "fəl"),
     ("ism",   V + "[a-z]*", "$", "ɪzəm"),
     ("ity",   None, "$", "əti"),
@@ -123,13 +130,17 @@ _LTS_RULES = [
     # raw-rule endings previously spelled the 'e' as ɛ and the s as /s/)
     ("less",  V + "[a-z]*", "$", "ləs"),
     ("oes",   None, "$", "oʊz"),
+    ("ise",   V + "[a-z]*", "$", "aɪz"),   # advertise, otherwise, sunrise
+    #   (verb-forming -ise voices; promise/premise are lexicon entries)
     ("sis",   None, "$", "səs"),           # analysis, basis, diagnosis
     ("is",    V + "[a-z]*" + C, "$", "əs"),
     ("us",    None, "$", "əs"),            # campus, virus — never voiced
+    ("as",    V + "[a-z]*", "$", "əs"),    # christmas, atlas, canvas
     ("ss",    None, "$", "s"),
     ("ated",  V + "[a-z]*", "$", "eɪtəd"),
     ("ates",  V + "[a-z]*", "$", "eɪts"),
     ("es",    "(s|x|z|ch|sh|c|g)", "$", "əz"),
+    ("es",    "[kpft]", "$", "s"),   # makes, tapes: voiceless coda
     ("es",    V + "[a-z]+", "$", "z"),
     ("s",     "[aeiouy][a-z]*[bdglmnrvw]", "$", "z"),
     ("s",     V, "$", "z"),
@@ -174,13 +185,43 @@ _LTS_RULES = [
     ("gn",    "^$", None, "n"),
     ("ps",    "^$", None, "s"),
     ("qu",    None, None, "kw"),
+    ("ngine", None, "$", "nʤən"),  # engine: soft g, before ng binds
     ("ng",    None, "$", "ŋ"),
     ("ng",    None, None, "ŋg"),
     ("nk",    None, None, "ŋk"),
     ("alk",   None, None, "ɔk"),
     ("all",   None, "$", "ɔl"),
+    ("off",   "^$", None, "ɔf"),   # office, offer, off
+    ("gine",  V + "[a-z]*", "$", "ʤən"),  # imagine
+    # 'o' before ld/st codas is long (told, golden, most, host — the
+    # letter-default ɑ was the largest ɑ→oʊ error class)
+    ("old",   None, None, "oʊld"),
+    ("olt",   None, None, "oʊlt"),
+    ("ost",   "[mhpg]", "$", "oʊst"),
     ("ange",  None, "$", "eɪnʤ"),
+    ("ange",  "[a-z]", "[rds]", "eɪnʤ"),  # danger, stranger, changed
+    ("aken",  None, None, "eɪkən"),       # taken, shaken, mistaken
+    ("a",     None, "[bcdfgklmnprst]ing$", "eɪ"),  # making, amazing
+    ("i",     None, "[bcdfgklmnprst]ing$", "aɪ"),  # riding, timing
     ("nge",   None, "$", "nʤ"),
+    # long-o morphological families (tokens, unspoken, motorist, oceans,
+    # locally, totally, bonuses, polarized, domains)
+    ("oken",  None, None, "oʊkən"),
+    ("oment", None, None, "oʊmənt"),
+    ("otor",  None, None, "oʊtər"),
+    ("ocean", None, None, "oʊʃən"),
+    ("otal",  None, None, "oʊtəl"),
+    ("ocus",  None, None, "oʊkəs"),
+    ("ocal",  None, None, "oʊkəl"),
+    ("otice", None, None, "oʊtɪs"),
+    ("onus",  None, None, "oʊnəs"),
+    ("olar",  None, None, "oʊlər"),
+    ("omain", None, None, "oʊmeɪn"),
+    ("over",  "^", None, "oʊvər"),
+    ("aste",  None, None, "eɪst"),   # waste, taste, paste (two-consonant
+    #                                  coda blocks magic-e)
+    ("avor",  None, None, "eɪvər"),  # favor, flavor, behavior
+    ("a",     None, "d[iy]", "eɪ"),  # lady, radio, stadium
     ("oo",    None, "k", "ʊ"),
     ("oo",    None, None, "u"),
     ("ee",    None, None, "i"),
@@ -222,17 +263,33 @@ _LTS_RULES = [
     ("ed",    V + "[a-z]*", "$", "d"),
     ("wor",   "^", C, "wər"),
     ("ar",    "w", None, "ɔr"),
+    # doubled r: the vowel is NOT r-colored (sorry, cherry, mirror,
+    # hurry); 'a' before intervocalic r fronts to ɛ (care, parent)
+    ("arr",   None, "[aeiouy]", "ɛr"),
+    ("err",   None, "[aeiouy]", "ɛr"),
+    ("irr",   None, "[aeiouy]", "ɪr"),
+    ("orr",   None, "[aeiouy]", "ɑr"),
+    ("urr",   None, "[aeiouy]", "ər"),
+    ("ar",    None, "[aeiouy]", "ɛr"),
     ("ar",    None, None, "ɑr"),
     ("er",    None, None, "ər"),
     ("ir",    None, None, "ər"),
     ("ur",    None, None, "ər"),
     ("or",    None, None, "ɔr"),
-    # magic-e: vowel + single consonant + e$
-    ("a",     None, C + "e$", "eɪ"),
-    ("i",     None, C + "e$", "aɪ"),
-    ("o",     None, C + "e$", "oʊ"),
-    ("u",     None, C + "e$", "ju"),
-    ("e",     None, C + "e$", "i"),
+    # magic-e: vowel + single consonant + e$, also through the -s/-d
+    # inflection tails (makes, named, times, notes — the blocked-by-s
+    # default 'a' was the largest æ→eɪ error class)
+    ("a",     None, C + "e[sd]?$", "eɪ"),
+    ("i",     None, C + "e[sd]?$", "aɪ"),
+    ("o",     None, C + "e[sd]?$", "oʊ"),
+    ("u",     None, C + "e[sd]?$", "ju"),
+    ("e",     None, C + "e[sd]?$", "i"),
+    # open-syllable long vowels before a SINGLE consonant (doubled
+    # consonants now reach the rules intact, so table/apple and
+    # baby/happy are distinguishable)
+    ("a",     None, C + "le$", "eɪ"),   # table, cable, stable, able
+    ("a",     None, C + "y$", "eɪ"),    # baby, navy, lazy, crazy
+    ("oll",   None, "$", "oʊl"),        # poll, roll, toll, scroll
     # single letters
     ("a",     "^$", C + "[aeiouy]", "ə"),  # about, again, around (unstressed)
     ("i",     None, "[aeou]", "i"),        # hiatus: period, curious, union
@@ -248,6 +305,18 @@ _LTS_RULES = [
     ("y",     "^$", None, "j"),
     ("y",     None, "$", "i"),
     ("y",     None, None, "ɪ"),
+    # doubled consonants spell one sound (pass, hull, apparent); handled
+    # IN the cascade rather than by a pre-pass so single-vs-double
+    # consonant context stays visible to the open-syllable rules above
+    # (table vs apple, baby vs happy)
+    ("bb", None, None, "b"), ("dd", None, None, "d"),
+    ("ff", None, None, "f"), ("gg", None, None, "g"),
+    ("kk", None, None, "k"), ("ll", None, None, "l"),
+    ("mm", None, None, "m"), ("nn", None, None, "n"),
+    ("pp", None, None, "p"), ("rr", None, None, "r"),
+    ("ss", None, None, "s"), ("tt", None, None, "t"),
+    ("vv", None, None, "v"), ("zz", None, None, "z"),
+    ("xx", None, None, "ks"),
     ("b", None, None, "b"), ("c", None, "[eiy]", "s"),
     ("c", None, None, "k"), ("d", None, None, "d"),
     ("f", None, None, "f"), ("g", None, "[eiy]", "ʤ"),
@@ -255,7 +324,7 @@ _LTS_RULES = [
     ("j", None, None, "ʤ"), ("k", None, None, "k"),
     ("l", None, None, "l"), ("m", None, None, "m"),
     ("n", None, None, "n"), ("p", None, None, "p"),
-    ("r", None, None, "r"), ("s", V + "$", V, "z"),
+    ("r", None, None, "r"),
     ("s", None, None, "s"), ("t", None, None, "t"),
     ("v", None, None, "v"), ("w", None, None, "w"),
     ("x", None, None, "ks"), ("z", None, None, "z"),
@@ -274,20 +343,97 @@ _compiled_rules = [
     for g, lc, rc, out in _LTS_RULES
 ]
 
+# ---------------------------------------------------------------------------
+# Grapheme-origin detection (VERDICT r4 #3): loanwords keep their source
+# language's letter-to-sound conventions, which English rules render
+# wrongly (zeitgeist-class). Strong orthographic markers classify a word
+# as German- or French-origin; matching words run a small rule OVERLAY
+# before the main cascade. Markers are deliberately high-precision
+# clusters that native English spelling essentially never produces.
+# ---------------------------------------------------------------------------
 
-_DOUBLE_CONS = re.compile(r"([bdfgklmnprstvz])\1")
+_GERMAN_RE = re.compile(
+    r"zeit|stein|geist|krieg|berg$|burg$|mann$|heim$|bach$|wald$|"
+    r"hof$|reich|schaft|sch(?=[lmnrwb])|schu(?=[blmr])|"
+    r"(?<=[aeiou])tz$|^(?:ge|vor|über)schich"
+)
+# the -et$ marker is an explicit stem list: a bare consonant+et$
+# lookbehind caught native words (get, set, asset)
+_FRENCH_RE = re.compile(
+    r"eau|eaux$|oux$|ieux?$|oire?$|euse$|esque$|aise$|"
+    r"(?:ball|buff|bouqu|cabar|chal|crochet|croqu|fill|gourm|parqu|"
+    r"piqu|rico?ch|sorb|val|ber)et$|oye|"
+    r"croiss|gnon|gnac|aille|ouche$|outte$|chine$|"
+    r"^(?:ch(?:amois|ampagne|auffeur|agrin|alet|andelier|artreuse|"
+    r"ateau|emise|evron|iffon|anteuse)|rendezv|silhou|bourgeo|"
+    r"connoisse|entrepren|camoufl|repertoi|croch)"
+)
 
-_NUCLEUS_VOWELS = "ɑæɔəɛɪʊaeiou"
+# overlay rules, same shape as _LTS_RULES, tried BEFORE the main cascade
+_GERMAN_RULES = [
+    ("sch", None, None, "ʃ"),     # schmidt, schultz (Greek sch→sk stands
+    #                               outside German-marked words)
+    ("ei",  None, None, "aɪ"),    # zeitgeist, stein, rhein
+    ("eu",  None, None, "ɔɪ"),    # freud, deutsche
+    ("tz",  None, None, "ts"),    # katz, glitz
+    ("dt",  None, "$", "t"),      # schmidt, brandt
+    ("th",  None, None, "t"),     # neanderthal, goethe
+    ("oe",  None, None, "ɜ"),
+    ("u",   None, "l", "ʊ"),      # schultz, schulz
+    ("g",   None, "[ei]", "g"),   # geist, krieger: hard g before e/i
+]
+_FRENCH_RULES = [
+    ("eaux", None, "$", "oʊz"),
+    ("eau",  None, None, "oʊ"),
+    ("aise", None, "$", "eɪz"),
+    ("ieux", None, "$", "ju"),
+    ("ieu",  None, "$", "ju"),
+    ("oire", None, "$", "wɑr"),
+    ("oir",  None, "$", "wɑr"),
+    ("euse", None, "$", "uz"),    # masseuse, chanteuse
+    ("eur",  None, None, "ər"),   # chauffeur, entrepreneur
+    ("au",   None, None, "oʊ"),   # chauffeur, gauche
+    ("oux",  None, "$", "u"),
+    ("oy",   None, V, "waɪ"),     # voyeur, foyer
+    ("ch",   None, None, "ʃ"),    # chauffeur, champagne, chamois
+    ("ou",   None, None, "u"),    # rouge, routine-class
+    ("ine",  None, "s?$", "in"),  # machine, cuisine (not magic-e aɪ)
+    ("et",   None, "$", "eɪ"),    # bouquet, ballet, chalet
+    ("oi",   None, None, "wɑ"),   # chamois... (s$ silent below)
+    ("s",    "oi", "$", ""),      # chamois: silent final s after -oi
+    ("que",  None, "$", "k"),
+    ("qu",   None, None, "k"),    # bouquet, piquet (no English kw glide)
+    ("gn",   V, V, "nj"),         # cognac, mignon
+]
+
+_german_rules_c = [
+    (g, re.compile((lc or "") + "$") if lc else None,
+     re.compile("^" + rc) if rc else None, out)
+    for g, lc, rc, out in _GERMAN_RULES
+]
+_french_rules_c = [
+    (g, re.compile((lc or "") + "$") if lc else None,
+     re.compile("^" + rc) if rc else None, out)
+    for g, lc, rc, out in _FRENCH_RULES
+]
+
+
+def _word_origin(word: str) -> str:
+    if _GERMAN_RE.search(word):
+        return "de"
+    if _FRENCH_RE.search(word):
+        return "fr"
+    return "en"
+
+
+
+_NUCLEUS_VOWELS = "ɑæɔəɛɪʊaeiouɜ"
 _DIPHTHONGS = {"eɪ", "aɪ", "ɔɪ", "oʊ", "aʊ"}
 
 
-def _reduce_unstressed(ipa: str) -> str:
-    """Crude vowel reduction: in 2+-syllable words, non-initial lax æ/ɑ
-    reduce to ə (English unstressed syllables centralize; CMUdict shows
-    this in ~2/3 of such nuclei — measured on the embedded lexicon, this
-    pass cuts LTS phoneme error rate 19.4% → 18.1%). Diphthongs and
-    r-colored vowels keep their quality; the first nucleus is assumed
-    stressed (the default stress heuristic puts ˈ there too)."""
+def _nucleus_spans(ipa: str):
+    """Vowel-nucleus spans [(start, end)] of an IPA string (diphthongs as
+    one span)."""
     spans, i = [], 0
     while i < len(ipa):
         if ipa[i] in _NUCLEUS_VOWELS:
@@ -298,36 +444,150 @@ def _reduce_unstressed(ipa: str) -> str:
             i = j
         else:
             i += 1
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Stress placement from orthography (VERDICT r4 #3). English derivational
+# suffixes largely determine stress position; the table maps an
+# orthographic suffix to the stressed nucleus counted FROM THE END of the
+# IPA our own rules emit for it (1 = the suffix's own final nucleus, 2 =
+# the nucleus just before a 1-nucleus suffix, ...). Stress-NEUTRAL
+# suffixes are stripped first so "respectfulness" resolves like
+# "respect". Without a suffix cue: reducible latinate prefixes throw
+# stress to the second nucleus; everything else defaults to the first
+# (the majority pattern for dictionary headwords).
+# ---------------------------------------------------------------------------
+
+_STRESS_SUFFIXES = [
+    # stress on the suffix itself
+    ("eer", 1), ("ese", 1), ("ique", 1), ("esce", 1),
+    ("ette", 1), ("oon", 1), ("aire", 1), ("eur", 1), ("euse", 1),
+    # stress immediately before the suffix (n = suffix nuclei + 1,
+    # counted in OUR rule output)
+    ("ation", 2), ("ition", 2), ("ution", 2), ("tion", 2), ("sion", 2),
+    ("cial", 2), ("tial", 2), ("cious", 2), ("tious", 2), ("geous", 2),
+    ("cian", 2), ("gian", 2),
+    ("ic", 2), ("ics", 2), ("ical", 3), ("ically", 4),
+    ("ity", 3), ("ety", 3), ("ities", 4),
+    ("ology", 3), ("ography", 3), ("ogies", 4),
+    ("ify", 3), ("efy", 3),
+    ("ial", 3), ("ian", 3), ("ious", 3), ("ium", 3), ("ia", 3),
+    ("itive", 3), ("itude", 3), ("inal", 3),
+    ("self", 1), ("selves", 1),
+]
+
+_NEUTRAL_SUFFIX_RE = re.compile(
+    r"(ness|less|ment|ful|ship|hood|like|wise|ly|ers?|ings?|ed|es|s)$"
+)
+_REDUCIBLE_PREFIX_RE = re.compile(
+    # net-positive prefixes only, measured against the embedded lexicon's
+    # stress marks (pro/ab/sub/pur/for were net-negative; a is +31)
+    r"^(be|de|re|pre|ex|con|com|ad|ob|oc|sup|sur|per|"
+    r"en|em|im|in|un|dis|a)(?=[bcdfghjklmnpqrstvwxz])"
+)
+
+
+def _stress_nucleus(word: str, n_nuclei: int):
+    """→ (index into the nucleus-span list of the predicted stressed
+    nucleus, prediction source). The source doubles as a confidence tier,
+    measured against the embedded lexicon's stress marks: 'suffix' 92 %,
+    'default' 81 %, 'prefix' 62 % — the reduction pass scales its
+    aggressiveness accordingly (grid-searched per tier)."""
+    if n_nuclei <= 1:
+        return 0, "default"
+    w = word
+    for _ in range(3):  # strip stress-neutral suffixes
+        for suf, n_end in _STRESS_SUFFIXES:
+            if w.endswith(suf) and len(w) - len(suf) >= 2:
+                return max(0, n_nuclei - n_end), "suffix"
+        w2 = _NEUTRAL_SUFFIX_RE.sub("", w)
+        if w2 == w or len(w2) < 3:
+            break
+        w = w2
+    m = _REDUCIBLE_PREFIX_RE.match(w)
+    if m and n_nuclei >= 2:
+        return 1, "prefix"
+    return 0, "default"
+
+
+def _reduce_unstressed(
+    ipa: str, stress_idx: int, word: str = "", source: str = "suffix"
+) -> str:
+    """Stress-aware vowel reduction: unstressed lax nuclei centralize to ə
+    (CMUdict's dominant pattern), the stressed nucleus keeps its full
+    quality. Replaces the round-2 blanket pass, whose two failure modes
+    were measured as the top LTS confusions: it reduced STRESSED æ/ɑ
+    (ə→æ/ɑ, ~390 errors) and left unstressed ɛ/ɪ full (ɛ→ə 277,
+    ɪ→ə 463). Diphthongs, r-colored vowels and a word-final i (happy-
+    tensing) keep their quality; an unstressed word-final 'iCe'-spelled
+    aɪ (office, engine, promise — magic-e overreach) reduces to ə."""
+    spans = _nucleus_spans(ipa)
     if len(spans) < 2:
         return ipa
+    # ɛ joins the reducible set only when the stress prediction is
+    # trustworthy (grid-searched per source tier: reducing ɛ on the 62 %-
+    # accurate prefix tier created more ə→ɛ errors than it fixed)
+    reducible = "æɑ" if source == "prefix" else "æɑɛ"
     out = list(ipa)
+    # final-syllable 'iCe' spellings whose magic-e aɪ is unstressed reduce
+    # — but only the endings where CMUdict's reduced form is the majority
+    # pattern: -ice (office, service, justice), -ine after g/m/c (engine,
+    # famine, medicine), -ite after s/r/n (opposite, favorite, definite).
+    # -ide/-ive/-ise/-ize and the rest keep aɪ (provide, divine,
+    # realize); stressed finals are protected by stress_idx either way
+    final_ice = bool(re.search(r"(ice|[gmc]ine|[srn]ite)s?$", word))
     for k, (a, b) in enumerate(spans):
-        if k == 0:
-            continue
         seg = ipa[a:b]
-        if seg in _DIPHTHONGS or ipa[b : b + 1] == "r":
+        if k == stress_idx:
             continue
-        if seg in "æɑ":
-            out[a:b] = "ə"
-    return "".join(out)
+        if ipa[b : b + 1] == "r":
+            continue
+        if seg in _DIPHTHONGS:
+            # unstressed final-syllable aɪ from magic-e 'iCe' spelling
+            if seg == "aɪ" and k == len(spans) - 1 and final_ice:
+                out[a:b] = ["ə", ""]
+            continue
+        if k == len(spans) - 1 and seg == "i":
+            continue  # happy-tensing: final i stays tense
+        if seg in reducible:
+            out[a:b] = ["ə"]
+        elif seg == "ɪ" and 0 < k < len(spans) - 1:
+            # unstressed word-MEDIAL ɪ centralizes (criminal, separate);
+            # final-syllable ɪ stays (-ing, -ish, -ive keep ɪ in CMUdict)
+            # and so does an initial ɪ (the bɪ-/dɪ-/rɪ- prefix rules
+            # already emit CMUdict's vowel)
+            out[a:b] = ["ə"]
+    return "".join(c for c in out if c)
 
 
 def letter_to_sound(word: str) -> str:
     """Rule-based G2P for an OOV word → pre-ipa2 IPA (no stress marks)."""
     word = word.lower()
-    # doubled consonants spell one sound (pass, hull, apparent); 'cc' is
-    # kept — it splits to /ks/ before e/i (accident, accept). A FINAL
-    # "ss" survives reduction so the -ness/-less suffix rules can see it
-    # and so the plural voicing rule never turns class/pass into -z
-    tail = ""
-    if word.endswith("ss"):
-        word, tail = word[:-2], "ss"
-    word = _DOUBLE_CONS.sub(r"\1", word) + tail
+    origin = _word_origin(word)
+    overlay = (
+        _german_rules_c if origin == "de"
+        else _french_rules_c if origin == "fr" else None
+    )
     out = []
     i = 0
     n = len(word)
     while i < n:
         matched = False
+        if overlay is not None:
+            for g, lc, rc, ipa in overlay:
+                if not word.startswith(g, i):
+                    continue
+                if lc is not None and not lc.search(word[:i]):
+                    continue
+                if rc is not None and not rc.search(word[i + len(g):]):
+                    continue
+                out.append(ipa)
+                i += len(g)
+                matched = True
+                break
+        if matched:
+            continue
         for g, lc, rc, ipa in _compiled_rules:
             if not word.startswith(g, i):
                 continue
@@ -341,20 +601,34 @@ def letter_to_sound(word: str) -> str:
             break
         if not matched:
             i += 1  # drop unknown characters
-    return _reduce_unstressed("".join(out))
+    raw = "".join(out)
+    n_spans = len(_nucleus_spans(raw))
+    if origin == "fr" and n_spans >= 2:
+        # French loans carry final stress in English (machine, bouquet,
+        # chauffeur); high confidence, so the full reduction set applies
+        stress_idx, src = n_spans - 1, "suffix"
+    else:
+        stress_idx, src = _stress_nucleus(word, n_spans)
+    return _reduce_unstressed(raw, stress_idx, word, src)
 
 
-def _add_default_stress(ipa: str) -> str:
-    """Place ˈ before the first vowel's onset (crude CMU-style default)."""
+def _add_default_stress(ipa: str, word: str = "") -> str:
+    """Place ˈ before the predicted stressed nucleus's onset (suffix-
+    aware via _stress_nucleus when the orthography is known; first
+    nucleus otherwise — the old CMU-style default)."""
     if "ˈ" in ipa or "ˌ" in ipa:
         return ipa
-    for idx, ch in enumerate(ipa):
-        if ch in VOWELS_IPA:
-            onset = idx
-            while onset > 0 and ipa[onset - 1] not in VOWELS_IPA:
-                onset -= 1
-            return ipa[:onset] + "ˈ" + ipa[onset:]
-    return ipa
+    spans = _nucleus_spans(ipa)
+    if not spans:
+        return ipa
+    k = 0
+    if word:
+        k, _ = _stress_nucleus(word, len(spans))
+        k = min(k, len(spans) - 1)
+    onset = spans[k][0]
+    while onset > 0 and ipa[onset - 1] not in VOWELS_IPA:
+        onset -= 1
+    return ipa[:onset] + "ˈ" + ipa[onset:]
 
 
 def _plural(base: str) -> str:
@@ -485,7 +759,7 @@ def word_to_ipa(word: str) -> str:
     if hybrid is not None:
         return _add_default_stress(hybrid)
     ipa = letter_to_sound(w)
-    return _add_default_stress(ipa)
+    return _add_default_stress(ipa, w)
 
 
 def expand_abbreviations(text: str) -> str:

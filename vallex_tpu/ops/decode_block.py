@@ -88,8 +88,13 @@ def _kernel(
     alpha_temp_ref,  # [1, 4] SMEM: (pe alpha, temperature, top_k, top_p)
     logp0_ref,  # [1, B] SMEM f32: logprob of tok0
     sumlp0_ref,  # [1, B] SMEM f32: accumulated logprobs entering the block
-    cache_k_hbm,  # [NL, C, N] (C includes K slack rows)
+    cache_k_hbm,  # [NL, C, N] (C includes K slack rows; grouped mode:
+    #               generated rows ONLY, row t = generated frame t)
     cache_v_hbm,  # [NL, C, N]
+    prefix_k_hbm,  # [NL, s_text + p_audio, (B//beams)*D] grouped-mode
+    #                shared prefix (text+BOS+prompt K per REQUEST, no beam
+    #                copies); token-sized dummy otherwise
+    prefix_v_hbm,
     # outputs
     logits_ref,  # [B, VP] — last step's logits (debug/inspection)
     ytok_ref,  # [K, B] SMEM (full array): the token FED at step k
@@ -129,6 +134,8 @@ def _kernel(
     p_audio: int,
     kv_quant: bool,
     filtered: bool,
+    grouped: bool,
+    beams: int,
 ):
     k_step = pl.program_id(0)
     layer = pl.program_id(1)
@@ -446,8 +453,66 @@ def _kernel(
             jnp.zeros((1, B * D), jnp.float32),
         )
 
+        def fold_grouped(kb, vb, ok_g, state):
+            """Grouped-prefix fold: kb/vb are [rows, R_req*D] planes with
+            request r's shared prefix in lanes [r*D, (r+1)*D); ok_g is
+            [rows, R_req] per-request row validity. Each (request, beam)
+            folds its request's NARROW plane against its own query — the
+            same math as fold(shared=True), so no VMEM lane-broadcast is
+            ever materialized (a widened [rows, N] copy costs ~1 GB/frame
+            of on-chip traffic at best_of=5, measured slower than the HBM
+            re-reads it replaced). Zero-padded contractions are exact in
+            f32, so tokens stay bitwise equal to the ungrouped fold."""
+            R_req_ = B // beams
+            m_all, l_all, acc_all = state
+            out_m, out_l, out_acc = [], [], []
+            for g in range(B):
+                r = g // beams
+                kb_r = kb[:, r * D : (r + 1) * D]
+                vb_r = vb[:, r * D : (r + 1) * D]
+                ok_r = ok_g[:, r : r + 1]
+                m_b = m_all[:, g * Hh : (g + 1) * Hh]
+                l_b = l_all[:, g * Hh : (g + 1) * Hh]
+                acc_b = acc_all[:, g * D : (g + 1) * D]
+                q_b = q_cache[g : g + 1]  # [1, D] f32
+                kq = kb_r * q_b
+                s = jax.lax.dot(
+                    kq.astype(jnp.bfloat16) if score16 else kq, sel_s,
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [rows, H]
+                s = jnp.where(ok_r, s, -1e30)
+                m_new = jnp.maximum(
+                    m_b, jnp.max(s, axis=0, keepdims=True)
+                )
+                alpha = jnp.exp(m_b - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = l_b * alpha + jnp.sum(p, axis=0, keepdims=True)
+                p_lanes = jax.lax.dot(
+                    p.astype(jnp.bfloat16) if score16 else p, selT_s,
+                    preferred_element_type=jnp.float32,
+                )
+                alpha_lanes = jax.lax.dot(
+                    alpha, sel.T, preferred_element_type=jnp.float32
+                )
+                acc_new = acc_b * alpha_lanes + jnp.sum(
+                    p_lanes * vb_r, axis=0, keepdims=True
+                )
+                out_m.append(m_new)
+                out_l.append(l_new)
+                out_acc.append(acc_new)
+            del R_req_
+            return (
+                jnp.concatenate(out_m, axis=1),
+                jnp.concatenate(out_l, axis=1),
+                jnp.concatenate(out_acc, axis=1),
+            )
+
         if B == 1:
             state = _hbm_fold_single(fold, state0)
+        elif batched and grouped:
+            state = _hbm_fold_batched_grouped(
+                fold_wide, fold_grouped, state0
+            )
         elif batched:
             state = _hbm_fold_batched(fold_wide, state0)
         else:
@@ -954,6 +1019,205 @@ def _kernel(
 
         return jax.lax.fori_loop(0, ntail, body_t, state)
 
+    def _hbm_fold_batched_grouped(fold_wide, fold_grouped, state0):
+        """Batched best_of fold with the GROUPED shared-prefix layout
+        (engine ar_generate_batch, beams > 1): the text + BOS + prompt K/V
+        live ONCE per request in prefix_{k,v}_hbm — [NL, s_text + p_audio,
+        R*D] lanes, no beam copies — and the main cache holds ONLY
+        generated rows ([NL, t_gen + slack, N], row t = generated frame
+        t). Each prefix block is DMA'd at R*D lanes and lane-broadcast to
+        the full beam width in VMEM, so per-step HBM prefix traffic drops
+        by a factor of `beams` vs the ungrouped layout — the measured
+        reason coalesced best_of lost to back-to-back single requests
+        (PERFORMANCE.md: each of R*B lane rows re-read its request's
+        prompt cache). Fold block boundaries, masks and fold order are
+        IDENTICAL to _hbm_fold_batched, so emitted tokens are bitwise
+        equal to the ungrouped layout."""
+        SBLK = 128
+        R_req = B // beams
+        mp = plen_ref[0]
+        for i in range(B):
+            mp = jnp.maximum(mp, plen_ref[i])
+
+        # per-REQUEST valid lengths for the narrow prefix folds
+        ri = jax.lax.broadcasted_iota(jnp.int32, (1, R_req), 1)
+        xl_r = jnp.zeros((1, R_req), jnp.int32)
+        pl_r = jnp.zeros((1, R_req), jnp.int32)
+        for r in range(R_req):
+            xl_r = jnp.where(ri == r, x_len_ref[r * beams], xl_r)
+            pl_r = jnp.where(ri == r, plen_ref[r * beams], pl_r)
+
+        P_B = p_audio // ABLK  # static bound on prompt blocks
+        n_prompt = jnp.minimum(mp // ABLK + 1, P_B)
+        nfull = pos0 // ABLK
+        ntail = (pos0 - nfull * ABLK + SBLK - 1) // SBLK
+        is0 = 1 + n_prompt
+        total = is0 + nfull + ntail
+
+        def text_pair(slot):
+            return (
+                pltpu.make_async_copy(
+                    prefix_k_hbm.at[layer, pl.ds(0, s_text), :],
+                    ksh.at[slot, pl.ds(0, s_text), :], sems_sh.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    prefix_v_hbm.at[layer, pl.ds(0, s_text), :],
+                    vsh.at[slot, pl.ds(0, s_text), :], sems_sh.at[slot, 1],
+                ),
+            )
+
+        def prompt_pair(j, slot):
+            start = s_text + pl.multiple_of(j * ABLK, ABLK)
+            return (
+                pltpu.make_async_copy(
+                    prefix_k_hbm.at[layer, pl.ds(start, ABLK), :],
+                    ksh.at[slot], sems_sh.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    prefix_v_hbm.at[layer, pl.ds(start, ABLK), :],
+                    vsh.at[slot], sems_sh.at[slot, 1],
+                ),
+            )
+
+        def full_pair(g, slot):
+            start = pl.multiple_of(g * ABLK, ABLK)
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(start, ABLK), :],
+                    kbuf.at[slot], sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(start, ABLK), :],
+                    vbuf.at[slot], sems.at[slot, 1],
+                ),
+            )
+
+        def tail_pair(t, slot):
+            start = pl.multiple_of(nfull * ABLK + t * SBLK, SBLK)
+            return (
+                pltpu.make_async_copy(
+                    cache_k_hbm.at[layer, pl.ds(start, SBLK), :],
+                    kbuf.at[slot, pl.ds(0, SBLK), :], sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    cache_v_hbm.at[layer, pl.ds(start, SBLK), :],
+                    vbuf.at[slot, pl.ds(0, SBLK), :], sems.at[slot, 1],
+                ),
+            )
+
+        def issue(i):
+            """Start vblock i's DMA pair. Prefix vblocks alternate ksh/vsh
+            slots by i, generated vblocks alternate kbuf/vbuf slots by
+            (i - is0) — each buffer family's consecutive users always land
+            on opposite slots (same dispatcher shape as
+            _hbm_fold_beams)."""
+
+            @pl.when(i == 0)
+            def _():
+                a, b = text_pair(0)
+                a.start()
+                b.start()
+
+            @pl.when(jnp.logical_and(i >= 1, i < is0))
+            def _():
+                a, b = prompt_pair(i - 1, jax.lax.rem(i, 2))
+                a.start()
+                b.start()
+
+            g = i - is0
+
+            @pl.when(jnp.logical_and(i >= is0, g < nfull))
+            def _():
+                a, b = full_pair(g, jax.lax.rem(g, 2))
+                a.start()
+                b.start()
+
+            @pl.when(jnp.logical_and(i >= is0, g >= nfull))
+            def _():
+                a, b = tail_pair(g - nfull, jax.lax.rem(g, 2))
+                a.start()
+                b.start()
+
+        issue(0)
+        issue(1)  # total >= 2: n_prompt >= 1 always
+
+        # --- text (rows < x_len_r per request; mask identical) -------------
+        a, b = text_pair(0)
+        a.wait()
+        b.wait()
+        rows_t = jax.lax.broadcasted_iota(jnp.int32, (s_text, R_req), 0)
+        ok_t = rows_t < xl_r
+        state = fold_grouped(
+            ksh[0, :s_text].astype(jnp.float32),
+            vsh[0, :s_text].astype(jnp.float32),
+            ok_t, state0,
+        )
+
+        # --- prompt blocks (audio row <= prompt_len_r) ----------------------
+        rows_p = jax.lax.broadcasted_iota(jnp.int32, (ABLK, R_req), 0)
+
+        def body_p(j, state):
+            i = j + 1
+
+            @pl.when(i + 1 < total)
+            def _():
+                issue(i + 1)
+
+            slot = jax.lax.rem(i, 2)
+            a, b = prompt_pair(j, slot)
+            a.wait()
+            b.wait()
+            ok = (j * ABLK + rows_p) <= pl_r
+            return fold_grouped(
+                ksh[slot].astype(jnp.float32),
+                vsh[slot].astype(jnp.float32), ok, state,
+            )
+
+        state = jax.lax.fori_loop(0, n_prompt, body_p, state)
+
+        # --- generated region (full-lane; row idx < pos0) -------------------
+        ones_full = jnp.ones((ABLK, 1), bool)
+
+        def body_f(g, state):
+            i = is0 + g
+
+            @pl.when(i + 1 < total)
+            def _():
+                issue(i + 1)
+
+            slot = jax.lax.rem(g, 2)
+            a, b = full_pair(g, slot)
+            a.wait()
+            b.wait()
+            return fold_wide(
+                kbuf[slot].astype(jnp.float32),
+                vbuf[slot].astype(jnp.float32), ones_full, state,
+            )
+
+        state = jax.lax.fori_loop(0, nfull, body_f, state)
+
+        def body_t(t, state):
+            i = is0 + nfull + t
+
+            @pl.when(i + 1 < total)
+            def _():
+                issue(i + 1)
+
+            slot = jax.lax.rem(nfull + t, 2)
+            a, b = tail_pair(t, slot)
+            a.wait()
+            b.wait()
+            idx = (
+                nfull * ABLK + t * SBLK
+                + jax.lax.broadcasted_iota(jnp.int32, (SBLK, 1), 0)
+            )
+            ok = idx < pos0
+            kb = jnp.where(ok, kbuf[slot, :SBLK].astype(jnp.float32), 0.0)
+            vb = jnp.where(ok, vbuf[slot, :SBLK].astype(jnp.float32), 0.0)
+            return fold_wide(kb, vb, ok, state)
+
+        return jax.lax.fori_loop(0, ntail, body_t, state)
+
     # ---------------- phase 1: FFN (+ head + sampling on the last layer) ---
     def _ffn():
         h = h_acc[...]
@@ -1061,7 +1325,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "steps", "s_text", "num_heads", "vocab", "eos", "stochastic",
-        "quant", "act_quant", "batched", "p_audio", "filtered",
+        "quant", "act_quant", "batched", "p_audio", "filtered", "beams",
     ),
 )
 def decode_block_fused(
@@ -1077,11 +1341,16 @@ def decode_block_fused(
     prompt_len: jnp.ndarray,  # [] valid acoustic-prompt frames (audio rows
     #   [0, prompt_len] = BOS+prompt are beam-identical; drives the B>1
     #   shared-prefix DMA schedule. Ignored at B=1.)
+    prefix_k: "jnp.ndarray | None" = None,  # [NL, s_text + p_audio,
+    #   (B//beams)*D] grouped batched-beams mode: per-REQUEST prefix K
+    #   (text + BOS + prompt, no beam copies); cache_k then holds ONLY
+    #   generated rows. None = ungrouped layout.
+    prefix_v: "jnp.ndarray | None" = None,
+    *,
     seed: jnp.ndarray,  # [] i32 seed of step 0
     remaining: jnp.ndarray,  # [] i32 steps left before the length cap
     temperature: jnp.ndarray,
     pe_alpha: jnp.ndarray,
-    *,
     steps: int,
     s_text: int,
     num_heads: int,
@@ -1096,6 +1365,7 @@ def decode_block_fused(
     filtered: bool = False,
     top_k=None,  # [] runtime top-k (filtered mode; <= 0 disables)
     top_p=None,  # [] runtime top-p (filtered mode; >= 1 disables)
+    beams: int = 1,  # static: lane rows per request (grouped mode)
 ):
     """K fused decode steps → (fed_tokens [K,B], next_tok [B], next_logp [B],
     done' [B], sum_logprobs' [B], cache_k', cache_v',
@@ -1112,13 +1382,23 @@ def decode_block_fused(
     VB = lw["emb"].shape[0]
     K = steps
     KP = -(-K // 8) * 8  # sublane-aligned scratch/write-back plane rows
+    grouped = prefix_k is not None
     # The engine allocates the caches as [s_text + t_audio + slack] with
     # t_audio % ABLK == 0; audio-block DMA bounds are guaranteed by the
     # engine's pos0 <= t_audio - 1 invariant. slack >= KP covers the
     # KP-row column write (rows K..KP-1 are stale garbage that the next
     # block/verify pass overwrites before their positions become valid).
     assert s_text <= ABLK and s_text % 128 == 0
-    assert C - s_text >= ABLK + KP, (C, K, s_text)
+    if grouped:
+        # grouped layout: the main cache holds generated rows only; the
+        # prefix lives in prefix_{k,v} at (B//beams)*D lanes per row
+        assert batched and B % beams == 0, (B, beams)
+        assert prefix_k.shape == (NL, s_text + p_audio, (B // beams) * D), (
+            prefix_k.shape, (NL, s_text + p_audio, (B // beams) * D)
+        )
+        assert C >= ABLK + KP, (C, K)
+    else:
+        assert C - s_text >= ABLK + KP, (C, K, s_text)
     if batched:
         assert p_audio % ABLK == 0 and p_audio >= ABLK, p_audio
         assert B > 1, "batched mode packs requests in lanes; use the"\
@@ -1172,6 +1452,8 @@ def decode_block_fused(
             pl.BlockSpec((1, B), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=(
             pl.BlockSpec((B, VP), const2, memory_space=pltpu.VMEM),
@@ -1196,15 +1478,21 @@ def decode_block_fused(
             pltpu.SMEM((B,), jnp.float32),
             pltpu.SMEM((B,), jnp.int32),
             pltpu.SMEM((B,), jnp.float32),
-            # shared-prefix double buffers (real only under the B>1
-            # beams schedule; token-sized placeholders at B=1 and in
-            # batched mode, whose prefixes are per-request full-lane)
+            # shared-prefix double buffers: (2, ABLK, D) under the B>1
+            # single-request beams schedule, (2, ABLK, R*D) under the
+            # grouped batched-beams schedule, token-sized placeholders
+            # otherwise (B=1 and ungrouped batched, whose prefixes are
+            # per-request full-lane)
             pltpu.VMEM(
-                (2, ABLK, D) if (B > 1 and not batched) else (2, 8, 128),
+                (2, ABLK, D) if (B > 1 and not batched)
+                else (2, ABLK, (B // beams) * D) if grouped
+                else (2, 8, 128),
                 cache_k.dtype,
             ),
             pltpu.VMEM(
-                (2, ABLK, D) if (B > 1 and not batched) else (2, 8, 128),
+                (2, ABLK, D) if (B > 1 and not batched)
+                else (2, ABLK, (B // beams) * D) if grouped
+                else (2, 8, 128),
                 cache_v.dtype,
             ),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -1236,7 +1524,8 @@ def decode_block_fused(
             _kernel, s_text=s_text, num_heads=num_heads, vocab=vocab,
             eos=eos, stochastic=stochastic, quant=quant,
             act_quant=act_quant, batched=batched, p_audio=p_audio,
-            kv_quant=kv_quant, filtered=filtered,
+            kv_quant=kv_quant, filtered=filtered, grouped=grouped,
+            beams=beams,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -1273,13 +1562,20 @@ def decode_block_fused(
         logprobs.astype(jnp.float32)[None],
         sum_logprobs.astype(jnp.float32)[None],
         cache_k, cache_v,
+        prefix_k if grouped else jnp.zeros((1, 8, 128), cache_k.dtype),
+        prefix_v if grouped else jnp.zeros((1, 8, 128), cache_v.dtype),
     )
     (
         _, ytok, tok_out, logp_out, done_out, sum_out, newk, newv,
         step_logits,
     ) = outs
-    slot = s_text + p_audio + audio_pos.astype(jnp.int32) if batched \
-        else s_text + audio_pos.astype(jnp.int32)
+    if grouped:
+        # main cache holds generated rows only: frame t lives at row t
+        slot = audio_pos.astype(jnp.int32)
+    elif batched:
+        slot = s_text + p_audio + audio_pos.astype(jnp.int32)
+    else:
+        slot = s_text + audio_pos.astype(jnp.int32)
     ck = jax.lax.dynamic_update_slice(
         cache_k, newk.astype(cache_k.dtype), (0, slot, 0)
     )

@@ -143,13 +143,13 @@ class DynamicBatcher:
         # groups are exempt — they batch to max_batch as before). The
         # default (5) means best_of>=3 requests run ALONE through the
         # single-request path: measured on-chip (tools/best_of_checks.py),
-        # coalescing two best_of=5 requests is 1.4-1.6x SLOWER than
-        # back-to-back single runs in every quantize mode — ~5 lane rows
-        # already saturate the shared weight stream, the single-request
-        # beam schedule reads the shared prompt cache ONCE for all beams,
-        # and lockstep makes the short request ride the long one's
-        # frames. Raise max_rows only after the batched kernel learns
-        # grouped shared-prefix DMA (PERFORMANCE.md, known headroom).
+        # coalescing two best_of=5 requests stays 0.8x vs back-to-back
+        # single runs EVEN WITH the grouped shared-prefix cache layout
+        # (int8kv 452 vs 375 ms) — the per-beam attention fold's MXU
+        # output tile (16 head lanes padded to 128) makes fold cost scale
+        # with total beam rows, and lockstep pays it over the union of
+        # rows. Structural at H=16/hd=64; see PERFORMANCE.md "Coalesced
+        # best_of" for the executed-MAC analysis before re-attempting.
         self.max_rows = int(max_rows)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._q: "queue.Queue[Tuple[SynthesisRequest, Future]]" = queue.Queue()
