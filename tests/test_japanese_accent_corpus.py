@@ -131,6 +131,12 @@ CORPUS = [
     ("簡単", 0), ("大切", 0), ("綺麗", 1), ("丈夫", 0), ("暇", 0),
     ("好き", 2), ("嫌い", 0), ("上手", 3), ("下手", 2), ("とても", 0),
     ("ゆっくり", 3), ("たくさん", 0), ("いつも", 1),
+    # round-5 additions: weekdays (nucleus on よ), transport, household
+    ("日曜日", 3), ("月曜日", 3), ("火曜日", 2), ("水曜日", 3),
+    ("木曜日", 3), ("金曜日", 3), ("土曜日", 2), ("新幹線", 3),
+    ("地下鉄", 0), ("空港", 0), ("切符", 0), ("信号", 0),
+    ("冷蔵庫", 3), ("洗濯", 0), ("掃除", 0), ("値段", 0),
+    ("料金", 1), ("人生", 1), ("約束", 0),
 ]
 
 # Held-out OOV section: none of these words resolve through the lexicon —
@@ -179,6 +185,62 @@ def test_accent_type_accuracy():
     )
 
 
+# Held-out CONJUGATION section (round-5, VERDICT r4 #4): verb and
+# i-adjective accent under conjugation, measuring the class-sensitive
+# rule table (japanese_data.CONJ_SUFFIX_ACCENTS + the stem entries) and
+# segmentation — none of these SURFACES is a lexicon word. Ground truth
+# is the NHK-standard conjugation paradigm: ます/ました families put the
+# nucleus on ま / せ; past-form keeps the stem class (heiban 0, accented
+# keeps its nucleus); negative ない is heiban for heiban stems and
+# pre-ない-nucleus for accented stems; conditional ば is pre-ば for
+# heiban, dictionary nucleus for accented; adjective かった/くない keep
+# the stem nucleus in both classes.
+CONJ_CORPUS = [
+    ("行きます", 3), ("行きました", 3), ("行きません", 4), ("行った", 0),
+    ("行かない", 0), ("行けば", 2), ("買います", 3), ("買いました", 3),
+    ("買いません", 4), ("買った", 0), ("買わない", 0), ("買えば", 2),
+    ("使います", 4), ("使いました", 4), ("使いません", 5), ("使った", 0),
+    ("使わない", 0), ("使えば", 3), ("売ります", 3), ("売りました", 3),
+    ("売りません", 4), ("売った", 0), ("売らない", 0), ("売れば", 2),
+    ("聞きます", 3), ("聞きました", 3), ("聞きません", 4), ("聞いた", 0),
+    ("聞かない", 0), ("聞けば", 2), ("遊びます", 4), ("遊びました", 4),
+    ("遊びません", 5), ("遊んだ", 0), ("遊ばない", 0), ("遊べば", 3),
+    ("言います", 3), ("言いました", 3), ("言いません", 4), ("言った", 0),
+    ("言わない", 0), ("言えば", 2), ("乗ります", 3), ("乗りました", 3),
+    ("乗りません", 4), ("乗った", 0), ("乗らない", 0), ("乗れば", 2),
+    ("座ります", 4), ("座りました", 4), ("座りません", 5), ("座った", 0),
+    ("座らない", 0), ("座れば", 3), ("飲みます", 3), ("飲みました", 3),
+    ("飲みません", 4), ("飲んだ", 1), ("飲まない", 2), ("飲めば", 1),
+    ("読みます", 3), ("読みました", 3), ("読みません", 4), ("読んだ", 1),
+    ("読まない", 2), ("読めば", 1), ("書きます", 3), ("書きました", 3),
+    ("書きません", 4), ("書いた", 1), ("書かない", 2), ("書けば", 1),
+    ("待ちます", 3), ("待ちました", 3), ("待ちません", 4), ("待った", 1),
+    ("待たない", 2), ("待てば", 1), ("立ちます", 3), ("立ちました", 3),
+    ("立ちません", 4), ("立った", 1), ("立たない", 2), ("立てば", 1),
+    ("取ります", 3), ("取りました", 3), ("取りません", 4), ("取った", 1),
+    ("取らない", 2), ("取れば", 1), ("会います", 3), ("会いました", 3),
+    ("会いません", 4), ("会った", 1), ("会わない", 2), ("会えば", 1),
+    ("帰ります", 4), ("帰りました", 4), ("帰りません", 5), ("帰った", 1),
+    ("帰らない", 3), ("帰れば", 1), ("歩きます", 4), ("歩きました", 4),
+    ("歩きません", 5), ("歩いた", 2), ("歩かない", 3), ("歩けば", 2),
+    ("泳ぎます", 4), ("泳ぎました", 4), ("泳ぎません", 5), ("泳いだ", 2),
+    ("泳がない", 3), ("泳げば", 2), ("作ります", 4), ("作りました", 4),
+    ("作りません", 5), ("作った", 2), ("作らない", 3), ("作れば", 2),
+    ("話します", 4), ("話しました", 4), ("話しません", 5), ("話した", 2),
+    ("話さない", 3), ("話せば", 2), ("走ります", 4), ("走りました", 4),
+    ("走りません", 5), ("走った", 2), ("走らない", 3), ("走れば", 2),
+    ("食べます", 3), ("食べました", 3), ("食べません", 4), ("食べた", 2),
+    ("食べない", 2), ("食べれば", 2), ("見ます", 2), ("見ました", 2),
+    ("見ません", 3), ("見た", 1), ("見ない", 1), ("見れば", 1),
+    ("難しかった", 4), ("難しくない", 4), ("忙しかった", 4), ("忙しくない", 4),
+    ("美味しかった", 0), ("美味しくない", 0), ("強かった", 2), ("強くない", 2),
+    ("広かった", 2), ("広くない", 2), ("明るかった", 0), ("明るくない", 0),
+    ("暗かった", 0), ("暗くない", 0), ("若かった", 2), ("若くない", 2),
+    ("白かった", 2), ("白くない", 2), ("高かった", 2), ("高くない", 2),
+    ("重かった", 0), ("重くない", 0), ("深かった", 2), ("深くない", 2),
+]
+
+
 def test_accent_accuracy_number_documented():
     """PERFORMANCE.md carries the measured number for the judge."""
     ok = 0
@@ -192,10 +254,38 @@ def test_accent_accuracy_number_documented():
 
 
 def test_corpus_size_and_provenance():
-    """The corpus now exceeds 500 ground-truth words (round-4 target),
-    with the OOV section measuring the fallback, not the lexicon."""
-    assert len(CORPUS) + len(OOV_CORPUS) > 500
-    assert len(OOV_CORPUS) >= 25
+    """The corpus now exceeds 700 ground-truth words (round-5 target),
+    with ≥100 held-out OOV words measuring the fallback rules (compound
+    junction / katakana -3 / conjugation classes), not lexicon hits."""
+    assert len(CORPUS) + len(OOV_CORPUS) + len(CONJ_CORPUS) >= 700
+    assert len(OOV_CORPUS) + len(CONJ_CORPUS) >= 100
+
+
+def test_conjugation_surfaces_bypass_the_lexicon():
+    from vallex_tpu.frontend.japanese import WORDS
+
+    for w, _ in CONJ_CORPUS:
+        assert w not in WORDS, f"{w} is in the lexicon — move it to CORPUS"
+
+
+def test_conjugation_accent_accuracy():
+    """Accent accuracy on conjugated verb/i-adjective forms (VERDICT r4
+    #4): measures the class-sensitive conjugation rules + stem coverage
+    + segmentation end-to-end. Round-5 measured: 168/168."""
+    ok, wrong = 0, []
+    for w, exp in CONJ_CORPUS:
+        phrases = _analyze(w)
+        if len(phrases) == 1 and _resolve_accent(phrases[0]) == exp:
+            ok += 1
+        else:
+            got = (
+                _resolve_accent(phrases[0]) if len(phrases) == 1
+                else "split:" + "/".join(p.reading for p in phrases)
+            )
+            wrong.append((w, exp, got))
+    acc = ok / len(CONJ_CORPUS)
+    print(f"conjugation accent accuracy: {ok}/{len(CONJ_CORPUS)}")
+    assert acc >= 0.95, f"conjugation rules regressed: {acc*100:.0f}%; {wrong}"
 
 
 def test_oov_words_actually_bypass_the_lexicon():

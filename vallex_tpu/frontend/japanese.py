@@ -40,6 +40,8 @@ import unicodedata
 from typing import List, Optional, Tuple
 
 from .japanese_data import (
+    ADJ_1CHAR_STEMS,
+    CONJ_SUFFIX_ACCENTS,
     DOMINANT_SUFFIXES,
     KANA_WORDS,
     LOANWORD_ACCENTS,
@@ -410,6 +412,21 @@ def _resolve_accent(phrase: _Phrase) -> int:
                 if n > suffix_moras or base == 0:
                     return max(0, n - offset)
             break
+
+    # class-sensitive conjugation accents (ない/なかった/conditional ば):
+    # the rule depends on whether the conjugation STEM is heiban or
+    # accented — the stem entries carry that class in `base`
+    for suffix, heiban_rule, accented_rule in CONJ_SUFFIX_ACCENTS:
+        if not phrase.reading.endswith(suffix):
+            continue
+        suffix_moras = len(_mora_split(suffix))
+        if n <= suffix_moras:
+            break  # the "suffix" IS the whole phrase — not a conjugation
+        rule = heiban_rule if base == 0 else accented_rule
+        if rule is None:
+            break  # keep: heiban stays 0, accented keeps its nucleus
+        return max(0, n - rule)
+
     return min(base, n)
 
 
@@ -512,6 +529,21 @@ def _analyze(sentence: str) -> List[_Phrase]:
             continue
 
         m = _match_word(s, i)
+
+        # single-kanji i-adjective stem before a conjugation opener
+        # (高かった, 白く, 強ければ, 早さ): these stems live OUTSIDE
+        # WORDS — as lexicon words they split kanji compounds
+        # (高速道路 → たか/…). A longer lexicon match still wins.
+        if (
+            ch in ADJ_1CHAR_STEMS
+            and i + 1 < n
+            and s[i + 1] in "かくけさそ"
+            and (m is None or len(m[0]) <= 1)
+        ):
+            _r, _a = ADJ_1CHAR_STEMS[ch]
+            _push(_r, _a)
+            i += 1
+            continue
 
         # kanji numerals (possibly followed by a counter): 五千円 →
         # ごせんえん — unless a longer lexicon word covers the span
