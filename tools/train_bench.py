@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--remat", type=str, default="on",
                     choices=("both", "on", "off", "dots"))
     ap.add_argument("--seq", type=str, default="128,600", help="S,T")
+    ap.add_argument("--packed", action="store_true",
+                    help="sequence packing A/B: the same variable-length "
+                         "utterances unpacked (static T bucket) vs packed "
+                         "2/row (collate_packed); reports REAL frames/s")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vallex-jax-cache")
@@ -71,6 +75,78 @@ def main():
     ]
     remats = {"both": (True, False), "on": (True,), "off": (False,),
               "dots": ("dots",)}[args.remat]
+
+    if args.packed:
+        from vallex_tpu.data.dataset import collate_packed
+
+        results = []
+        for B in (int(x) for x in args.batches.split(",")):
+            rng = np.random.RandomState(0)
+            lens_a = rng.randint(150, T - 10, size=B)
+            lens_t = rng.randint(40, S - 8, size=B)
+            samples = [{
+                "utt_id": f"u{i}",
+                "text_tokens": rng.randint(5, 99, (lens_t[i],)).astype(
+                    np.int32
+                ),
+                "text_tokens_lens": int(lens_t[i]),
+                "language": 0,
+                "audio_features": rng.randint(
+                    0, 1024, (8, lens_a[i])
+                ).astype(np.int32),
+                "audio_features_lens": int(lens_a[i]),
+            } for i in range(B)]
+            real_frames = int(lens_a.sum())
+
+            # unpacked: the static-bucket batch these utterances would use
+            text_ids = np.full((B, S), 3, np.int32)
+            codes = np.zeros((B, T, 8), np.int32)
+            for i, s in enumerate(samples):
+                text_ids[i, : lens_t[i]] = s["text_tokens"]
+                codes[i, : lens_a[i]] = s["audio_features"].T
+            unpacked = {
+                "text_ids": jnp.asarray(text_ids),
+                "lang_ids": jnp.zeros((B, S), jnp.int32),
+                "text_lens": jnp.asarray(lens_t, jnp.int32),
+                "codes": jnp.asarray(codes),
+                "audio_lens": jnp.asarray(lens_a, jnp.int32),
+            }
+            packed = {
+                k: jnp.asarray(v)
+                for k, v in collate_packed(samples, pack=2).items()
+                if k != "utt_ids"
+            }
+            Wa = packed["p_audio_in"].shape[1]
+            for name, batch, kw_extra in (
+                ("unpacked", unpacked, dict(use_flash=True)),
+                ("packed", packed, dict(use_flash=True, packed=True)),
+            ):
+                state = init_train_state(params, opt)
+                kw = dict(cfg=cfg, optimizer=opt, dtype="bfloat16",
+                          remat=True, **kw_extra)
+                state, m = train_step(
+                    state, batch, jax.random.PRNGKey(1), **kw
+                )
+                _ = float(m["loss"])
+                t0 = time.perf_counter()
+                for i in range(args.steps):
+                    state, m = train_step(
+                        state, batch, jax.random.PRNGKey(2 + i), **kw
+                    )
+                loss = float(m["loss"])
+                dt = (time.perf_counter() - t0) / args.steps
+                row = {
+                    "mode": name, "utterances": B,
+                    "rows": int(batch["p_audio_in"].shape[0]) if
+                    name == "packed" else B,
+                    "row_width": Wa if name == "packed" else T,
+                    "ms_per_step": dt * 1e3,
+                    "real_frames_per_s": real_frames / dt,
+                    "loss": loss,
+                }
+                results.append(row)
+                print(json.dumps(row))
+        return results
 
     results = []
     for B in (int(x) for x in args.batches.split(",")):

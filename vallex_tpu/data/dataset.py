@@ -211,6 +211,130 @@ def collate(
     }
 
 
+def _ceil128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _flash_friendly(total: int) -> int:
+    """Smallest multiple of 128 ≥ total whose 128-block count divides by
+    2, 3 or 4 (see train/loss.py::_flash_friendly)."""
+    n = _ceil128(total)
+    while (n // 128) % 4 and (n // 128) % 3 and (n // 128) % 2:
+        n += 128
+    return n
+
+
+def collate_packed(
+    samples: List[Dict],
+    pack: int = 2,
+    text_buckets: Sequence[int] = (64, 128, 256),
+    audio_buckets: Sequence[int] = (256, 512, 1024, 2048),
+) -> Dict[str, np.ndarray]:
+    """Sequence-PACKED collate: `pack` utterances share each batch row,
+    back-to-back, with per-token position ids (PE restarts per utterance)
+    and per-token segment ids (flash segment masks keep attention within
+    each utterance). Short utterances stop paying the static bucket's
+    padded FLOPs: the row width is set by the PACKED length distribution
+    (max over rows of Σ lens), not `pack`× the longest utterance —
+    utterances are paired longest-with-shortest to balance rows.
+
+    → dict with the packed per-token arrays (p_*) consumed by
+    train/loss.py::total_loss_packed, plus audio_lens (real per-utterance
+    lengths — the NAR prefix sampler and real-frames/s accounting use
+    them).
+    """
+    order = sorted(
+        range(len(samples)), key=lambda i: samples[i]["audio_features_lens"]
+    )
+    # longest-with-shortest pairing: row r takes one from each end per slot
+    rows: List[List[Dict]] = []
+    lo, hi = 0, len(order) - 1
+    while lo <= hi:
+        row = []
+        for k in range(pack):
+            if lo > hi:
+                break
+            idx = order[hi] if k % 2 == 0 else order[lo]
+            if k % 2 == 0:
+                hi -= 1
+            else:
+                lo += 1
+            row.append(samples[idx])
+        rows.append(row)
+    B = len(rows)
+
+    # row widths: audio needs len+1 slots per utterance (BOS prepend);
+    # text needs its own region. Both flash-padded.
+    Ws = _ceil128(max(sum(s["text_tokens_lens"] for s in r) for r in rows))
+    wa_need = max(sum(s["audio_features_lens"] + 1 for s in r) for r in rows)
+    Wa = _flash_friendly(Ws + _ceil128(wa_need)) - Ws
+
+    p_text_ids = np.full((B, Ws), 3, np.int32)  # [PAD] id 3
+    p_lang_ids = np.zeros((B, Ws), np.int32)
+    p_text_pos = np.zeros((B, Ws), np.int32)
+    p_text_seg = np.zeros((B, Ws), np.int32)
+    p_audio_in = np.zeros((B, Wa), np.int32)
+    p_audio_pos = np.zeros((B, Wa), np.int32)
+    p_audio_seg = np.zeros((B, Wa), np.int32)
+    p_targets = np.zeros((B, Wa), np.int32)
+    p_loss_mask = np.zeros((B, Wa), np.float32)
+    p_codes = np.zeros((B, Wa, 8), np.int32)
+    p_codes_pos = np.zeros((B, Wa), np.int32)
+    p_codes_seg = np.zeros((B, Wa), np.int32)
+    audio_lens = np.zeros((len(samples),), np.int32)
+    utt_ids = []
+
+    BOS, EOS = 1025, 1024
+    u = 0
+    for r, row in enumerate(rows):
+        ts = 0  # text cursor
+        au = 0  # audio cursor (AR region, len+1 per utterance)
+        cu = 0  # codes cursor (NAR region, len per utterance)
+        for k, s in enumerate(row):
+            sl = s["text_tokens_lens"]
+            al = s["audio_features_lens"]
+            seg_id = k + 1
+            p_text_ids[r, ts : ts + sl] = s["text_tokens"][:sl]
+            p_lang_ids[r, ts : ts + sl] = s["language"]
+            p_text_pos[r, ts : ts + sl] = np.arange(sl)
+            p_text_seg[r, ts : ts + sl] = seg_id
+            ts += sl
+            cb = s["audio_features"][:, :al].T  # [al, 8]
+            # AR: inputs [BOS, y], targets [y, EOS], loss over len+1
+            p_audio_in[r, au] = BOS
+            p_audio_in[r, au + 1 : au + 1 + al] = cb[:, 0]
+            p_audio_pos[r, au : au + al + 1] = np.arange(al + 1)
+            p_audio_seg[r, au : au + al + 1] = seg_id
+            p_targets[r, au : au + al] = cb[:, 0]
+            p_targets[r, au + al] = EOS
+            p_loss_mask[r, au : au + al + 1] = 1.0
+            au += al + 1
+            # NAR: packed codes with per-utterance positions
+            p_codes[r, cu : cu + al] = cb
+            p_codes_pos[r, cu : cu + al] = np.arange(al)
+            p_codes_seg[r, cu : cu + al] = seg_id
+            cu += al
+            audio_lens[u] = al
+            utt_ids.append(s["utt_id"])
+            u += 1
+    return {
+        "utt_ids": utt_ids,
+        "p_text_ids": p_text_ids,
+        "p_lang_ids": p_lang_ids,
+        "p_text_pos": p_text_pos,
+        "p_text_seg": p_text_seg,
+        "p_audio_in": p_audio_in,
+        "p_audio_pos": p_audio_pos,
+        "p_audio_seg": p_audio_seg,
+        "p_targets": p_targets,
+        "p_loss_mask": p_loss_mask,
+        "p_codes": p_codes,
+        "p_codes_pos": p_codes_pos,
+        "p_codes_seg": p_codes_seg,
+        "audio_lens": audio_lens,
+    }
+
+
 def create_dataloader(
     h5_path: str,
     ann_path: str,

@@ -60,12 +60,20 @@ def wav_bytes(wav: np.ndarray, sr: int = 24000) -> bytes:
 
 
 class Metrics:
-    """Thread-safe monotonic counters rendered in the Prometheus text
-    exposition format (GET /metrics). Deliberately dependency-free."""
+    """Thread-safe monotonic counters + latency histograms rendered in the
+    Prometheus text exposition format (GET /metrics). Deliberately
+    dependency-free."""
+
+    # seconds; roughly log-spaced around the measured serving latencies
+    # (short sentence ~0.1 s … long-text streams tens of seconds)
+    HIST_BUCKETS = (
+        0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0, 60.0,
+    )
 
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._c: Dict[str, float] = {}
+        self._h: Dict[str, List[float]] = {}  # name → [bucket counts, sum, n]
 
     def inc(self, name: str, value: float = 1.0) -> None:
         with self._lock:
@@ -75,10 +83,52 @@ class Metrics:
         with self._lock:
             return self._c.get(name, 0.0)
 
+    def observe(self, name: str, value: float) -> None:
+        """Record one histogram observation (request latency seconds)."""
+        with self._lock:
+            h = self._h.get(name)
+            if h is None:
+                h = [0.0] * (len(self.HIST_BUCKETS) + 1) + [0.0, 0.0]
+                self._h[name] = h
+            for i, b in enumerate(self.HIST_BUCKETS):
+                if value <= b:
+                    h[i] += 1
+                    break
+            else:
+                h[len(self.HIST_BUCKETS)] += 1  # +Inf bucket
+            h[-2] += value
+            h[-1] += 1
+
+    def quantile(self, name: str, q: float) -> Optional[float]:
+        """Approximate quantile from the histogram (upper bucket bound;
+        None when no observations). Used by /healthz and the soak test."""
+        with self._lock:
+            h = self._h.get(name)
+            if h is None or h[-1] == 0:
+                return None
+            target = q * h[-1]
+            acc = 0.0
+            for i, b in enumerate(self.HIST_BUCKETS):
+                acc += h[i]
+                if acc >= target:
+                    return b
+            return float("inf")
+
     def render(self) -> str:
         with self._lock:
             items = sorted(self._c.items())
+            hists = sorted(self._h.items())
         lines = [f"# TYPE {k} counter\n{k} {v:g}" for k, v in items]
+        for k, h in hists:
+            lines.append(f"# TYPE {k} histogram")
+            acc = 0.0
+            for i, b in enumerate(self.HIST_BUCKETS):
+                acc += h[i]
+                lines.append(f'{k}_bucket{{le="{b:g}"}} {acc:g}')
+            acc += h[len(self.HIST_BUCKETS)]
+            lines.append(f'{k}_bucket{{le="+Inf"}} {acc:g}')
+            lines.append(f"{k}_sum {h[-2]:g}")
+            lines.append(f"{k}_count {h[-1]:g}")
         return "\n".join(lines) + ("\n" if lines else "")
 
 
@@ -168,6 +218,12 @@ class DynamicBatcher:
 
     def submit(self, req: SynthesisRequest) -> "Future[np.ndarray]":
         fut: "Future[np.ndarray]" = Future()
+        t0 = time.monotonic()
+        fut.add_done_callback(
+            lambda f: self.metrics.observe(
+                "vallex_request_latency_seconds", time.monotonic() - t0
+            )
+        )
         with self._submit_lock:
             if self._stop.is_set():
                 raise RuntimeError("batcher is shut down")

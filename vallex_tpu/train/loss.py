@@ -427,6 +427,169 @@ def total_loss(
     loss = l_ar + l_nar
     return loss, {"loss": loss, "ar_loss": l_ar, "nar_loss": l_nar}
 
+# ---------------------------------------------------------------------------
+# Sequence-packed training (round 5): multiple utterances share one batch
+# row, back-to-back, with per-token position ids (PE restarts inside each
+# utterance) and per-token segment ids (the flash kernels' segment masks
+# keep attention within each utterance). Short utterances stop wasting the
+# static bucket's padded FLOPs — the quadratic attention and all matmuls
+# run over real tokens plus only the per-row tail. Packed layout per row:
+# text region [text_1 | text_2 | … | pad] (the flash PREFIX block — every
+# utterance's text is bidirectional within its segment), then audio region
+# [BOS y_1 | BOS y_2 | … | pad] (causal; an utterance's audio attends its
+# own text through the segment match). The collate
+# (data/dataset.py::collate with pack>1) builds all per-token arrays on
+# the host.
+# ---------------------------------------------------------------------------
+
+
+def _packed_input(params, stack, ids, lang_ids, pos, pe_table, dtype):
+    """Token emb (+ language emb) + alpha·PE[pos] with PER-TOKEN positions
+    (text_input/ar_audio_input take a scalar offset; packed rows restart
+    positions at each utterance boundary)."""
+    if stack in ("ar_text", "nar_text"):
+        s = stack.split("_")[0]
+        x = L.embedding_apply(params[f"{s}_text_embedding"], ids, dtype)
+        x = x + L.embedding_apply(
+            params[f"{s}_language_embedding"], lang_ids, dtype
+        )
+        alpha = params[f"{s}_text_position"]["alpha"]
+    else:  # "ar_audio"
+        x = L.embedding_apply(params["ar_audio_embedding"], ids, dtype)
+        alpha = params["ar_audio_position"]["alpha"]
+    pe = jnp.take(pe_table, pos, axis=0).astype(x.dtype)
+    return x + (alpha * pe).astype(x.dtype)
+
+
+def ar_loss_packed(
+    params: Params,
+    cfg: ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    pe_table: jnp.ndarray,
+    dtype=jnp.bfloat16,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """AR loss over a PACKED batch (see module comment). Flash-only: the
+    segment masks are how the packing is expressed. Expects the collate's
+    packed fields: p_text_ids/p_lang_ids/p_text_pos/p_text_seg [B, Ws],
+    p_audio_in/p_audio_pos/p_audio_seg/p_targets [B, Wa],
+    p_loss_mask [B, Wa] (targets already carry the per-utterance EOS)."""
+    x = _packed_input(
+        params, "ar_text", batch["p_text_ids"], batch["p_lang_ids"],
+        batch["p_text_pos"], pe_table, dtype,
+    )
+    y = _packed_input(
+        params, "ar_audio", batch["p_audio_in"], None,
+        batch["p_audio_pos"], pe_table, dtype,
+    )
+    Ws = x.shape[1]
+    xy = jnp.concatenate([x, y], axis=1)
+    seg = jnp.concatenate(
+        [batch["p_text_seg"], batch["p_audio_seg"]], axis=1
+    ).astype(jnp.int32)
+    h = V.ar_forward(
+        params, cfg, xy, None, remat=remat,
+        segments=(seg, seg), prefix_flash=Ws,
+    )
+    logits = V.ar_logits(params, h[:, Ws:])
+    return _ce(
+        logits, batch["p_targets"].astype(jnp.int32),
+        batch["p_loss_mask"].astype(jnp.float32),
+    )
+
+
+def nar_loss_packed(
+    params: Params,
+    cfg: ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    stage: jnp.ndarray,  # [] int in [1, 7]
+    prefix_len: jnp.ndarray,  # [] int (mode 1; 0 for mode 0)
+    pe_table: jnp.ndarray,
+    dtype=jnp.bfloat16,
+    prefix_mode: int = 1,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """NAR loss over a PACKED batch, prefix modes 0/1 (the per-utterance
+    constructions are per-token: in_prefix by position id, validity by
+    segment id — modes 2/4 prepend prompt buffers and stay unpacked).
+    Packed codes: p_codes [B, Wa, 8], positions p_codes_pos [B, Wa],
+    segments p_codes_seg [B, Wa]."""
+    assert prefix_mode in (0, 1), "packed NAR supports prefix modes 0/1"
+    codes = batch["p_codes"]
+    pos = batch["p_codes_pos"]
+    seg = batch["p_codes_seg"]
+    valid = (seg > 0)[..., None]
+    emb = params["nar_audio_embeddings"]["weight"]
+    alpha = params["nar_audio_position"]["alpha"]
+
+    targets = jnp.take_along_axis(
+        codes,
+        jnp.broadcast_to(stage, codes.shape[:2] + (1,)).astype(jnp.int32),
+        axis=-1,
+    )[..., 0].astype(jnp.int32)
+
+    if prefix_mode == 0:
+        y_emb = _sum_codebook_embs(emb, codes, stage, dtype)
+        loss_mask = valid[..., 0].astype(jnp.float32)
+    else:
+        in_prefix = (pos < prefix_len)[..., None]
+        y_emb = jnp.take(emb[0], codes[..., 0], axis=0).astype(dtype)
+        for j in range(1, cfg.num_quantizers):
+            ej = jnp.take(emb[j], codes[..., j], axis=0).astype(dtype)
+            add = jnp.where(in_prefix, 1.0, 0.0) + jnp.where(
+                jnp.logical_and(~in_prefix, j < stage), 1.0, 0.0
+            )
+            y_emb = y_emb + ej * add.astype(dtype)
+        loss_mask = jnp.logical_and(
+            ~in_prefix[..., 0], valid[..., 0]
+        ).astype(jnp.float32)
+    y_emb = y_emb * valid.astype(dtype)
+    pe = jnp.take(pe_table, pos, axis=0).astype(y_emb.dtype)
+    y_pos = y_emb + (alpha * pe).astype(y_emb.dtype)
+
+    x = _packed_input(
+        params, "nar_text", batch["p_text_ids"], batch["p_lang_ids"],
+        batch["p_text_pos"], pe_table, dtype,
+    )
+    Ws = x.shape[1]
+    xy = jnp.concatenate([x, y_pos], axis=1)
+    seg_full = jnp.concatenate(
+        [batch["p_text_seg"], seg], axis=1
+    ).astype(jnp.int32)
+    h = V.nar_forward_stage(
+        params, cfg, xy, stage - 1, None, segments=(seg_full, seg_full),
+        remat=remat,
+    )
+    logits = V.nar_logits(params, h[:, Ws:], stage - 1)
+    return _ce(logits, targets, loss_mask)
+
+
+def total_loss_packed(
+    params: Params,
+    cfg: ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    dtype=jnp.bfloat16,
+    prefix_mode: int = 1,
+    remat: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Combined AR + NAR objective over a PACKED batch (flash kernels;
+    collate(..., pack=K) builds the per-token arrays). The NAR prefix
+    length samples from the minimum REAL utterance length, exactly like
+    the unpacked sampler."""
+    pe = L.make_sine_pe(cfg.max_position, cfg.d_model)
+    r1, r2 = jax.random.split(rng)
+    stage = jax.random.randint(r1, (), 1, cfg.num_quantizers)
+    prefix_len, _ = sample_nar_prompt(r2, batch["audio_lens"], prefix_mode)
+    l_ar = ar_loss_packed(params, cfg, batch, pe, dtype, remat=remat)
+    l_nar = nar_loss_packed(
+        params, cfg, batch, stage, prefix_len, pe, dtype,
+        prefix_mode=prefix_mode, remat=remat,
+    )
+    loss = l_ar + l_nar
+    return loss, {"loss": loss, "ar_loss": l_ar, "nar_loss": l_nar}
+
+
 def debug_activations(
     params: Params,
     cfg: ModelConfig,

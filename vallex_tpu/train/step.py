@@ -72,7 +72,10 @@ def init_train_state(params: Params, optimizer) -> TrainState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "optimizer", "dtype", "prefix_mode", "use_flash", "remat"),
+    static_argnames=(
+        "cfg", "optimizer", "dtype", "prefix_mode", "use_flash", "remat",
+        "packed",
+    ),
 )
 def train_step(
     state: TrainState,
@@ -85,10 +88,20 @@ def train_step(
     prefix_mode: int = 1,
     use_flash: bool = False,
     remat: bool = True,
+    packed: bool = False,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One optimizer step. Shardings flow in from the arguments (GSPMD)."""
+    """One optimizer step. Shardings flow in from the arguments (GSPMD).
+    packed=True consumes a collate_packed batch through
+    total_loss_packed (sequence packing; flash kernels required)."""
 
     def loss_fn(params):
+        if packed:
+            from .loss import total_loss_packed
+
+            return total_loss_packed(
+                params, cfg, batch, rng, jnp.dtype(dtype), prefix_mode,
+                remat,
+            )
         return total_loss(
             params, cfg, batch, rng, jnp.dtype(dtype), prefix_mode,
             use_flash, remat,
