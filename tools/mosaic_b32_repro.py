@@ -40,8 +40,17 @@ def try_compile(label, fn):
         return True
     except Exception:
         tb = traceback.format_exc()
-        tail = "\n".join(tb.strip().splitlines()[-12:])
-        print(f"--- {label}: CRASH\n{tail}", flush=True)
+        lines = tb.strip().splitlines()
+        # the CLASSIFYING message lives at the exception head (e.g.
+        # RESOURCE_EXHAUSTED / scoped-VMEM), the tail carries the
+        # allocation table — print both
+        head = "\n".join(
+            ln for ln in lines
+            if "Error" in ln or "EXHAUSTED" in ln or "exceed" in ln.lower()
+            or "vmem" in ln.lower() or "Mosaic" in ln
+        )[:2000]
+        tail = "\n".join(lines[-12:])
+        print(f"--- {label}: CRASH\n{head}\n…\n{tail}", flush=True)
         return False
 
 

@@ -114,7 +114,7 @@ _LTS_RULES = [
     ("age",   V + "[a-z]*", "$", "ɪʤ"),  # village, marriage (CMU IH0)
     ("ful",   V + "[a-z]*", "$", "fəl"),
     ("ism",   V + "[a-z]*", "$", "ɪzəm"),
-    ("ity",   None, "$", "əti"),
+    ("ity",   V + "[a-z]*", "$", "əti"),
     ("acy",   None, "$", "əsi"),
     ("ive",   V + "[a-z]*", "$", "ɪv"),
     ("ian",   None, "$", "iən"),
@@ -131,6 +131,8 @@ _LTS_RULES = [
     ("less",  V + "[a-z]*", "$", "ləs"),
     ("oes",   None, "$", "oʊz"),
     ("ise",   V + "[a-z]*", "$", "aɪz"),   # advertise, otherwise, sunrise
+    ("ise",   "[rw]", "s?$", "aɪz"),       # rise, wise
+    ("oose",  "ch", "s?$", "uz"),          # choose
     #   (verb-forming -ise voices; promise/premise are lexicon entries)
     ("sis",   None, "$", "səs"),           # analysis, basis, diagnosis
     ("is",    V + "[a-z]*" + C, "$", "əs"),
@@ -170,6 +172,11 @@ _LTS_RULES = [
     ("tch",   None, None, "ʧ"),
     ("dge",   None, None, "ʤ"),
     ("sch",   None, None, "sk"),
+    ("other", "(?:^|[mn]|br|an)$", "s?$", "əðər"),  # mother, other
+    ("eather", None, "s?$", "ɛðər"),   # weather, leather, feather
+    ("ather", "f", "s?$", "ɑðər"),     # father
+    ("ther",  V + "[a-z]*", "s?$", "ðər"),  # mother, weather, either
+    ("ch",    "^$", "(?=emi|oru|aos|asm|ole|rys)", "k"),  # Greek onsets
     ("ch",    None, C, "k"),     # greek/loan clusters: technical, chrome
     ("ch",    None, None, "ʧ"),
     ("ck",    None, None, "k"),
@@ -185,12 +192,40 @@ _LTS_RULES = [
     ("gn",    "^$", None, "n"),
     ("ps",    "^$", None, "s"),
     ("qu",    None, None, "kw"),
+    ("y",     C + "$", "(?=ing$)", "aɪ"),  # trying, flying, drying
     ("ngine", None, "$", "nʤən"),  # engine: soft g, before ng binds
     ("ng",    None, "$", "ŋ"),
     ("ng",    None, None, "ŋg"),
     ("nk",    None, None, "ŋk"),
     ("alk",   None, None, "ɔk"),
-    ("all",   None, "$", "ɔl"),
+    ("all",   None, "(e[dn]|ing|s)?$", "ɔl"),  # call, called, falling
+    ("alt",   None, None, "ɔlt"),              # salt, halt, asphalt
+    # long-i codas: find/kind/mind, child/wild (not build), sign/design
+    ("ind",   None, "s?$", "aɪnd"),
+    ("ild",   "[^u]", "s?$", "aɪld"),
+    ("ign",   "[^e]", "s?$", "aɪn"),
+    # open-o before voiced/fortis codas (CMU ɔ): long, across, dog, lost
+    ("ong",   "[^m]", "(?!e)", "ɔŋ"),  # long, strong — not among/month
+    ("oss",   None, None, "ɔs"),
+    ("ost",   "[lcfr]", "$", "ɔst"),
+    ("og",    None, "s?$", "ɔg"),
+    ("ory",   V + "[a-z]*", "$", "əri"),   # history, memory, factory
+    ("ause",  None, None, "ɔz"),            # because, cause, pause
+    ("ose",   "[hrpn]", "s?$", "oʊz"),      # those, rose, suppose, nose
+    ("s",     "^u", "[ei]", "z"),           # use(d/r), using — verb voicing
+    ("s",     V + "$", "[aiouy]", "z"),     # intervocalic voicing: music,
+    #   easy, reason, result — NOT before silent e (house, promise stay s)
+    ("u",     "[pf]", "(ll?|sh|t)s?$", "ʊ"),  # put, pull, full, push
+    ("uth",   None, "$", "uθ"),             # truth, ruth
+    ("ion",   "[ln]", "s?$", "jən"),        # million, union, opinion
+    # u before r+vowel is lax (during, jury; kj after k/p — curious)
+    ("u",     "[ckp]", "r[aeiouy]", "jʊ"),
+    ("u",     None, "r[aeiouy]", "ʊ"),
+    # open-syllable u: long (student, duty; ju after labials/velars —
+    # music, future). 'stud' is the systematic exception (study, studies)
+    ("u",     "st", "d(y|ies|ied)$", "ə"),  # study — not student/studio
+    ("u",     "[mfpbvkh]", C + "[aeiouy]", "ju"),
+    ("u",     None, C + "[aeiouy]", "u"),
     ("off",   "^$", None, "ɔf"),   # office, offer, off
     ("gine",  V + "[a-z]*", "$", "ʤən"),  # imagine
     # 'o' before ld/st codas is long (told, golden, most, host — the
@@ -210,10 +245,14 @@ _LTS_RULES = [
     ("oment", None, None, "oʊmənt"),
     ("otor",  None, None, "oʊtər"),
     ("ocean", None, None, "oʊʃən"),
+    ("otion", None, None, "oʊʃən"),  # motion, emotion, promotion
+    ("ania",  None, "$", "eɪniə"),   # albania, romania
+    ("eria",  None, "$", "ɪriə"),    # bacteria, criteria, cafeteria
+    ("ere",   None, "s?$", "ɪr"),    # sphere, severe, atmosphere
     ("otal",  None, None, "oʊtəl"),
     ("ocus",  None, None, "oʊkəs"),
     ("ocal",  None, None, "oʊkəl"),
-    ("otice", None, None, "oʊtɪs"),
+    ("otice", None, None, "oʊtəs"),
     ("onus",  None, None, "oʊnəs"),
     ("olar",  None, None, "oʊlər"),
     ("omain", None, None, "oʊmeɪn"),
@@ -222,6 +261,8 @@ _LTS_RULES = [
     #                                  coda blocks magic-e)
     ("avor",  None, None, "eɪvər"),  # favor, flavor, behavior
     ("a",     None, "d[iy]", "eɪ"),  # lady, radio, stadium
+    ("ood",   "(?:st|[wgh])", "$", "ʊd"),  # good, wood, stood — not food
+    ("oot",   "f", None, "ʊt"),            # foot — not root/boot
     ("oo",    None, "k", "ʊ"),
     ("oo",    None, None, "u"),
     ("ee",    None, None, "i"),
@@ -244,7 +285,9 @@ _LTS_RULES = [
     ("oy",    None, None, "ɔɪ"),
     ("ie",    None, "$", "aɪ"),
     ("ie",    None, None, "i"),
+    ("ue",    V + "[a-z]*[nl]", "$", "ju"),  # value, continue, venue
     ("ue",    None, "$", "u"),
+    ("ew",    "f", None, "ju"),              # few
     ("ew",    None, None, "u"),
     ("cc",    None, "[eiy]", "ks"),
     ("cc",    None, None, "k"),
@@ -252,17 +295,17 @@ _LTS_RULES = [
     ("gu",    None, "[ei]", "g"),
     ("mb",    None, "$", "m"),
     ("oup",   None, None, "up"),
+    ("ear",   "[^bw]", "s?$", "ɪr"),  # year, fear, appear — not bear
     ("air",   None, None, "ɛr"),
     ("ier",   None, C, "ɪr"),
     ("fy",    V + "[a-z]*", "$", "faɪ"),
     ("ply",   V + "[a-z]*", "$", "plaɪ"),
-    ("ue",    V + "[a-z]*[nl]", "$", "ju"),
     ("pf",    "^", None, "f"),
     ("ted",   None, "$", "tɪd"),
     ("ded",   None, "$", "dɪd"),
     ("ed",    V + "[a-z]*", "$", "d"),
     ("wor",   "^", C, "wər"),
-    ("ar",    "w", None, "ɔr"),
+    ("ar",    "[wu]", None, "ɔr"),  # war, quarter
     # doubled r: the vowel is NOT r-colored (sorry, cherry, mirror,
     # hurry); 'a' before intervocalic r fronts to ɛ (care, parent)
     ("arr",   None, "[aeiouy]", "ɛr"),
@@ -291,6 +334,7 @@ _LTS_RULES = [
     ("a",     None, C + "y$", "eɪ"),    # baby, navy, lazy, crazy
     ("oll",   None, "$", "oʊl"),        # poll, roll, toll, scroll
     # single letters
+    ("a",     "[wu]", None, "ɑ"),  # want, watch, wash, quality
     ("a",     "^$", C + "[aeiouy]", "ə"),  # about, again, around (unstressed)
     ("i",     None, "[aeou]", "i"),        # hiatus: period, curious, union
     ("a",     None, None, "æ"),
@@ -541,6 +585,13 @@ def _reduce_unstressed(
         seg = ipa[a:b]
         if k == stress_idx:
             continue
+        if k == 0 and source == "prefix":
+            # the LTS prefix rules (be/de/re/con/a+CV/…) already emit the
+            # reduced vowel when the orthographic context supports it; a
+            # full vowel surviving them means the 62 %-accurate prefix
+            # stress guess is the only evidence — not enough to destroy
+            # it (after, example, accept kept their æ wrongly reduced)
+            continue
         if ipa[b : b + 1] == "r":
             continue
         if seg in _DIPHTHONGS:
@@ -552,11 +603,15 @@ def _reduce_unstressed(
             continue  # happy-tensing: final i stays tense
         if seg in reducible:
             out[a:b] = ["ə"]
-        elif seg == "ɪ" and 0 < k < len(spans) - 1:
+        elif (
+            seg == "ɪ" and 0 < k < len(spans) - 1
+            and ipa[b : b + 1] != "k"
+        ):
             # unstressed word-MEDIAL ɪ centralizes (criminal, separate);
-            # final-syllable ɪ stays (-ing, -ish, -ive keep ɪ in CMUdict)
-            # and so does an initial ɪ (the bɪ-/dɪ-/rɪ- prefix rules
-            # already emit CMUdict's vowel)
+            # final-syllable ɪ stays (-ing, -ish, -ive keep ɪ in CMUdict),
+            # so does an initial ɪ (the bɪ-/dɪ-/rɪ- prefix rules already
+            # emit CMUdict's vowel), and so does ɪ before k (the -ic/-ical
+            # suffix family keeps ɪ: critical, africa, identical)
             out[a:b] = ["ə"]
     return "".join(c for c in out if c)
 
@@ -677,6 +732,7 @@ _SUFFIX_RULES = [
     ("ish", lambda b: b + "ɪʃ"),
     ("en", lambda b: b + "ən"),
     ("y", lambda b: b + "i"),
+    ("n", lambda b: b + "n"),
 ]
 
 # prefix → ipa prefix (attached to an independently-resolvable remainder)
