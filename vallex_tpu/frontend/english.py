@@ -226,7 +226,8 @@ _LTS_RULES = [
     ("u",     "st", "d(y|ies|ied)$", "ə"),  # study — not student/studio
     ("u",     "[mfpbvkh]", C + "[aeiouy]", "ju"),
     ("u",     None, C + "[aeiouy]", "u"),
-    ("off",   "^$", None, "ɔf"),   # office, offer, off
+    ("off",   "^$", "(?:ice|er|$)", "ɔf"),  # office, offer, off
+    #   (official/offensive keep the reducible o)
     ("gine",  V + "[a-z]*", "$", "ʤən"),  # imagine
     # 'o' before ld/st codas is long (told, golden, most, host — the
     # letter-default ɑ was the largest ɑ→oʊ error class)

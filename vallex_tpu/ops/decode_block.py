@@ -463,7 +463,6 @@ def _kernel(
             of on-chip traffic at best_of=5, measured slower than the HBM
             re-reads it replaced). Zero-padded contractions are exact in
             f32, so tokens stay bitwise equal to the ungrouped fold."""
-            R_req_ = B // beams
             m_all, l_all, acc_all = state
             out_m, out_l, out_acc = [], [], []
             for g in range(B):
@@ -500,7 +499,6 @@ def _kernel(
                 out_m.append(m_new)
                 out_l.append(l_new)
                 out_acc.append(acc_new)
-            del R_req_
             return (
                 jnp.concatenate(out_m, axis=1),
                 jnp.concatenate(out_l, axis=1),
