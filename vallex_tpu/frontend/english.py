@@ -90,7 +90,7 @@ _LTS_RULES = [
     ("ible",    V + "[a-z]*", "$", "əbəl"),
     # place/person-name codas (washington, johnson, oxford, poland)
     ("ton",     V + "[a-z]*", "$", "tən"),
-    ("son",     V + "[a-z]*", "$", "sən"),
+    ("son",     V + "[a-z]*" + C, "$", "sən"),  # johnson — not reason
     ("ford",    V + "[a-z]*", "$", "fərd"),
     ("land",    V + "[a-z]*", "$", "lənd"),
     ("el",      V + "[a-z]*", "$", "əl"),
@@ -206,15 +206,16 @@ _LTS_RULES = [
     ("ign",   "[^e]", "s?$", "aɪn"),
     # open-o before voiced/fortis codas (CMU ɔ): long, across, dog, lost
     ("ong",   "[^m]", "(?!e)", "ɔŋ"),  # long, strong — not among/month
-    ("oss",   None, None, "ɔs"),
-    ("ost",   "[lcfr]", "$", "ɔst"),
-    ("og",    None, "s?$", "ɔg"),
+    ("oss",   None, "$", "ɔs"),
+    ("ost",   "[lfr]", "$", "ɔst"),
+    ("og",    "[dlh]", "s?$", "ɔg"),
     ("ory",   V + "[a-z]*", "$", "əri"),   # history, memory, factory
     ("ause",  None, None, "ɔz"),            # because, cause, pause
     ("ose",   "[hrpn]", "s?$", "oʊz"),      # those, rose, suppose, nose
     ("s",     "^u", "[ei]", "z"),           # use(d/r), using — verb voicing
     ("s",     V + "$", "[aiouy]", "z"),     # intervocalic voicing: music,
     #   easy, reason, result — NOT before silent e (house, promise stay s)
+    ("s",     V + "$", "[bdgmn]", "z"),     # husband, wisdom: voiced cluster
     ("u",     "[pf]", "(ll?|sh|t)s?$", "ʊ"),  # put, pull, full, push
     ("uth",   None, "$", "uθ"),             # truth, ruth
     ("ion",   "[ln]", "s?$", "jən"),        # million, union, opinion
@@ -267,6 +268,9 @@ _LTS_RULES = [
     ("oo",    None, "k", "ʊ"),
     ("oo",    None, None, "u"),
     ("ee",    None, None, "i"),
+    ("ear",   "h", "s?$", "ir"),      # hear (CMU IY) — not heart
+    ("ear",   "[^bw]", "s?$", "ɪr"),  # year, fear, appear — not bear
+    ("ear",   None, "[cdfghklmnp]", "ər"),  # heard, learn, early, search
     ("ead",   None, "$", "ɛd"),
     ("ea",    None, None, "i"),
     ("eur",   None, None, "jʊr"),
@@ -296,7 +300,6 @@ _LTS_RULES = [
     ("gu",    None, "[ei]", "g"),
     ("mb",    None, "$", "m"),
     ("oup",   None, None, "up"),
-    ("ear",   "[^bw]", "s?$", "ɪr"),  # year, fear, appear — not bear
     ("air",   None, None, "ɛr"),
     ("ier",   None, C, "ɪr"),
     ("fy",    V + "[a-z]*", "$", "faɪ"),
@@ -528,8 +531,8 @@ _NEUTRAL_SUFFIX_RE = re.compile(
 _REDUCIBLE_PREFIX_RE = re.compile(
     # net-positive prefixes only, measured against the embedded lexicon's
     # stress marks (pro/ab/sub/pur/for were net-negative; a is +31)
-    r"^(be|de|re|pre|ex|con|com|ad|ob|oc|sup|sur|per|"
-    r"en|em|im|in|un|dis|a)(?=[bcdfghjklmnpqrstvwxz])"
+    r"^(?:ex(?=[aiou])|(?:be|de|re|pre|ex|con|com|ad|ob|oc|sup|sur|per|"
+    r"en|em|im|in|un|dis|a)(?=[bcdfghjklmnpqrstvwxz]))"
 )
 
 
