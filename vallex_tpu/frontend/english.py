@@ -523,6 +523,8 @@ _STRESS_SUFFIXES = [
     ("ial", 3), ("ian", 3), ("ious", 3), ("ium", 3), ("ia", 3),
     ("itive", 3), ("itude", 3), ("inal", 3),
     ("self", 1), ("selves", 1),
+    # measured against the lexicon's stress marks (suffix_tune):
+    ("ual", 3), ("ish", 2), ("ee", 1), ("ade", 1), ("ient", 2),
 ]
 
 _NEUTRAL_SUFFIX_RE = re.compile(
