@@ -286,7 +286,7 @@ def test_english_lts_accuracy_floor():
     """LTS quality gate, measured against the embedded lexicon as gold
     (the same CMUdict-convention IPA the checkpoint saw): phoneme error
     rate (stress-stripped Levenshtein over IPA chars) must stay under 15%
-    and exact-match above 50%. Round-5 measured: PER 14.6%, exact 51.9%
+    and exact-match above 50%. Round-5 measured: PER 14.4%, exact 52.8%
     (17.0%/43.2% in round 4; 24.6%/30.1% in round 2). The round-5 gains
     came from the stress-aware reduction pass (suffix-table stress
     prediction, 92% accurate on suffix-cued words, gating which unstressed

@@ -154,6 +154,11 @@ _LTS_RULES = [
     ("u",     "^$", "(n[iey]|s[aeiouy]|t[aeiouy])", "ju"),
     # closed-compound function words (someone, everywhere, sometimes)
     ("some",  "^$", "[a-z]", "səm"),
+    ("ident", "^$", None, "aɪdɛnt"),  # identify, identity, identical
+    ("y",     "^m", "self", "aɪ"),    # myself
+    ("inth",  None, "$", "aɪnθ"),     # ninth
+    ("inus",  None, "$", "aɪnəs"),    # minus, sinus
+    ("iday",  "r", "$", "aɪdeɪ"),     # friday (not holiday)
     ("one",   "(some|any|every)", "$", "wən"),
     ("where", "(some|any|every|no)", "$", "wɛr"),
     ("times", V + "[a-z]*", "$", "taɪmz"),
@@ -213,6 +218,7 @@ _LTS_RULES = [
     ("ause",  None, None, "ɔz"),            # because, cause, pause
     ("ose",   "[hrpn]", "s?$", "oʊz"),      # those, rose, suppose, nose
     ("s",     "^u", "[ei]", "z"),           # use(d/r), using — verb voicing
+    ("s",     "^d?i", "[aeiou]", "s"),      # dis-/iso- prefixes stay s
     ("s",     V + "$", "[aiouy]", "z"),     # intervocalic voicing: music,
     #   easy, reason, result — NOT before silent e (house, promise stay s)
     ("s",     V + "$", "[bdgmn]", "z"),     # husband, wisdom: voiced cluster
@@ -587,6 +593,13 @@ def _reduce_unstressed(
     # -ide/-ive/-ise/-ize and the rest keep aɪ (provide, divine,
     # realize); stressed finals are protected by stress_idx either way
     final_ice = bool(re.search(r"(ice|[gmc]ine|[srn]ite)s?$", word))
+    # unstressed final -ain reduces to ən (mountain, captain, certain);
+    # stressed finals (contain, retain — prefix-cued) stay eɪn
+    final_ain = word.endswith(("ain", "ains"))
+    # ɪ before k keeps its quality only in the -ic suffix family
+    # (critical, africa → gold ɪk); medial ..ica../..icat.. reduces
+    # (america, indicate, medical → gold ək)
+    ic_suffix = word.endswith(("ic", "ics", "ical", "ically"))
     for k, (a, b) in enumerate(spans):
         seg = ipa[a:b]
         if k == stress_idx:
@@ -604,6 +617,8 @@ def _reduce_unstressed(
             # unstressed final-syllable aɪ from magic-e 'iCe' spelling
             if seg == "aɪ" and k == len(spans) - 1 and final_ice:
                 out[a:b] = ["ə", ""]
+            elif seg == "eɪ" and k == len(spans) - 1 and final_ain:
+                out[a:b] = ["ə", ""]
             continue
         if k == len(spans) - 1 and seg == "i":
             continue  # happy-tensing: final i stays tense
@@ -611,7 +626,7 @@ def _reduce_unstressed(
             out[a:b] = ["ə"]
         elif (
             seg == "ɪ" and 0 < k < len(spans) - 1
-            and ipa[b : b + 1] != "k"
+            and (ipa[b : b + 1] != "k" or not ic_suffix)
         ):
             # unstressed word-MEDIAL ɪ centralizes (criminal, separate);
             # final-syllable ɪ stays (-ing, -ish, -ive keep ɪ in CMUdict),
