@@ -52,7 +52,10 @@ def emit(final=False):
         "detail": STATE["detail"],
     }
     if not final:
-        result["detail"]["budget_killed"] = True
+        # the SIGALRM watchdog emitted before the LAST secondary config
+        # finished — every key present was fully measured; only the
+        # remaining extras were dropped
+        result["detail"]["extras_truncated_by_budget"] = True
     print(json.dumps(result), flush=True)
 
 
@@ -123,7 +126,7 @@ def main():
         p50 = times[len(times) // 2]
         return min(times), p50, dur, min(rtfs)
 
-    def measure_stream(quantize="int8", n_sent=8, runs=(1, 2)):
+    def measure_stream(quantize="int8kv", n_sent=8, runs=(1, 2)):
         """Sentence-by-sentence single-stream serving with dispatch/fetch
         double-buffering (api.stream_audio_from_long_text): sentence i+1
         is dispatched before sentence i's end-of-utterance host sync, so
@@ -133,9 +136,9 @@ def main():
         stream; RTF = wall / total audio over the whole stream, INCLUDING
         the unoverlappable first-sentence sync and any sliding-prompt
         data-dependency stalls (p=0.5 per sentence). Deliberately the
-        SAME engine config as short_rtf (int8, 512 buckets, greedy):
-        every program is then already compiled by the short_rtf warm-up
-        — int8kv/512 would be a fresh multi-minute Mosaic compile."""
+        SAME engine config as short_rtf (int8kv, 512 buckets, greedy —
+        the measured-best sentence-workload config): every program is
+        then already compiled by the short_rtf warm-up."""
         ecfg = EngineConfig(
             text_buckets=(256,), audio_buckets=(512,), quantize=quantize,
             top_k=1,
@@ -233,11 +236,13 @@ def main():
     # per-utterance costs dominate (the reference's real workload,
     # generation.py:191-228 synthesizes sentence by sentence). Random
     # weights never emit EOS, so the 2 s stop is enforced with the
-    # max_duration cap; a right-sized 512-frame bucket matches what a
-    # short-sentence serving config would use. Runs unconditionally
+    # max_duration cap; a right-sized 512-frame bucket with the int8 KV
+    # cache (measured best for the sentence workload: short 0.052 vs
+    # 0.054, stream 0.035 vs 0.037-0.042 under plain int8) matches what
+    # a short-sentence serving config would use. Runs unconditionally
     # right after the headline: the watchdog bounds the worst case.
     measure(
-        "int8", utterance="Hi there, good morning.", runs=(1, 2, 3),
+        "int8kv", utterance="Hi there, good morning.", runs=(1, 2, 3),
         max_duration=2.0, audio_buckets=(512,), on_run=on_short,
     )
     # sentence STREAM: the same short-sentence workload as short_rtf
@@ -245,7 +250,7 @@ def main():
     # per-sentence tunnel round trip hides behind the next sentence's
     # compute (see measure_stream's methodology note). Also
     # unconditional: short_rtf's warm-up compiled all of its programs.
-    measure_stream("int8")
+    measure_stream("int8kv")
 
     if within_budget():
         _, _, _, bf16_rtf = measure("none")
