@@ -518,3 +518,49 @@ def test_collate_packed_layout():
             assert (np.diff(out["p_audio_pos"][r, rows]) == 1).all()
     # real-frame accounting is per utterance
     assert sorted(out["audio_lens"].tolist()) == sorted(lens)
+
+
+@pytest.mark.slow
+def test_trainer_cli_packed(tmp_path):
+    """Trainer driver with --pack 2: batches arrive sequence-packed
+    (p_* arrays), train_step dispatches the packed objective through the
+    interpret-mode flash kernels, loss is finite."""
+    import jax.experimental.pallas as _pl
+    import h5py
+
+    from vallex_tpu.train import trainer
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "data"
+    d.mkdir()
+    for split in ("train", "valid"):
+        with h5py.File(str(d / f"{split}.hdf5"), "w") as f:
+            for i in range(4):
+                g = f.create_group(f"utt{i}")
+                g.create_dataset(
+                    "audio", data=rng.randint(0, 1024, (8, 24 + 7 * i))
+                )
+        with open(str(d / f"{split}.txt"), "w") as f:
+            for i in range(4):
+                f.write(
+                    f"utt{i}|{(24 + 7 * i) / 75:.2f}|en|tiny utterance {i}\n"
+                )
+
+    argv = [
+        "--data-dir", str(d), "--exp-dir", str(tmp_path / "exp"),
+        "--num-epochs", "1", "--train-stage", "0",
+        "--decoder-dim", "64", "--nhead", "4", "--num-decoder-layers", "2",
+        "--dp", "2", "--tp", "1", "--log-interval", "1",
+        "--diag-interval", "1000", "--save-every", "1000",
+        "--valid-interval", "1000", "--max-duration", "4.0",
+        "--max-cut-duration", "2.0", "--pack", "2",
+    ]
+    args = trainer.get_parser().parse_args(argv)
+    orig = _pl.pallas_call
+    _pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        out = trainer.run(args)
+    finally:
+        _pl.pallas_call = orig
+    assert out["step"] >= 1
+    assert np.isfinite(out["metrics"].get("loss", np.inf))

@@ -345,8 +345,12 @@ def create_dataloader(
     shuffle: bool = True,
     seed: int = 0,
     shard: Tuple[int, int] = (0, 1),
+    pack: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Generator of collated batches (reference: data/dataset.py:225-242)."""
+    """Generator of collated batches (reference: data/dataset.py:225-242).
+    pack > 1 emits sequence-PACKED batches (collate_packed) for
+    train_step(packed=True) — `pack` utterances share each row with
+    per-token position/segment arrays."""
     ds = AudioDataset(h5_path, ann_path)
     sampler = DynamicBatchSampler(
         range(len(ds)), ds.get_dur,
@@ -354,4 +358,8 @@ def create_dataloader(
         max_tokens=max_duration, shuffle=shuffle, seed=seed, shard=shard,
     )
     for batch_idx in sampler:
-        yield collate([ds[i] for i in batch_idx])
+        samples = [ds[i] for i in batch_idx]
+        if pack > 1 and len(samples) >= 2 * pack:
+            yield collate_packed(samples, pack=pack)
+        else:
+            yield collate(samples)

@@ -179,6 +179,11 @@ def run(args) -> dict:
         "off": False,
         "auto": "auto" if jax.default_backend() != "cpu" else False,
     }[args.flash_attn]
+    if getattr(args, "pack", 1) > 1 and cfg.prefix_mode not in (0, 1):
+        raise SystemExit(
+            "--pack requires prefix_mode 0 or 1 (modes 2/4 prepend prompt "
+            "buffers and train unpacked)"
+        )
     dp = args.dp or max(1, jax.device_count() // args.tp)
     mesh = make_mesh(
         dp=dp, tp=args.tp, devices=jax.devices()[: dp * args.tp]
@@ -235,11 +240,16 @@ def run(args) -> dict:
         for batch in datamodule.train_dataloaders(epoch):
             batch.pop("utt_ids", None)
             rng, step_rng = jax.random.split(rng)
+            # --pack N batches arrive sequence-packed (p_* per-token
+            # arrays); a residual tiny batch may fall back to the plain
+            # collate, so dispatch per batch by shape
+            packed = "p_text_ids" in batch
             with mesh:
                 state, metrics = train_step(
                     state, batch, step_rng,
                     cfg=cfg, optimizer=optimizer, dtype=args.dtype,
                     prefix_mode=cfg.prefix_mode, use_flash=use_flash,
+                    packed=packed,
                 )
             global_step += 1
             if global_step % args.log_interval == 0:
@@ -255,7 +265,10 @@ def run(args) -> dict:
                              last_metrics.items()),
                     rate,
                 )
-            if global_step % args.diag_interval == 0:
+            if global_step % args.diag_interval == 0 and not packed:
+                # diag_grads is built over the unpacked objective; packed
+                # steps simply skip the diagnostic (the next unpacked
+                # residual batch provides one)
                 with mesh:
                     grads = diag_grads(state.params, batch, step_rng)
                 log.info("%s", format_grad_diagnostics(
