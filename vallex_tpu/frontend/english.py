@@ -88,6 +88,7 @@ _LTS_RULES = [
     ("ages",    V + "[a-z]*", "$", "ɪʤəz"),
     ("able",    V + "[a-z]*", "$", "əbəl"),
     ("ible",    V + "[a-z]*", "$", "əbəl"),
+    ("ibrar",   None, None, "aɪbrɛr"),  # library, libraries
     # place/person-name codas (washington, johnson, oxford, poland)
     ("ton",     V + "[a-z]*", "$", "tən"),
     ("son",     V + "[a-z]*" + C, "$", "sən"),  # johnson — not reason
@@ -116,6 +117,8 @@ _LTS_RULES = [
     ("ism",   V + "[a-z]*", "$", "ɪzəm"),
     ("ity",   V + "[a-z]*", "$", "əti"),
     ("acy",   None, "$", "əsi"),
+    ("ive",   "(?:surv|arr|al|rev|der|str|conn)", "s?$", "aɪv"),
+    #   stress-final -ive verbs (survive, arrive, alive, derive)
     ("ive",   V + "[a-z]*", "$", "ɪv"),
     ("ian",   None, "$", "iən"),
     ("al",    V + "[a-z]*", "$", "əl"),
@@ -132,6 +135,9 @@ _LTS_RULES = [
     ("oes",   None, "$", "oʊz"),
     ("ise",   V + "[a-z]*", "$", "aɪz"),   # advertise, otherwise, sunrise
     ("ise",   "[rw]", "s?$", "aɪz"),       # rise, wise
+    ("isen",  None, "$", "ɪzən"),          # risen, arisen
+    ("oise",  "[^t]", "$", "ɔɪz"),         # noise — not tortoise
+    ("lease", "p", "s?$", "liz"),          # please
     ("oose",  "ch", "s?$", "uz"),          # choose
     #   (verb-forming -ise voices; promise/premise are lexicon entries)
     ("sis",   None, "$", "səs"),           # analysis, basis, diagnosis
@@ -152,12 +158,18 @@ _LTS_RULES = [
     ("que",   None, "$", "k"),
     ("eau",   None, None, "oʊ"),
     ("u",     "^$", "(n[iey]|s[aeiouy]|t[aeiouy])", "ju"),
+    ("e",     None, "(?=dia|gal|male|qual)", "i"),  # media, legal,
+    #   female, equal
+    ("e",     "^$", "r[aeiou]", "ɪ"),  # erase, erosion, erupt — not
+    #   error/errand (the doubled r blocks the context)
     # closed-compound function words (someone, everywhere, sometimes)
     ("some",  "^$", "[a-z]", "səm"),
     ("ident", "^$", None, "aɪdɛnt"),  # identify, identity, identical
     ("y",     "^m", "self", "aɪ"),    # myself
     ("inth",  None, "$", "aɪnθ"),     # ninth
     ("inus",  None, "$", "aɪnəs"),    # minus, sinus
+    ("isis",  None, "$", "aɪsəs"),    # crisis
+    ("item",  "^$", None, "aɪtəm"),   # item, items
     ("iday",  "r", "$", "aɪdeɪ"),     # friday (not holiday)
     ("one",   "(some|any|every)", "$", "wən"),
     ("where", "(some|any|every|no)", "$", "wɛr"),
@@ -244,19 +256,41 @@ _LTS_RULES = [
     ("ange",  None, "$", "eɪnʤ"),
     ("ange",  "[a-z]", "[rds]", "eɪnʤ"),  # danger, stranger, changed
     ("aken",  None, None, "eɪkən"),       # taken, shaken, mistaken
+    ("an",    None, "(?=cien|gel)", "eɪn"),  # ancient, angel
+    ("ata",   "[^n]", "$", "eɪtə"),       # data, strata — not sonata
+    ("asi",   None, "[sc]", "eɪs"),       # basis, basic, oasis
     ("a",     None, "[bcdfgklmnprst]ing$", "eɪ"),  # making, amazing
     ("i",     None, "[bcdfgklmnprst]ing$", "aɪ"),  # riding, timing
     ("nge",   None, "$", "nʤ"),
     # long-o morphological families (tokens, unspoken, motorist, oceans,
     # locally, totally, bonuses, polarized, domains)
     ("oken",  None, None, "oʊkən"),
+    ("onent", None, None, "oʊnənt"),  # component, opponent, exponent
+    ("onial", None, None, "oʊniəl"),  # colonial, ceremonial
+    ("onia",  None, None, "oʊniə"),   # pneumonia, patagonia
     ("oment", None, None, "oʊmənt"),
     ("otor",  None, None, "oʊtər"),
     ("ocean", None, None, "oʊʃən"),
     ("otion", None, None, "oʊʃən"),  # motion, emotion, promotion
     ("ania",  None, "$", "eɪniə"),   # albania, romania
     ("eria",  None, "$", "ɪriə"),    # bacteria, criteria, cafeteria
+    ("ere",   "w", "$", "ər"),       # were
+    ("ere",   "wh", "$", "ɛr"),      # where (wh→w consumed the h)
+    ("here",  "^$", "$", "hir"),     # here (CMU IY)
     ("ere",   None, "s?$", "ɪr"),    # sphere, severe, atmosphere
+    ("ero",   "z", "s?$", "ɪroʊ"),   # zero(s)
+    ("cent",  "per", "s?$", "sɛnt"),  # percent
+    ("sday",  None, "s?$", "zdeɪ"),   # thursday, tuesday, wednesday
+    # reduced-o families (CMU AH0/AH1: from/among-class 'o' before
+    # nasals in closed syllables)
+    ("oming", None, "$", "əmɪŋ"),   # coming, becoming
+    ("othing", None, "$", "əθɪŋ"),  # nothing
+    ("oney",  None, "s?$", "əni"),  # money, honey
+    ("onday", None, "s?$", "əndeɪ"),
+    ("onth",  None, None, "ənθ"),   # month(s), monthly
+    ("ront",  None, None, "rənt"),  # front, confront
+    ("o",     "^pr", "(?=vi|te[ck]|du|po)", "ə"),  # provide, protect,
+    #   produce, propose — not program/process
     ("otal",  None, None, "oʊtəl"),
     ("ocus",  None, None, "oʊkəs"),
     ("ocal",  None, None, "oʊkəl"),
@@ -278,6 +312,9 @@ _LTS_RULES = [
     ("ear",   "[^bw]", "s?$", "ɪr"),  # year, fear, appear — not bear
     ("ear",   None, "[cdfghklmnp]", "ər"),  # heard, learn, early, search
     ("ead",   None, "$", "ɛd"),
+    # short-e 'ea' contexts (meant, health, breakfast, weapon, meadow,
+    # pleasant, measure/pleasure-family)
+    ("ea",    None, "(?=nt|lth|kf|sur|ven|pon|sant|dow|lous|lth)", "ɛ"),
     ("ea",    None, None, "i"),
     ("eur",   None, None, "jʊr"),
     ("eu",    None, None, "ju"),
@@ -294,6 +331,11 @@ _LTS_RULES = [
     ("ou",    None, None, "aʊ"),
     ("oi",    None, None, "ɔɪ"),
     ("oy",    None, None, "ɔɪ"),
+    ("ie",    "fr", None, "ɛ"),   # friend, friendly
+    ("ea",    "(?:ar|id)", "s?$", "iə"),  # area, idea(s)
+    ("our",   "(?:^|h)", "s?$", "aʊər"),  # our, hour(s) — not four
+    ("dred",  None, "$", "drəd"),         # hundred, kindred
+    ("les",   "[bcdfgkpstvz]", "$", "əlz"),  # examples, tables, candles
     ("ie",    None, "$", "aɪ"),
     ("ie",    None, None, "i"),
     ("ue",    V + "[a-z]*[nl]", "$", "ju"),  # value, continue, venue
@@ -337,12 +379,16 @@ _LTS_RULES = [
     ("o",     None, C + "e[sd]?$", "oʊ"),
     ("u",     None, C + "e[sd]?$", "ju"),
     ("e",     None, C + "e[sd]?$", "i"),
+    ("y",     None, C + "e[sd]?$", "aɪ"),  # style, type, bytes
     # open-syllable long vowels before a SINGLE consonant (doubled
     # consonants now reach the rules intact, so table/apple and
     # baby/happy are distinguishable)
     ("a",     None, C + "le$", "eɪ"),   # table, cable, stable, able
     ("a",     None, C + "y$", "eɪ"),    # baby, navy, lazy, crazy
     ("oll",   None, "$", "oʊl"),        # poll, roll, toll, scroll
+    ("i",     None, C + "le$", "aɪ"),   # title, bible, rifle (doubled
+    #                                     consonants block: little)
+    ("i",     None, "[td]ers?$", "aɪ"),  # writer, rider, spider
     # single letters
     ("a",     "[wu]", None, "ɑ"),  # want, watch, wash, quality
     ("a",     "^$", C + "[aeiouy]", "ə"),  # about, again, around (unstressed)
@@ -531,6 +577,10 @@ _STRESS_SUFFIXES = [
     ("self", 1), ("selves", 1),
     # measured against the lexicon's stress marks (suffix_tune):
     ("ual", 3), ("ish", 2), ("ee", 1), ("ade", 1), ("ient", 2),
+    # -ate verbs stress the antepenult; listed with their preceding
+    # syllable so 2-nuclei words (create, debate) keep final stress
+    ("icate", 3), ("igate", 3), ("ulate", 3), ("erate", 3),
+    ("inate", 3), ("imate", 3), ("ivate", 3), ("orate", 3),
 ]
 
 _NEUTRAL_SUFFIX_RE = re.compile(
@@ -623,7 +673,12 @@ def _reduce_unstressed(
         if k == len(spans) - 1 and seg == "i":
             continue  # happy-tensing: final i stays tense
         if seg in reducible:
-            out[a:b] = ["ə"]
+            # initial unstressed e- centralizes to ɪ, not ə (establish,
+            # event, eleven — CMUdict IH0)
+            if k == 0 and seg == "ɛ" and word[:1] == "e":
+                out[a:b] = ["ɪ"]
+            else:
+                out[a:b] = ["ə"]
         elif (
             seg == "ɪ" and 0 < k < len(spans) - 1
             and (ipa[b : b + 1] != "k" or not ic_suffix)
