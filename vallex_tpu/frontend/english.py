@@ -54,7 +54,9 @@ _LTS_RULES = [
     # so the vowel is stressed-short, not a reduced prefix)
     ("be",  "^", r"(?!(.)\1)" + C + "[a-z]*" + V, "bɪ"),
     ("de",  "^", r"(?!(.)\1)" + C + "[a-z]*" + V, "dɪ"),
+    ("re",  "^", "(?=f[eilu])", "rə"),  # refer, reflect, refuse
     ("re",  "^", r"(?!(.)\1)" + C + "[a-z]*" + V, "rɪ"),
+    ("pre", "^", "(?=f)", "prə"),   # prefer (CMU AH0)
     ("pre", "^", r"(?!(.)\1)" + C + "[a-z]*" + V, "prɪ"),
     ("ex",  "^", C, "ɪks"),
     ("comm", "^", "[aeiouy]", "kəm"),  # commit, command, communicate
@@ -133,6 +135,7 @@ _LTS_RULES = [
     # raw-rule endings previously spelled the 'e' as ɛ and the s as /s/)
     ("less",  V + "[a-z]*", "$", "ləs"),
     ("oes",   None, "$", "oʊz"),
+    ("ise",   "(?:prom|prem)", "s?$", "əs"),  # promise, premise
     ("ise",   V + "[a-z]*", "$", "aɪz"),   # advertise, otherwise, sunrise
     ("ise",   "[rw]", "s?$", "aɪz"),       # rise, wise
     ("isen",  None, "$", "ɪzən"),          # risen, arisen
@@ -228,6 +231,7 @@ _LTS_RULES = [
     ("og",    "[dlh]", "s?$", "ɔg"),
     ("ory",   V + "[a-z]*", "$", "əri"),   # history, memory, factory
     ("ause",  None, None, "ɔz"),            # because, cause, pause
+    ("ose",   "purp", "s?$", "əs"),         # purpose
     ("ose",   "[hrpn]", "s?$", "oʊz"),      # those, rose, suppose, nose
     ("s",     "^u", "[ei]", "z"),           # use(d/r), using — verb voicing
     ("s",     "^d?i", "[aeiou]", "s"),      # dis-/iso- prefixes stay s
@@ -258,7 +262,11 @@ _LTS_RULES = [
     ("aken",  None, None, "eɪkən"),       # taken, shaken, mistaken
     ("an",    None, "(?=cien|gel)", "eɪn"),  # ancient, angel
     ("ata",   "[^n]", "$", "eɪtə"),       # data, strata — not sonata
-    ("asi",   None, "[sc]", "eɪs"),       # basis, basic, oasis
+    ("asis",  None, "$", "eɪsəs"),        # basis, oasis
+    ("asi",   None, "[sc]", "eɪs"),       # basic, occasional
+    ("yst",   V + "[a-z]*", "s?$", "əst"),  # analyst, catalyst
+    ("it",    V + "[a-z]*[^aeiouym]", "$", "ət"),  # habit, orbit, profit
+    #   (-mit verbs stress the final syllable: admit, permit)
     ("a",     None, "[bcdfgklmnprst]ing$", "eɪ"),  # making, amazing
     ("i",     None, "[bcdfgklmnprst]ing$", "aɪ"),  # riding, timing
     ("nge",   None, "$", "nʤ"),
@@ -292,6 +300,12 @@ _LTS_RULES = [
     ("o",     "^pr", "(?=vi|te[ck]|du|po)", "ə"),  # provide, protect,
     #   produce, propose — not program/process
     ("otal",  None, None, "oʊtəl"),
+    ("oto",   None, "$", "oʊtoʊ"),    # photo
+    ("otive", None, "s?$", "oʊtɪv"),  # motive, emotive
+    ("otel",  None, "s?$", "oʊtɛl"),  # hotel, motel
+    ("ome",   None, "(?=work|town|made|sick|page|land)", "oʊm"),  # home-
+    ("omb",   "c", "s?$", "oʊm"),     # comb — not bomb/tomb
+    ("open",  "(?:^|re)$", None, "oʊpən"),  # open(ing), reopen
     ("ocus",  None, None, "oʊkəs"),
     ("ocal",  None, None, "oʊkəl"),
     ("otice", None, None, "oʊtəs"),
@@ -319,6 +333,8 @@ _LTS_RULES = [
     ("eur",   None, None, "jʊr"),
     ("eu",    None, None, "ju"),
     ("ui",    None, None, "u"),
+    ("air",   None, None, "ɛr"),   # air, aircraft (before the ai digraph)
+    ("eir",   None, "s?$", "ɛr"),  # heir, their
     ("ai",    None, None, "eɪ"),
     ("ay",    None, None, "eɪ"),
     ("ey",    None, "$", "i"),
@@ -360,11 +376,13 @@ _LTS_RULES = [
     ("ar",    "[wu]", None, "ɔr"),  # war, quarter
     # doubled r: the vowel is NOT r-colored (sorry, cherry, mirror,
     # hurry); 'a' before intervocalic r fronts to ɛ (care, parent)
+    ("arr",   "^$", "[aeiouy]", "ər"),  # arrive, arrange, arrest
     ("arr",   None, "[aeiouy]", "ɛr"),
     ("err",   None, "[aeiouy]", "ɛr"),
     ("irr",   None, "[aeiouy]", "ɪr"),
     ("orr",   None, "[aeiouy]", "ɑr"),
     ("urr",   None, "[aeiouy]", "ər"),
+    ("ar",    "^$", "(?=ou|i[sv]|o[sm])", "ər"),  # around, arise, aroma
     ("ar",    None, "[aeiouy]", "ɛr"),
     ("ar",    None, None, "ɑr"),
     ("er",    None, None, "ər"),
@@ -386,6 +404,12 @@ _LTS_RULES = [
     ("a",     None, C + "le$", "eɪ"),   # table, cable, stable, able
     ("a",     None, C + "y$", "eɪ"),    # baby, navy, lazy, crazy
     ("oll",   None, "$", "oʊl"),        # poll, roll, toll, scroll
+    ("i",     "^" + C + "{1,2}$", "nal", "aɪ"),  # final, spinal — not
+    #   criminal/original (the i sits deeper in the word)
+    ("i",     "^s", "lent", "aɪ"),      # silent
+    ("i",     "^pr", "mar", "aɪ"),      # primary
+    ("imb",   "cl", None, "aɪm"),       # climb
+    ("o",     "^t", "(?=day|morrow|night|gether)", "ə"),  # today, tonight
     ("i",     None, C + "le$", "aɪ"),   # title, bible, rifle (doubled
     #                                     consonants block: little)
     ("i",     None, "[td]ers?$", "aɪ"),  # writer, rider, spider
@@ -645,7 +669,10 @@ def _reduce_unstressed(
     final_ice = bool(re.search(r"(ice|[gmc]ine|[srn]ite)s?$", word))
     # unstressed final -ain reduces to ən (mountain, captain, certain);
     # stressed finals (contain, retain — prefix-cued) stay eɪn
-    final_ain = word.endswith(("ain", "ains"))
+    final_ain = word.endswith(("ain", "ains")) and not word.endswith(
+        ("omain", "tertain", "aintain", "ustain", "ttain", "omains",
+         "tertains", "aintains", "ustains", "ttains")
+    )  # mountain/captain/certain reduce; stress-final verbs keep eɪn
     # ɪ before k keeps its quality only in the -ic suffix family
     # (critical, africa → gold ɪk); medial ..ica../..icat.. reduces
     # (america, indicate, medical → gold ək)
