@@ -178,7 +178,7 @@ def main():
             "while children laughed beyond the old stone wall nearby.",
             "The midnight train rolled through the sleeping valley "
             "carrying letters and parcels to towns along the coast.",
-        ] * 2)[:R]
+        ] * 6)[:R]
         prompts = ["paimon"] * R
         api.generate_audio_batch(texts, prompts, top_k=1, seed=0)
         best = None
@@ -281,6 +281,14 @@ def main():
         # utterance — early-EOS seeds would let fixed costs dominate)
         _, _, _, bfsm_rtf = measure("none", top_k=-100, runs=(3, 3))
         detail["bf16_sampled_rtf"] = round(bfsm_rtf, 4)
+    if within_budget():
+        # the batched-serving knee (PERFORMANCE.md: medians of 3 sessions
+        # are 0.0154 / 0.0161 / 0.0173 at 8/16/24)
+        b16 = measure_batch(16, quantize="int8kv", runs=(1, 2))
+        detail["batch16_int8kv_agg_rtf"] = round(b16, 4)
+    if within_budget():
+        b24 = measure_batch(24, quantize="int8kv", runs=(1, 2))
+        detail["batch24_int8kv_agg_rtf"] = round(b24, 4)
 
     signal.alarm(0)
     emit(final=True)

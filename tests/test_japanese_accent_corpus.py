@@ -315,4 +315,4 @@ def test_oov_fallback_accent_accuracy():
             wrong.append((w, exp, got))
     acc = ok / len(OOV_CORPUS)
     print(f"OOV fallback accuracy: {ok}/{len(OOV_CORPUS)}")
-    assert acc >= 0.80, f"fallback regressed: {acc*100:.0f}%; {wrong}"
+    assert acc >= 0.85, f"fallback regressed: {acc*100:.0f}%; {wrong}"

@@ -473,6 +473,12 @@ _COMPOUND_PREFIXES = {
     "消防", "観光", "株式", "高等", "横断", "地下", "中央", "総合",
 }
 _COMPOUND_SUFFIX_KANJI = set("式所局会園館客場線署課庁証券")
+# 2-kanji compound tails: after another 2-kanji noun these close a
+# compound (電話番号, 営業時間, 郵便局? — 3-kanji; tails must be words the
+# junction rule can accent from their own lexicon entries)
+_COMPOUND_TAILS = (
+    "番号", "会社", "時間", "料金", "会場", "番組", "切符", "売場",
+)
 
 
 def _starts_compound(s: str, i: int, m, n: int) -> bool:
@@ -488,6 +494,16 @@ def _starts_compound(s: str, i: int, m, n: int) -> bool:
         return False  # 毎朝七時…: numeral phrases parse separately
     if surface in _COMPOUND_PREFIXES:
         return True
+    # 2-kanji noun + known compound TAIL (番号, 会社, …): wholesale
+    # noun-noun merging measured worse on the sentence goldens (temporal
+    # nouns, numerals), so only whitelisted tails that essentially never
+    # stand as an independent phrase after another noun merge
+    if len(surface) == 2:
+        for tail in _COMPOUND_TAILS:
+            if s.startswith(tail, j) and (
+                j + len(tail) >= n or not _KANJI_RE.match(s[j + len(tail)])
+            ):
+                return True
     # single suffix kanji closing the kanji run
     return (
         s[j] in _COMPOUND_SUFFIX_KANJI
