@@ -137,6 +137,23 @@ _LTS_RULES = [
     ("lar", V + "[a-z]*", "$", "lər"),
     ("gar", V + "[a-z]*", "$", "gər"),
     ("mar", V + "[a-z]*", "$", "mər"),
+    # round-8 mined batch (same methodology; 13.15→13.04 % combined):
+    # hear/fierce, -orate/-oration medial or→ər (decorate, corporation),
+    # thorough/borough, senior/unique, the own/grown long-o family,
+    # flour/sour, final -eo and geo- hiatus, -iness
+    ("hear", None, None, "hir"),
+    ("ierce", None, None, "ɪrs"),
+    ("or", None, "(?=ate|atio)", "ər"),
+    ("orough", None, None, "əroʊ"),
+    ("eni", None, "(?=or)", "inj"),
+    ("ique", None, "s?$", "ik"),
+    ("own", "(?:^|kn|gr|sh|fl|thr|sl|bl)", None, "oʊn"),
+    ("owth", None, None, "oʊθ"),
+    ("low", "s", "(?=ly|ing|ed|er|s$|$)", "loʊ"),
+    ("our", "(?:^|h|fl|^s)", "s?$", "aʊər"),
+    ("eo", V + "[a-z]*" + C, "$", "ioʊ"),
+    ("geo", "^", "(?!r)", "ʤiɑ"),
+    ("iness", "[^s]", "$", "inəs"),
     # reducible prefixes (unstressed in most derived words: behave, depict,
     # resign, exclude, confirm — CMUdict reduces these to ɪ/ə). The
     # doubled-letter lookahead keeps them off closed first syllables
@@ -771,15 +788,17 @@ def _reduce_unstressed(
         seg = ipa[a:b]
         if k == stress_idx:
             # the orthographic prefix rules (de-/be-/ex-/re-/pre-/se-/
-            # con-/com-) emit
-            # the REDUCED vowel unconditionally; when the stress
-            # prediction lands on syllable 0 the word is not prefix-
-            # derived (decade, expert, concept, contract) and the full
-            # vowel must come back
+            # con-/com-) emit the REDUCED vowel unconditionally;
+            # when the stress prediction lands on syllable 0 the word
+            # is not prefix-derived (decade, expert, concept, contract)
+            # and the full vowel must come back. Stressed re-/pre- are
+            # tense (recent, previous — CMU IY1), the rest lax
             if k == 0:
                 if seg == "ə" and word.startswith(("con", "com")):
                     out[a:b] = ["ɑ"]
-                elif seg == "ɪ" and word.startswith(("de", "be", "ex", "re", "pre", "se")):
+                elif seg == "ɪ" and word.startswith(("re", "pre")):
+                    out[a:b] = ["i"]
+                elif seg == "ɪ" and word.startswith(("de", "be", "ex", "se")):
                     out[a:b] = ["ɛ"]
             continue
         if k == 0 and source == "prefix":
