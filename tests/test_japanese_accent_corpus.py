@@ -238,6 +238,41 @@ CONJ_CORPUS = [
     ("暗かった", 0), ("暗くない", 0), ("若かった", 2), ("若くない", 2),
     ("白かった", 2), ("白くない", 2), ("高かった", 2), ("高くない", 2),
     ("重かった", 0), ("重くない", 0), ("深かった", 2), ("深くない", 2),
+    # round-5 second batch: more stems (death/begin/end/hand-over/hurry/
+    # enter/learn/live/win/wear families), ichidan pairs, adjectives.
+    # 近くない/遠くない are documented misses: 近く/遠く are standalone
+    # nouns ([1]/[3]) and the longest-lexicon-match segmentation picks
+    # them over the adjective stem — the next segmentation work item.
+    ("知ります", 3), ("知りました", 3), ("知った", 0), ("知らない", 0),
+    ("知れば", 2), ("死にます", 3), ("死んだ", 0), ("死なない", 0),
+    ("死ねば", 2), ("始まります", 5), ("始まった", 0), ("始まらない", 0),
+    ("始まれば", 4), ("終わります", 4), ("終わった", 0), ("終わらない", 0),
+    ("終われば", 3), ("渡します", 4), ("渡した", 0), ("渡さない", 0),
+    ("渡せば", 3), ("呼びます", 3), ("呼んだ", 0), ("呼ばない", 0),
+    ("呼べば", 2), ("送ります", 4), ("送った", 0), ("送らない", 0),
+    ("送れば", 3), ("思います", 4), ("思いました", 4), ("思った", 2),
+    ("思わない", 3), ("思えば", 2), ("休みます", 4), ("休みました", 4),
+    ("休んだ", 2), ("休まない", 3), ("休めば", 2), ("急ぎます", 4),
+    ("急いだ", 2), ("急がない", 3), ("急げば", 2), ("入ります", 4),
+    ("入った", 1), ("入らない", 3), ("出します", 3), ("出した", 1),
+    ("出さない", 2), ("出せば", 1), ("習います", 4), ("習った", 2),
+    ("習わない", 3), ("習えば", 2), ("住みます", 3), ("住んだ", 1),
+    ("住まない", 2), ("住めば", 1), ("勝ちます", 3), ("勝った", 1),
+    ("勝たない", 2), ("勝てば", 1),
+    ("負けます", 3), ("負けた", 0), ("負けない", 0), ("負ければ", 3),
+    ("開けます", 3), ("開けた", 0), ("開けない", 0), ("開ければ", 3),
+    ("着ます", 2), ("着た", 0), ("着ない", 0), ("着れば", 2),
+    ("寝ます", 2), ("寝た", 0), ("寝ない", 0), ("寝れば", 2),
+    ("教えます", 4), ("教えた", 0), ("教えない", 0), ("教えれば", 4),
+    ("忘れます", 4), ("忘れた", 0), ("忘れない", 0), ("忘れれば", 4),
+    ("閉めます", 3), ("閉めた", 2), ("閉めない", 2), ("閉めれば", 2),
+    ("起きます", 3), ("起きた", 2), ("起きない", 2), ("起きれば", 2),
+    ("覚えます", 4), ("覚えた", 3), ("覚えない", 3), ("覚えれば", 3),
+    ("安かった", 2), ("安くない", 2), ("近かった", 2), ("近くない", 2),
+    ("遠かった", 0), ("遠くない", 0), ("長かった", 2), ("長くない", 2),
+    ("短かった", 3), ("短くない", 3), ("寒かった", 2), ("寒くない", 2),
+    ("暑かった", 2), ("暑くない", 2), ("新しかった", 4), ("新しくない", 4),
+    ("古かった", 2), ("古くない", 2), ("楽しかった", 3), ("楽しくない", 3),
 ]
 
 
@@ -254,11 +289,12 @@ def test_accent_accuracy_number_documented():
 
 
 def test_corpus_size_and_provenance():
-    """The corpus now exceeds 700 ground-truth words (round-5 target),
+    """The corpus now exceeds 800 ground-truth words (round-5 target
+    was 700),
     with ≥100 held-out OOV words measuring the fallback rules (compound
     junction / katakana -3 / conjugation classes), not lexicon hits."""
-    assert len(CORPUS) + len(OOV_CORPUS) + len(CONJ_CORPUS) >= 700
-    assert len(OOV_CORPUS) + len(CONJ_CORPUS) >= 100
+    assert len(CORPUS) + len(OOV_CORPUS) + len(CONJ_CORPUS) >= 800
+    assert len(OOV_CORPUS) + len(CONJ_CORPUS) >= 300
 
 
 def test_conjugation_surfaces_bypass_the_lexicon():
@@ -271,7 +307,8 @@ def test_conjugation_surfaces_bypass_the_lexicon():
 def test_conjugation_accent_accuracy():
     """Accent accuracy on conjugated verb/i-adjective forms (VERDICT r4
     #4): measures the class-sensitive conjugation rules + stem coverage
-    + segmentation end-to-end. Round-5 measured: 168/168."""
+    + segmentation end-to-end. Round-5 measured: 284/286 (the two
+    misses are the 近く/遠く noun-collision documented above)."""
     ok, wrong = 0, []
     for w, exp in CONJ_CORPUS:
         phrases = _analyze(w)
