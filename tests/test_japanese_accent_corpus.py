@@ -240,9 +240,9 @@ CONJ_CORPUS = [
     ("重かった", 0), ("重くない", 0), ("深かった", 2), ("深くない", 2),
     # round-5 second batch: more stems (death/begin/end/hand-over/hurry/
     # enter/learn/live/win/wear families), ichidan pairs, adjectives.
-    # 近くない/遠くない are documented misses: 近く/遠く are standalone
-    # nouns ([1]/[3]) and the longest-lexicon-match segmentation picks
-    # them over the adjective stem — the next segmentation work item.
+    # 近くない/遠くない originally missed (the standalone nouns 近く/遠く
+    # shadowed the adjective stem); the adv_noun_shadow gate in
+    # japanese.py::_analyze resolves them as adjective conjugations.
     ("知ります", 3), ("知りました", 3), ("知った", 0), ("知らない", 0),
     ("知れば", 2), ("死にます", 3), ("死んだ", 0), ("死なない", 0),
     ("死ねば", 2), ("始まります", 5), ("始まった", 0), ("始まらない", 0),
@@ -307,8 +307,7 @@ def test_conjugation_surfaces_bypass_the_lexicon():
 def test_conjugation_accent_accuracy():
     """Accent accuracy on conjugated verb/i-adjective forms (VERDICT r4
     #4): measures the class-sensitive conjugation rules + stem coverage
-    + segmentation end-to-end. Round-5 measured: 284/286 (the two
-    misses are the 近く/遠く noun-collision documented above)."""
+    + segmentation end-to-end. Round-5 measured: 286/286."""
     ok, wrong = 0, []
     for w, exp in CONJ_CORPUS:
         phrases = _analyze(w)

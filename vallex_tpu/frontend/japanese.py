@@ -550,11 +550,21 @@ def _analyze(sentence: str) -> List[_Phrase]:
         # (高かった, 白く, 強ければ, 早さ): these stems live OUTSIDE
         # WORDS — as lexicon words they split kanji compounds
         # (高速道路 → たか/…). A longer lexicon match still wins.
+        # the adverbial noun reading (近く ちかく[1], 遠く とおく[3])
+        # shadows the adjective stem; before a negative/なる continuation
+        # the く is the adjective's conjugation, not the noun
+        adv_noun_shadow = (
+            m is not None
+            and len(m[0]) == 2
+            and m[0][1] == "く"
+            and s[i + 2 : i + 4]
+            in ("ない", "なか", "なく", "なけ", "なる", "なり", "なっ")
+        )
         if (
             ch in ADJ_1CHAR_STEMS
             and i + 1 < n
             and s[i + 1] in "かくけさそ"
-            and (m is None or len(m[0]) <= 1)
+            and (m is None or len(m[0]) <= 1 or adv_noun_shadow)
         ):
             _r, _a = ADJ_1CHAR_STEMS[ch]
             _push(_r, _a)
