@@ -154,6 +154,28 @@ _LTS_RULES = [
     ("eo", V + "[a-z]*" + C, "$", "ioʊ"),
     ("geo", "^", "(?!r)", "ʤiɑ"),
     ("iness", "[^s]", "$", "inəs"),
+    # round-9 mined batch (13.04→12.97 %): deadline/headquarters short
+    # ea, bear/wear/pear, precious; the knows/showed/owe/bowl/soul
+    # long-o family; unstressed -alty/-orary/-nora-/-bor-; comfort;
+    # realize hiatus; danger/stranger
+    ("ead", None, "(?=li|qu)", "ɛd"),
+    ("east", "br", None, "ɛst"),
+    ("ear", "(?:^b|^w|^sw|^p)", "s?$", "ɛr"),
+    ("ecious", None, None, "ɛʃəs"),
+    ("preci", "^", "(?=ou)", "prɛʃ"),  # the pre- prefix rule wins at i=0 otherwise
+    ("ows", "(?:kn|sh|gr|thr|fl|bl|sl)", "$", "oʊz"),
+    ("owed", "(?:kn|sh|gr|thr|fl|bl|sl)", "$", "oʊd"),
+    ("owe", "^", None, "oʊ"),
+    ("owl", "b", None, "oʊl"),
+    ("ower", "(?:^l|^m)", None, "oʊər"),
+    ("oul", "(?:^s|b)", None, "oʊl"),
+    ("alty", V + "[a-z]*", "$", "əlti"),
+    ("nora", None, None, "nərə"),
+    ("bor", V + "[a-z]*", "(?=hood|ing$)", "bər"),
+    ("comfor", "^", None, "kʌmfər"),
+    ("orary", None, "$", "ərɛri"),
+    ("ea", "r", "(?=liz|lis)", "iə"),
+    ("anger", "(?:^d|^r|^str)", None, "eɪnʤər"),
     # reducible prefixes (unstressed in most derived words: behave, depict,
     # resign, exclude, confirm — CMUdict reduces these to ɪ/ə). The
     # doubled-letter lookahead keeps them off closed first syllables
@@ -824,6 +846,12 @@ def _reduce_unstressed(
             # event, eleven — CMUdict IH0)
             if k == 0 and seg == "ɛ" and word[:1] == "e":
                 out[a:b] = ["ɪ"]
+            elif k == 0 and seg in "æɑ" and len(spans) >= 4 and stress_idx >= 2:
+                # alternating secondary stress: a long word stressed on
+                # syllable ≥3 carries secondary stress on syllable 1, so
+                # the æ/ɑ keeps its quality (application, afternoon,
+                # operation, conversation — CMUdict AE2/AA2, not AH0)
+                continue
             else:
                 out[a:b] = ["ə"]
         elif (
