@@ -176,6 +176,77 @@ _LTS_RULES = [
     ("orary", None, "$", "ərɛri"),
     ("ea", "r", "(?=liz|lis)", "iə"),
     ("anger", "(?:^d|^r|^str)", None, "eɪnʤər"),
+    # round-11 batch, second 2-edit sweep (12.47→12.25 %) — listed
+    # BEFORE round-10 so breakfast beats the break rule at the same
+    # position (list order, not length, breaks ties)
+    ("our", None, "(?=[st])", "ɔr"),
+    ("oar", None, None, "ɔr"),
+    ("ouch", "t", None, "əʧ"),
+    ("oupl", None, None, "əpl"),
+    ("essure", None, None, "ɛʃər"),
+    ("nature", "^", None, "neɪʧər"),
+    ("ure", V + "[a-z]*[gl]", "s?$", "jər"),
+    ("isl", "^", None, "aɪl"),
+    ("overnment", None, None, "əvərmənt"),
+    ("azine", None, "s?$", "əzin"),
+    ("iew", None, None, "ju"),
+    ("olice", None, None, "əlis"),
+    ("isease", None, None, "ɪziz"),
+    ("lease", "^p", None, "liz"),
+    ("tomach", None, None, "təmək"),
+    ("edule", None, None, "ɛʤʊl"),
+    ("oldier", None, None, "oʊlʤər"),
+    ("ofess", None, None, "əfɛs"),
+    ("elcome", None, None, "ɛlkəm"),
+    ("ompany", None, None, "əmpəni"),
+    ("ninet", "^", None, "naɪnt"),
+    ("uly", "j", None, "ulaɪ"),
+    ("allow", "^", None, "əlaʊ"),
+    ("oh", "^", "$", "oʊ"),
+    ("one", "^", "s?$", "wən"),
+    ("reakfast", None, None, "rɛkfəst"),
+    ("lenge", None, None, "lənʤ"),
+    ("anim", "^", "(?=al)", "ænəm"),
+    ("erience", None, None, "ɪriəns"),
+    ("egion", None, None, "iʤən"),
+    ("pinion", None, None, "pɪnjən"),
+    # round-10 batch, mined from the 2-edit tail (12.90→12.47 %):
+    # monosyllabic Cy → aɪ (fly, cry, try, why), -ire → aɪər (fire,
+    # require, desire), group/young/country ou, open-syllable aCer → eɪ
+    # (paper, later, baker), prove/move/receive, and common irregulars
+    ("y", "^" + C + "{1,3}", "$", "aɪ"),
+    ("ire", None, "s?$", "aɪər"),
+    ("ired", None, "$", "aɪərd"),
+    ("oup", None, "(?![aeioul])", "up"),
+    ("oung", None, "(?!e)", "əŋ"),
+    ("ountry", None, None, "əntri"),
+    ("four", None, None, "fɔr"),
+    ("our", "(?:^y|t)", "s?$", "ʊr"),
+    ("said", "^", None, "sɛd"),
+    ("says", "^", None, "sɛz"),
+    ("eople", None, None, "ipəl"),
+    ("reak", "(?:^b|^g)", None, "reɪk"),
+    ("reat", "^g", None, "reɪt"),
+    ("foreign", None, None, "fɔrən"),
+    ("sovereign", None, None, "sɑvrən"),
+    ("argue", None, None, "ɑrgju"),
+    ("idea", "^", None, "aɪdiə"),
+    ("often", "^", None, "ɔfən"),
+    ("uesday", None, None, "uzdeɪ"),
+    ("ednesday", None, None, "ɛnzdeɪ"),
+    ("anguage", None, None, "æŋgwəʤ"),
+    ("ontrol", None, None, "əntroʊl"),
+    ("rove", "(?:^p|mp|pp)", None, "ruv"),
+    ("move", None, None, "muv"),
+    ("eive", None, None, "iv"),
+    ("a", None, "(?=[bcdgkmptvz]ers?$)", "eɪ"),
+    ("ajor", None, None, "eɪʤər"),
+    ("ober", None, "$", "oʊbər"),
+    ("mong", "a", None, "mʌŋ"),
+    ("mon", "^", "(?=ey|th|k)", "mʌn"),
+    ("eau", "b", None, "ju"),
+    ("gether", None, None, "gɛðər"),
+    ("sual", None, None, "ʒuəl"),
     # reducible prefixes (unstressed in most derived words: behave, depict,
     # resign, exclude, confirm — CMUdict reduces these to ɪ/ə). The
     # doubled-letter lookahead keeps them off closed first syllables
