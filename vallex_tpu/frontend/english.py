@@ -176,6 +176,48 @@ _LTS_RULES = [
     ("orary", None, "$", "ərɛri"),
     ("ea", "r", "(?=liz|lis)", "iə"),
     ("anger", "(?:^d|^r|^str)", None, "eɪnʤər"),
+    # round-12 batch, third 2-edit sweep (12.25→11.88 %): -ough/-augh
+    # families, vocalized l (palm, folk), French -age/-chute/-igue,
+    # -stion/-cient/-cian/-asion suffixes, and silent-letter irregulars
+    # (sword, indict, whose, receipt-family cei → si)
+    ("ough", "(?:^t|^r|sl|en)", "$", "əf"),
+    ("ough", "(?:^c|tr)", "$", "ɔf"),
+    ("augh", "(?:^l|dr)", None, "æf"),
+    ("alm", None, None, "ɑm"),
+    ("olk", None, None, "oʊk"),
+    ("sword", "^", None, "sɔrd"),
+    ("age", "(?:ir|ot)", "s?$", "ɑʒ"),
+    ("chute", None, None, "ʃut"),
+    ("gauge", None, None, "geɪʤ"),
+    ("suite", None, "(?=s?$)", "swit"),
+    ("atigue", None, None, "ətig"),
+    ("igue", None, "$", "ig"),
+    ("stion", None, "s?$", "sʧən"),
+    ("ggest", None, None, "gʤɛst"),
+    ("cient", None, None, "ʃənt"),
+    ("cian", None, "s?$", "ʃən"),
+    ("eation", None, None, "ieɪʃən"),
+    ("asion", None, None, "eɪʒən"),
+    ("osion", None, None, "oʊʒən"),
+    ("cei", None, None, "si"),
+    ("one", "(?:^d|^n)", "$", "ən"),
+    ("love", "g", None, "ləv"),
+    ("hose", "^w", None, "huz"),
+    ("hoe", "s", None, "u"),
+    ("our", "^p", "s?$", "ɔr"),
+    ("steak", None, None, "steɪk"),
+    ("sew", "^", "(?!e)", "soʊ"),
+    ("eopard", None, None, "ɛpərd"),
+    ("enate", None, None, "ɛnət"),
+    ("arch", None, "(?=itect|ival|ive)", "ɑrk"),
+    ("narch", None, None, "nərk"),
+    ("yo", "^", "(?=ga|gurt)", "joʊ"),
+    ("acqu", "^", "(?=ir|ain)", "əkw"),
+    ("adj", "^", "(?=u|ac|oin)", "əʤ"),
+    ("bsor", None, None, "bzɔr"),
+    ("indict", None, None, "ɪndaɪt"),
+    ("tsu", "^", None, "su"),
+    ("appr", "^", "(?=ec|ov|oach|opr)", "əpr"),
     # round-11 batch, second 2-edit sweep (12.47→12.25 %) — listed
     # BEFORE round-10 so breakfast beats the break rule at the same
     # position (list order, not length, breaks ties)
