@@ -176,6 +176,60 @@ _LTS_RULES = [
     ("orary", None, "$", "ərɛri"),
     ("ea", "r", "(?=liz|lis)", "iə"),
     ("anger", "(?:^d|^r|^str)", None, "eɪnʤər"),
+    # round-13 batch, fourth 2-edit sweep (11.88→11.40 %): -ssion/-sion
+    # after consonant, gu+vowel families (guard, guide, distinguish),
+    # narrow long-o words, -come/-journ, label/fatal/native eɪ, -icle/
+    # -acle syllabics, and ~20 more irregulars
+    ("ssion", None, "s?$", "ʃən"),
+    ("sion", C, "s?$", "ʃən"),
+    ("uide", None, None, "aɪd"),
+    ("guar", None, "(?=d)", "gɑr"),
+    ("guar", None, "(?=an)", "gɛr"),
+    ("guish", None, None, "gwɪʃ"),
+    ("oly", "h", None, "oʊli"),
+    ("ocer", None, None, "oʊsər"),
+    ("ross", "g", None, "roʊs"),
+    ("oble", None, "(?!m)", "oʊbəl"),
+    ("otable", None, None, "oʊtəbəl"),
+    ("locat", "(?:^|[^l])", None, "loʊkeɪt"),
+    ("otiv", None, None, "oʊtɪv"),
+    ("goti", None, None, "goʊʃi"),
+    ("come", None, "s?$", "kəm"),
+    ("journ", None, None, "ʤərn"),
+    ("onkey", None, None, "əŋki"),
+    ("theless", None, None, "ðəlɛs"),
+    ("ab", None, "(?=els?$|ors?$)", "eɪb"),
+    ("atal", "^" + C + "{1,2}", None, "eɪtəl"),
+    ("ative", "^" + C + "{1,2}", "s?$", "eɪtɪv"),
+    ("uel", "f", None, "juəl"),
+    ("nual", None, None, "njuəl"),
+    ("enu", None, "s?$", "ɛnju"),
+    ("ile", "(?:ss|ct)", "s?$", "əl"),
+    ("icle", None, "s?$", "əkəl"),
+    ("acle", None, "s?$", "əkəl"),
+    ("iple", "t", None, "əpəl"),
+    ("iant", None, "s?$", "aɪənt"),
+    ("iamond", None, None, "aɪmənd"),
+    ("every", "^", None, "ɛvri"),
+    ("ortgage", None, None, "ɔrgəʤ"),
+    ("gage", None, None, "geɪʤ"),
+    ("courage", None, None, "kərəʤ"),
+    ("ortun", "f", None, "ɔrʧən"),
+    ("obs", "^", "(?=erv[ei])", "əbz"),
+    ("offen", "^", None, "əfɛn"),
+    ("orange", None, None, "ɔrənʤ"),
+    ("alace", None, None, "æləs"),
+    ("hy", "^", "(?=[bdgpt])", "haɪ"),
+    ("quir", None, "(?!r)", "kwaɪr"),
+    ("orecast", None, None, "ɔrkæst"),
+    ("forev", "^", None, "fərɛv"),
+    ("phas", "m", None, "fəs"),
+    ("evil", "d", None, "ɛvəl"),
+    ("evil", "^", None, "ivəl"),
+    ("essert", None, None, "ɪzərt"),
+    ("educ", "^", None, "ɛʤək"),
+    ("uip", None, None, "wɪp"),
+    ("dg", None, None, "ʤ"),
     # round-12 batch, third 2-edit sweep (12.25→11.88 %): -ough/-augh
     # families, vocalized l (palm, folk), French -age/-chute/-igue,
     # -stion/-cient/-cian/-asion suffixes, and silent-letter irregulars
