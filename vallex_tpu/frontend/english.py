@@ -176,6 +176,63 @@ _LTS_RULES = [
     ("orary", None, "$", "ərɛri"),
     ("ea", "r", "(?=liz|lis)", "iə"),
     ("anger", "(?:^d|^r|^str)", None, "eɪnʤər"),
+    # round-14 batch, fifth 2-edit sweep (11.40→10.98 %): stressed-
+    # initial i hiatus → aɪ (via, trial, bias, violent), trans- → trænz
+    # before vowel/l/m, more narrow long-o, where/ware/through
+    # compounds, and ~30 irregulars
+    ("i", "^" + C + "{1,2}", "(?=[aou])", "aɪ"),
+    ("irus", None, None, "aɪrəs"),
+    ("itamin", None, None, "aɪtəmən"),
+    ("cisive", None, None, "saɪsɪv"),
+    ("sylum", None, None, "saɪləm"),
+    ("ide", None, "(?=ly|ness|st$)", "aɪd"),
+    ("unit", "^", "(?=e)", "junaɪt"),
+    ("trans", "^", "(?=[ilmau])", "trænz"),
+    ("error", None, None, "ɛrər"),
+    ("arri", "c", "(?=age|er)", "æri"),
+    ("riage", None, None, "rɪʤ"),
+    ("ofa", None, None, "oʊfə"),
+    ("odium", None, None, "oʊdiəm"),
+    ("oter", "v", None, "oʊtər"),
+    ("roker", None, None, "roʊkər"),
+    ("toe", "^", None, "toʊ"),
+    ("oconut", None, None, "oʊkənət"),
+    ("ohort", None, None, "oʊhɔrt"),
+    ("dona", "^", "(?=t)", "doʊneɪ"),
+    ("osal", None, None, "oʊzəl"),
+    ("roma", "a", "(?=s?$)", "roʊmə"),
+    ("oin", "c", "(?=cid)", "oʊɪn"),
+    ("where", "^", None, "wɛr"),
+    ("ware", "^", None, "wɛr"),
+    ("whoever", None, None, "huɛvər"),
+    ("through", None, None, "θru"),
+    ("unkn", "^", None, "ənn"),
+    ("tour", "^", None, "tʊr"),
+    ("anchor", None, None, "æŋkər"),
+    ("vey", None, "s?$", "veɪ"),
+    ("usage", None, None, "jusəʤ"),
+    ("ushion", None, None, "ʊʃən"),
+    ("ourtesy", None, None, "ərtəsi"),
+    ("ertain", "(?:^c|nc)", None, "ərtən"),
+    ("ecies", None, None, "iʃiz"),
+    ("aesth", None, None, "ɛsθ"),
+    ("orrespond", None, None, "ɔrəspɑnd"),
+    ("ratus", None, None, "rætəs"),
+    ("gratul", None, None, "græʧə"),
+    ("entiate", None, None, "ɛnʃieɪt"),
+    ("ciency", None, None, "ʃənsi"),
+    ("octrine", None, None, "ɑktrən"),
+    ("umentary", None, None, "əmɛntəri"),
+    ("vaca", "^", None, "veɪkeɪ"),
+    ("therap", None, None, "θɛrəp"),
+    ("obacco", None, None, "əbækoʊ"),
+    ("anal", "^c", None, "ənæl"),
+    ("athedral", None, None, "əθidrəl"),
+    ("rena", "a", None, "rinə"),
+    ("adol", "^", None, "ædəl"),
+    ("ssassin", None, None, "sæsən"),
+    ("surance", None, None, "ʃʊrəns"),
+    ("aspir", "^", "(?=e)", "əspaɪr"),
     # round-13 batch, fourth 2-edit sweep (11.88→11.40 %): -ssion/-sion
     # after consonant, gu+vowel families (guard, guide, distinguish),
     # narrow long-o words, -come/-journ, label/fatal/native eɪ, -icle/
