@@ -176,6 +176,59 @@ _LTS_RULES = [
     ("orary", None, "$", "ərɛri"),
     ("ea", "r", "(?=liz|lis)", "iə"),
     ("anger", "(?:^d|^r|^str)", None, "eɪnʤər"),
+    # round-15 batch, function-word sweep (10.97→10.64 %): voiced th
+    # whole-words (the/this/they/that…), should/would/could, love/above,
+    # to/do/who/you, monosyllabic -ied/-ies → aɪd/aɪz, buy/guy
+    ("the", "^", "$", "ðə"),
+    ("this", "^", "$", "ðɪs"),
+    ("these", "^", "$", "ðiz"),
+    ("those", "^", "$", "ðoʊz"),
+    ("they", "^", "$", "ðeɪ"),
+    ("them", "^", "$", "ðɛm"),
+    ("then", "^", "$", "ðɛn"),
+    ("than", "^", "$", "ðæn"),
+    ("that", "^", "$", "ðæt"),
+    ("there", "^", "$", "ðɛr"),
+    ("their", "^", "$", "ðɛr"),
+    ("theirs", "^", "$", "ðɛrz"),
+    ("thus", "^", "$", "ðəs"),
+    ("though", "^", "$", "ðoʊ"),
+    ("thou", "^", "$", "ðaʊ"),
+    ("thee", "^", "$", "ði"),
+    ("themselves", "^", "$", "ðɛmsɛlvz"),
+    ("therefore", "^", "$", "ðɛrfɔr"),
+    ("thereby", "^", "$", "ðɛrbaɪ"),
+    ("lthough", None, None, "lðoʊ"),
+    ("ould", "(?:sh|w|c)", None, "ʊd"),
+    ("ove", "(?:^l|^ab|gl|^d|^sh|sc)", "(?:[sd]|rs?|ry|ly)?$", "əv"),
+    ("ave", "^h", "$", "æv"),
+    ("of", "^", "$", "əv"),
+    ("once", "^", "$", "wəns"),
+    ("some", "^", "(?=$|thing|one|times|how|where|body|what)", "səm"),
+    ("does", "^", "$", "dəz"),
+    ("gone", "^", "$", "gɔn"),
+    ("to", "^", "$", "tu"),
+    ("into", "^", "$", "ɪntu"),
+    ("do", "^", "$", "du"),
+    ("who", "^", "(?=$|m$|ever)", "hu"),
+    ("you", "^", "$", "ju"),
+    ("your", "^", None, "jʊr"),
+    ("i", "^", "$", "aɪ"),
+    ("both", "^", None, "boʊθ"),
+    ("only", "^", None, "oʊnli"),
+    ("upon", "^", None, "əpɑn"),
+    ("toward", "^", "$", "tɔrd"),
+    ("almost", "^", None, "ɔlmoʊst"),
+    ("going", None, None, "goʊɪŋ"),
+    ("any", "(?:^|^m)", None, "ɛni"),
+    ("ied", "^" + C + "{1,3}", "$", "aɪd"),
+    ("ies", "^" + C + "{1,3}", "$", "aɪz"),
+    ("uy", None, None, "aɪ"),
+    ("crea", "^", "(?=t)", "krieɪ"),
+    ("gain", "^a", None, "gɛn"),
+    ("evening", "^", None, "ivnɪŋ"),
+    ("presid", "^", "(?=en)", "prɛzəd"),
+    ("forg", "^", "(?=[oe])", "fərg"),
     # round-14 batch, fifth 2-edit sweep (11.40→10.98 %): stressed-
     # initial i hiatus → aɪ (via, trial, bias, violent), trans- → trænz
     # before vowel/l/m, more narrow long-o, where/ware/through
@@ -837,7 +890,7 @@ _GERMAN_RE = re.compile(
 # the -et$ marker is an explicit stem list: a bare consonant+et$
 # lookbehind caught native words (get, set, asset)
 _FRENCH_RE = re.compile(
-    r"eau|eaux$|oux$|ieux?$|oire?$|euse$|esque$|aise$|"
+    r"(?<!b)eau|eaux$|oux$|ieux?$|oire?$|euse$|esque$|aise$|"  # beauty/beautiful are bjut-native
     r"(?:ball|buff|bouqu|cabar|chal|crochet|croqu|fill|gourm|parqu|"
     r"piqu|rico?ch|sorb|val|ber)et$|oye|"
     r"croiss|gnon|gnac|aille|ouche$|outte$|chine$|"
@@ -1066,16 +1119,18 @@ def _reduce_unstressed(
         if k == len(spans) - 1 and seg == "i":
             continue  # happy-tensing: final i stays tense
         if seg in reducible:
+            if k == 0 and seg in "æɑɛ" and len(spans) >= 4 and stress_idx >= 2:
+                # alternating secondary stress: a long word stressed on
+                # syllable ≥3 carries secondary stress on syllable 1, so
+                # the æ/ɑ/ɛ keeps its quality (application, afternoon,
+                # operation, education — CMUdict AE2/AA2/EH2, not AH0).
+                # Checked before the e→ɪ branch below so e-initial long
+                # words (education, economics) keep ɛ
+                continue
             # initial unstressed e- centralizes to ɪ, not ə (establish,
             # event, eleven — CMUdict IH0)
             if k == 0 and seg == "ɛ" and word[:1] == "e":
                 out[a:b] = ["ɪ"]
-            elif k == 0 and seg in "æɑ" and len(spans) >= 4 and stress_idx >= 2:
-                # alternating secondary stress: a long word stressed on
-                # syllable ≥3 carries secondary stress on syllable 1, so
-                # the æ/ɑ keeps its quality (application, afternoon,
-                # operation, conversation — CMUdict AE2/AA2, not AH0)
-                continue
             else:
                 out[a:b] = ["ə"]
         elif (
