@@ -176,6 +176,43 @@ _LTS_RULES = [
     ("orary", None, "$", "ərɛri"),
     ("ea", "r", "(?=liz|lis)", "iə"),
     ("anger", "(?:^d|^r|^str)", None, "eɪnʤər"),
+    # round-16 batch (10.62→10.36 %): a+w/adv reductions, compound
+    # stems (key-, -fly, like, website), die/tie vs cookie/movie -ie,
+    # -ply verbs, design voicing, -ism, and ~15 irregulars
+    ("aw", "^", "(?=[ao])", "əw"),
+    ("adv", "^", "(?=an|ic|is)", "ədv"),
+    ("road", "b", None, "rɔd"),
+    ("reathe", None, None, "rið"),
+    ("fly", "(?:er|on)", "$", "flaɪ"),
+    ("website", None, None, "wɛbsaɪt"),
+    ("database", None, None, "deɪtəbeɪs"),
+    ("key", "^", None, "ki"),
+    ("like", None, None, "laɪk"),
+    ("useful", None, None, "jusfəl"),
+    ("nusual", None, None, "njuʒuəl"),
+    ("soften", None, None, "sɔfən"),
+    ("ie", "^" + C + "{1,2}", "s?$", "aɪ"),
+    ("ie", V + "[a-z]*" + C, "s?$", "i"),
+    ("ply", "(?:p|re|^im|om|ulti)", "$", "plaɪ"),
+    ("recent", "^", None, "risənt"),
+    ("design", "^", None, "dɪzaɪn"),  # the de- prefix rule consumes d-e first
+    ("esign", None, None, "ɪzaɪn"),
+    ("apable", None, None, "eɪpəbəl"),
+    ("amber", "ch", None, "eɪmbər"),
+    ("atalog", None, None, "ætəlɔg"),
+    ("atom", "^", "(?=s?$)", "ætəm"),
+    ("orps", None, "$", "ɔr"),
+    ("arrier", None, None, "æriər"),
+    ("icycle", None, None, "aɪsɪkəl"),
+    ("anana", None, None, "ənænə"),
+    ("attorn", None, None, "ətərn"),
+    ("agnos", None, None, "əgnoʊs"),
+    ("ssure", None, None, "ʃʊr"),
+    ("ediate", "mm", None, "idiət"),
+    ("reature", None, None, "riʧər"),
+    ("coll", "^", "(?=ect|aps|ide|ab)", "kəl"),
+    ("audien", None, None, "ɑdiən"),
+    ("ism", None, "s?$", "ɪzəm"),
     # round-15 batch, function-word sweep (10.97→10.64 %): voiced th
     # whole-words (the/this/they/that…), should/would/could, love/above,
     # to/do/who/you, monosyllabic -ied/-ies → aɪd/aɪz, buy/guy
@@ -1011,6 +1048,9 @@ _STRESS_SUFFIXES = [
     # syllable so 2-nuclei words (create, debate) keep final stress
     ("icate", 3), ("igate", 3), ("ulate", 3), ("erate", 3),
     ("inate", 3), ("imate", 3), ("ivate", 3), ("orate", 3),
+    # -ence/-ency/-acy put the stress on the antepenult (confidence,
+    # efficiency, democracy); 2-nuclei -ense words are spelled 'ense'
+    ("ences", 4), ("encies", 4), ("ence", 3), ("ency", 3), ("acy", 3),
 ]
 
 _NEUTRAL_SUFFIX_RE = re.compile(
@@ -1136,12 +1176,15 @@ def _reduce_unstressed(
         elif (
             seg == "ɪ" and 0 < k < len(spans) - 1
             and (ipa[b : b + 1] != "k" or not ic_suffix)
+            and ipa[b : b + 1] != "z"
         ):
             # unstressed word-MEDIAL ɪ centralizes (criminal, separate);
             # final-syllable ɪ stays (-ing, -ish, -ive keep ɪ in CMUdict),
             # so does an initial ɪ (the bɪ-/dɪ-/rɪ- prefix rules already
             # emit CMUdict's vowel), and so does ɪ before k (the -ic/-ical
-            # suffix family keeps ɪ: critical, africa, identical)
+            # suffix family keeps ɪ: critical, africa, identical), and
+            # so does ɪ before z (the -ism family: criticism, organism
+            # — CMUdict IH0 Z)
             out[a:b] = ["ə"]
     return "".join(c for c in out if c)
 
