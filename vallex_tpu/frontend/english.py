@@ -557,7 +557,7 @@ _LTS_RULES = [
     ("ence",  V + "[a-z]*", "$", "əns"),
     ("ant",   V + "[a-z]*", "$", "ənt"),
     ("ent",   V + "[a-z]*", "$", "ənt"),
-    ("age",   V + "[a-z]*", "$", "ɪʤ"),  # village, marriage (CMU IH0)
+    ("age",   V + "[a-z]*", "$", "əʤ"),  # manage, message (CMU AH0)
     ("ful",   V + "[a-z]*", "$", "fəl"),
     ("ism",   V + "[a-z]*", "$", "ɪzəm"),
     ("ity",   V + "[a-z]*", "$", "əti"),
@@ -812,8 +812,8 @@ _LTS_RULES = [
     ("fy",    V + "[a-z]*", "$", "faɪ"),
     ("ply",   V + "[a-z]*", "$", "plaɪ"),
     ("pf",    "^", None, "f"),
-    ("ted",   None, "$", "tɪd"),
-    ("ded",   None, "$", "dɪd"),
+    ("ted",   None, "$", "təd"),
+    ("ded",   None, "$", "dəd"),
     ("ed",    V + "[a-z]*", "$", "d"),
     ("wor",   "^", C, "wər"),
     ("ar",    "[wu]", None, "ɔr"),  # war, quarter
@@ -1158,6 +1158,14 @@ def _reduce_unstressed(
             continue
         if k == len(spans) - 1 and seg == "i":
             continue  # happy-tensing: final i stays tense
+        if (
+            k == len(spans) - 1 and seg == "ɪ"
+            and word.endswith(("ist", "ists", "im", "ims", "it", "its"))
+        ):
+            # final -ist/-im/-it reduce (artist, victim, profit — CMUdict
+            # AH0), unlike the -ing/-ish/-ive finals which keep ɪ
+            out[a:b] = ["ə"]
+            continue
         if seg in reducible:
             if k == 0 and seg in "æɑɛ" and len(spans) >= 4 and stress_idx >= 2:
                 # alternating secondary stress: a long word stressed on
