@@ -176,6 +176,51 @@ _LTS_RULES = [
     ("orary", None, "$", "ərɛri"),
     ("ea", "r", "(?=liz|lis)", "iə"),
     ("anger", "(?:^d|^r|^str)", None, "eɪnʤər"),
+    # round-17 batch (10.29→10.02 %): soft ge after n/r, -ile → əl,
+    # ex+vowel voicing, presence/preserve, -ographer/-igraphy stress,
+    # open-syllable a before ci/con/gran, and ~25 irregulars
+    ("nge", None, "(?=[sdr]?$)", "nʤ"),
+    ("ge", "[rn]", "(?=[sdr]?$)", "ʤ"),
+    ("ile", "(?:rt|ag|ut|ss|b)", "s?$", "əl"),
+    ("ex", "^", "(?=a|ist|ot|em)", "ɪgz"),
+    ("presen", "^", None, "prɛzən"),
+    ("preserv", "^", None, "prəzərv"),
+    ("rescue", None, None, "rɛskju"),
+    ("poe", "^", None, "poʊə"),
+    ("schol", None, None, "skɑl"),
+    ("eize", None, None, "iz"),
+    ("onto", "^", "$", "ɑntu"),
+    ("route", "^", None, "rut"),
+    ("enator", None, None, "ɛnətər"),
+    ("ttle", None, "(?=ment)", "təl"),
+    ("ographer", None, None, "ɑgrəfər"),
+    ("photog", None, None, "fətɑg"),
+    ("igraphy", None, None, "ɪgrəfi"),
+    ("ssenger", None, None, "sənʤər"),
+    ("sonnel", None, None, "sənɛl"),
+    ("aci", None, "(?=al|ous)", "eɪʃ"),
+    ("asty", "h", None, "eɪsti"),
+    ("aving", "[^h]", None, "eɪvɪŋ"),
+    ("acon", None, None, "eɪkən"),
+    ("agran", None, None, "eɪgrən"),
+    ("jacent", None, None, "ʤeɪsənt"),
+    ("arass", None, None, "əræs"),
+    ("ortrait", None, None, "ɔrtrət"),
+    ("urchase", None, None, "ərʧəs"),
+    ("rivilege", None, None, "rɪvləʤ"),
+    ("rincip", None, None, "rɪnsəp"),
+    ("ought", "dr", None, "aʊt"),
+    ("ythm", None, None, "ɪðəm"),
+    ("andicap", None, None, "ændikæp"),
+    ("onor", "d", None, "oʊnər"),
+    ("mony", "[ie]", "$", "moʊni"),
+    ("erritor", None, None, "ɛrɪtɔr"),
+    ("exual", None, None, "ɛkʃuəl"),
+    ("ultimate", None, None, "əltəmət"),
+    ("devast", None, None, "dɛvəst"),
+    ("cilit", None, None, "sɪlət"),
+    ("ourish", None, None, "ərɪʃ"),
+    ("unish", "p", None, "ənɪʃ"),
     # round-16 batch (10.62→10.36 %): a+w/adv reductions, compound
     # stems (key-, -fly, like, website), die/tie vs cookie/movie -ie,
     # -ply verbs, design voicing, -ism, and ~15 irregulars
@@ -1076,7 +1121,10 @@ def _stress_nucleus(word: str, n_nuclei: int):
     for _ in range(3):  # strip stress-neutral suffixes
         for suf, n_end in _STRESS_SUFFIXES:
             if w.endswith(suf) and len(w) - len(suf) >= 2:
-                return max(0, n_nuclei - n_end), "suffix"
+                if n_nuclei - n_end < 0:
+                    continue  # commence: 2 nuclei can't take the -ence
+                    #           antepenult entry — try shorter suffixes
+                return n_nuclei - n_end, "suffix"
         w2 = _NEUTRAL_SUFFIX_RE.sub("", w)
         if w2 == w or len(w2) < 3:
             break
