@@ -176,6 +176,25 @@ _LTS_RULES = [
     ("orary", None, "$", "ərɛri"),
     ("ea", "r", "(?=liz|lis)", "iə"),
     ("anger", "(?:^d|^r|^str)", None, "eɪnʤər"),
+    # round-18 batch (10.02→9.91 %): nationality/demonym suffixes
+    # (-ssia(n), -sian, -ptian, -stian, -nese), -ington, silent g in
+    # ngk, europe
+    ("ssia", None, None, "ʃə"),
+    ("sian", None, "s?$", "ʒən"),
+    ("ptian", None, "s?$", "ʃən"),
+    ("stian", None, "s?$", "sʧən"),
+    ("nese", None, "s?$", "niz"),
+    ("nielle", None, None, "njɛl"),
+    ("niel", None, None, "njəl"),
+    ("christin", None, None, "krɪstin"),
+    ("eith", "[kl]", None, "iθ"),
+    ("tthew", None, None, "θju"),
+    ("ogo", None, None, "oʊgoʊ"),
+    ("joe", None, None, "ʤoʊ"),
+    ("ington", None, None, "ɪŋtən"),
+    ("ngk", None, None, "ŋk"),
+    ("uropean", None, None, "ʊrəpiən"),
+    ("urope", None, None, "ʊrəp"),
     # round-17 batch (10.29→10.02 %): soft ge after n/r, -ile → əl,
     # ex+vowel voicing, presence/preserve, -ographer/-igraphy stress,
     # open-syllable a before ci/con/gran, and ~25 irregulars
@@ -1232,7 +1251,7 @@ def _reduce_unstressed(
         elif (
             seg == "ɪ" and 0 < k < len(spans) - 1
             and (ipa[b : b + 1] != "k" or not ic_suffix)
-            and ipa[b : b + 1] != "z"
+            and ipa[b : b + 1] not in ("z", "ŋ")
         ):
             # unstressed word-MEDIAL ɪ centralizes (criminal, separate);
             # final-syllable ɪ stays (-ing, -ish, -ive keep ɪ in CMUdict),
@@ -1240,7 +1259,7 @@ def _reduce_unstressed(
             # emit CMUdict's vowel), and so does ɪ before k (the -ic/-ical
             # suffix family keeps ɪ: critical, africa, identical), and
             # so does ɪ before z (the -ism family: criticism, organism
-            # — CMUdict IH0 Z)
+            # — CMUdict IH0 Z) or before ŋ (washington, -ing- medial)
             out[a:b] = ["ə"]
     return "".join(c for c in out if c)
 
