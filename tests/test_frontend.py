@@ -337,8 +337,8 @@ def test_english_lts_accuracy_floor():
         exact += e == 0
     per = tot_err / tot_ph
     em = exact / n
-    assert per < 0.101, f"LTS PER regressed: {100*per:.2f}%"
-    assert em > 0.65, f"LTS exact-match regressed: {100*em:.1f}%"
+    assert per < 0.100, f"LTS PER regressed: {100*per:.2f}%"
+    assert em > 0.655, f"LTS exact-match regressed: {100*em:.1f}%"
 
 
 def test_english_loanword_origin_goldens():

@@ -179,6 +179,8 @@ _LTS_RULES = [
     # round-18 batch (10.02→9.91 %): nationality/demonym suffixes
     # (-ssia(n), -sian, -ptian, -stian, -nese), -ington, silent g in
     # ngk, europe
+    ("sugge", None, None, "səgʤɛ"),
+    ("news", None, None, "nuz"),
     ("ssia", None, None, "ʃə"),
     ("sian", None, "s?$", "ʒən"),
     ("ptian", None, "s?$", "ʃən"),
@@ -1115,6 +1117,7 @@ _STRESS_SUFFIXES = [
     # -ence/-ency/-acy put the stress on the antepenult (confidence,
     # efficiency, democracy); 2-nuclei -ense words are spelled 'ense'
     ("ences", 4), ("encies", 4), ("ence", 3), ("ency", 3), ("acy", 3),
+    ("ever", 2),  # however, whatever, whenever (clever: 2 nuclei → idx 0)
 ]
 
 _NEUTRAL_SUFFIX_RE = re.compile(
@@ -1251,7 +1254,10 @@ def _reduce_unstressed(
         elif (
             seg == "ɪ" and 0 < k < len(spans) - 1
             and (ipa[b : b + 1] != "k" or not ic_suffix)
-            and ipa[b : b + 1] not in ("z", "ŋ")
+            and ipa[b : b + 1] != "ŋ"
+            and not (
+                ipa[b : b + 1] == "z" and word.endswith(("ism", "isms"))
+            )
         ):
             # unstressed word-MEDIAL ɪ centralizes (criminal, separate);
             # final-syllable ɪ stays (-ing, -ish, -ive keep ɪ in CMUdict),
@@ -1262,6 +1268,12 @@ def _reduce_unstressed(
             # — CMUdict IH0 Z) or before ŋ (washington, -ing- medial)
             out[a:b] = ["ə"]
     return "".join(c for c in out if c)
+
+
+_NO_REDUCE = frozenset((
+    "themselves", "upon", "forgot", "unless", "suggest", "suggests",
+    "suggested",
+))
 
 
 def letter_to_sound(word: str) -> str:
@@ -1305,6 +1317,12 @@ def letter_to_sound(word: str) -> str:
         if not matched:
             i += 1  # drop unknown characters
     raw = "".join(out)
+    if word.endswith("s") and not word.endswith("ss"):
+        # the grapheme cascade can emit z after a voiceless coda
+        # (likes, hits); assimilate like _plural does
+        raw = re.sub("(?<=[ptkfθ])z$", "s", raw)
+    if word in _NO_REDUCE:
+        return raw
     n_spans = len(_nucleus_spans(raw))
     if origin == "fr" and n_spans >= 2:
         # French loans carry final stress in English (machine, bouquet,
