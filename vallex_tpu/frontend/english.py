@@ -1229,6 +1229,17 @@ def _reduce_unstressed(
         if k == len(spans) - 1 and seg == "i":
             continue  # happy-tensing: final i stays tense
         if (
+            k == len(spans) - 1 and seg == "æ"
+            and word.endswith((
+                "graph", "graphs", "gram", "grams", "stand", "stands",
+                "act", "acts", "ax", "ack", "acks", "amp", "amps",
+                "ash", "ank", "anks", "ang",
+            ))
+        ):
+            # heavy final codas carry secondary stress and keep æ
+            # (paragraph, telegram, understand, contact — CMUdict AE2)
+            continue
+        if (
             k == len(spans) - 1 and seg == "ɪ"
             and word.endswith(("ist", "ists", "im", "ims", "it", "its"))
         ):
