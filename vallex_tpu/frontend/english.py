@@ -179,6 +179,11 @@ _LTS_RULES = [
     # round-18 batch (10.02→9.91 %): nationality/demonym suffixes
     # (-ssia(n), -sian, -ptian, -stian, -nese), -ington, silent g in
     # ngk, europe
+    ("intro", "^", "(?=d)", "ɪntrə"),
+    ("obvi", "^", None, "ɑbvi"),
+    ("coffee", None, None, "kɑfi"),
+    ("era", "^", "s?$", "ɪrə"),
+    ("exit", "^", None, "ɛgzət"),
     ("sugge", None, None, "səgʤɛ"),
     ("news", None, None, "nuz"),
     ("ssia", None, None, "ʃə"),
@@ -1239,6 +1244,14 @@ def _reduce_unstressed(
             # heavy final codas carry secondary stress and keep æ
             # (paragraph, telegram, understand, contact — CMUdict AE2)
             continue
+        if (
+            k == len(spans) - 1 and seg == "ɑ"
+            and word.endswith((
+                "top", "tops", "pot", "pots", "box", "stock", "spot",
+                "drop", "dot", "log", "dog", "job", "shot", "bot",
+            ))
+        ):
+            continue  # compound-final o keeps ɑ (laptop, mailbox)
         if (
             k == len(spans) - 1 and seg == "ɪ"
             and word.endswith(("ist", "ists", "im", "ims", "it", "its"))
