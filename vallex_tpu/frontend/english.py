@@ -179,6 +179,15 @@ _LTS_RULES = [
     # round-18 batch (10.02→9.91 %): nationality/demonym suffixes
     # (-ssia(n), -sian, -ptian, -stian, -nese), -ington, silent g in
     # ngk, europe
+    ("iber", None, None, "aɪbər"),
+    ("iver", "(?:dr|f)", None, "aɪvər"),
+    ("ycle", None, None, "aɪkəl"),
+    ("ital", "^v", None, "aɪtəl"),
+    ("iny", "^t", None, "aɪni"),
+    ("archive", None, None, "ɑrkaɪv"),
+    ("ivers", "d", None, "aɪvərs"),
+    ("riteria", None, None, "raɪtɪriə"),
+    ("arriv", "^", None, "əraɪv"),
     ("intro", "^", "(?=d)", "ɪntrə"),
     ("obvi", "^", None, "ɑbvi"),
     ("coffee", None, None, "kɑfi"),
