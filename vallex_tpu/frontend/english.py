@@ -1132,6 +1132,8 @@ _STRESS_SUFFIXES = [
     # efficiency, democracy); 2-nuclei -ense words are spelled 'ense'
     ("ences", 4), ("encies", 4), ("ence", 3), ("ency", 3), ("acy", 3),
     ("ever", 2),  # however, whatever, whenever (clever: 2 nuclei → idx 0)
+    # mined from the lexicon's own stress marks (≥88 % consistent, n≥12)
+    ("sive", 2), ("onal", 3), ("ion", 2),
 ]
 
 _NEUTRAL_SUFFIX_RE = re.compile(
