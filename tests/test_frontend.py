@@ -389,6 +389,54 @@ def test_english_lts_goldens_round5():
     assert lts("sunrise") == "sənraɪz"
 
 
+def test_english_lts_goldens_round5_final():
+    """Per-family goldens for the round-5 mined waves (the aggregate
+    PER/exact gates can hide a single family regressing; these lock the
+    structural families individually)."""
+    from vallex_tpu.frontend.english import letter_to_sound as lts
+
+    # Greek ch→k; silent h/g/t clusters
+    assert lts("echo") == "ɛkoʊ"
+    assert lts("honest") == "ɑnəst"
+    assert lts("things") == "θɪŋz"
+    assert lts("island") == "aɪlənd"
+    # yod families and -iew
+    assert lts("circular") == "sərkjələr"
+    assert lts("review") == "rɪvju"
+    # -ough/-augh, vocalized l
+    assert lts("tough") == "təf"
+    assert lts("palm") == "pɑm"
+    assert lts("folk") == "foʊk"
+    # monosyllabic Cy/Cie → aɪ vs unstressed -y/-ie → i
+    assert lts("fly") == "flaɪ"
+    assert lts("die") == "daɪ"
+    assert lts("cookie") == "kʊki"
+    # -ire → aɪər
+    assert lts("fire") == "faɪər"
+    # suffix families
+    assert lts("mission") == "mɪʃən"
+    assert lts("question") == "kwɛsʧən"
+    assert lts("efficient") == "ɪfɪʃənt"
+    assert lts("occasion") == "əkeɪʒən"
+    # voiced-th function words + should/would/could
+    assert lts("they") == "ðeɪ"
+    assert lts("would") == "wʊd"
+    # alternating secondary stress keeps the syllable-1 vowel
+    assert lts("application") == "æpləkeɪʃən"
+    assert lts("operation") == "ɑpəreɪʃən"
+    # heavy-coda finals keep quality
+    assert lts("paragraph") == "pɛrəgræf"
+    assert lts("laptop") == "læptɑp"
+    # nationality demonyms
+    assert lts("russian") == "rəʃən"
+    assert lts("japanese") == "ʤəpəniz"
+    # open-syllable aCer → eɪ; long-o narrow words
+    assert lts("paper") == "peɪpər"
+    assert lts("soul") == "soʊl"
+    # voiceless-coda z$ assimilation
+    assert lts("likes") == "laɪks"
+
+
 def test_english_proper_noun_goldens():
     """Spot-goldens for names whose letter-to-sound rendering would
     diverge badly from the received pronunciation (silent letters,
