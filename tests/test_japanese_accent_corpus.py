@@ -143,10 +143,10 @@ CORPUS = [
 # they measure the FALLBACK rules themselves (compound junction accent,
 # katakana -3, on'yomi runs). Ground truth follows the same NHK/OJAD
 # convention as CORPUS; known fallback misses are kept (they are the
-# honest measurement, not corpus errors): 電話番号 needs noun-noun
-# merging beyond the prefix/suffix gate, メッセージ is an irregular loan
-# ([1], -3 rule says 3), バスケットボール hits the バス lexicon match,
-# ヘリコプター is [3] where -3 says 4.
+# honest measurement, not corpus errors): メッセージ is an irregular loan
+# ([1], -3 rule says 3), ヘリコプター is [3] where -3 says 4. (電話番号
+# and バスケットボール were misses in earlier rounds; the noun-noun
+# compound tails and the katakana full-run guard resolved them.)
 OOV_CORPUS = [
     # compounds → junction rule
     ("国際空港", 5), ("株式会社", 5), ("高速道路", 5), ("大学病院", 5),
@@ -337,7 +337,7 @@ def test_oov_fallback_accent_accuracy():
     measured: 24/28 (compound junction rule + katakana -3). The four
     misses are documented at OOV_CORPUS and stay in the corpus — the
     floor guards the rules, the misses mark the next lexicon/merging
-    work."""
+    work. Round-5 final: 26/28 (the two left are irregular loans)."""
     ok, wrong = 0, []
     for w, exp in OOV_CORPUS:
         phrases = _analyze(w)

@@ -586,6 +586,17 @@ def _analyze(sentence: str) -> List[_Phrase]:
                     _push(number_to_kana(str(val)), 0)
                     i += ln
                 continue
+        # a lexicon word must not split a longer contiguous katakana run
+        # (バスケットボール would match バス): unknown loans take the whole
+        # run through the -3 rule in the katakana branch below
+        if m is not None and _KATA_RE.match(ch):
+            _j = i
+            while _j < n and _KATA_RE.match(s[_j]):
+                _j += 1
+            # _match_word is longest-match, so a shorter m means the
+            # full run is NOT a lexicon word itself
+            if _j - i > len(m[0]) and s[i:_j] not in LOANWORD_ACCENTS:
+                m = None
         if m and not _starts_compound(s, i, m, n):
             surface, reading, accent = m
             i += len(surface)
