@@ -337,8 +337,8 @@ def test_english_lts_accuracy_floor():
         exact += e == 0
     per = tot_err / tot_ph
     em = exact / n
-    assert per < 0.100, f"LTS PER regressed: {100*per:.2f}%"
-    assert em > 0.655, f"LTS exact-match regressed: {100*em:.1f}%"
+    assert per < 0.098, f"LTS PER regressed: {100*per:.2f}%"
+    assert em > 0.660, f"LTS exact-match regressed: {100*em:.1f}%"
 
 
 def test_english_loanword_origin_goldens():
@@ -429,7 +429,7 @@ def test_english_lts_goldens_round5_final():
     assert lts("laptop") == "læptɑp"
     # nationality demonyms
     assert lts("russian") == "rəʃən"
-    assert lts("japanese") == "ʤəpəniz"
+    assert lts("japanese") == "ʤæpəniz"  # CMUdict JH AE2: secondary stress keeps æ
     # open-syllable aCer → eɪ; long-o narrow words
     assert lts("paper") == "peɪpər"
     assert lts("soul") == "soʊl"

@@ -1226,12 +1226,43 @@ def _reduce_unstressed(
                 elif seg == "ɪ" and word.startswith(("de", "be", "ex", "se")):
                     out[a:b] = ["ɛ"]
             continue
+        if (
+            k == 0 and seg == "\u0259" and word.startswith(("con", "com"))
+            and len(spans) >= 3 and stress_idx >= 2 and stress_idx % 2 == 0
+        ):
+            # same secondary-stress parity for the con-/com- prefix rules,
+            # which emit \u0259: even distance to the main stress restores \u0251
+            # (conversation, combination, consultation \u2014 CMUdict AA2);
+            # odd keeps \u0259 (communication, congratulations \u2014 AH0)
+            out[a:b] = ["\u0251"]
+            continue
         if k == 0 and source == "prefix":
             # the LTS prefix rules (be/de/re/con/a+CV/…) already emit the
             # reduced vowel when the orthographic context supports it; a
             # full vowel surviving them means the 62 %-accurate prefix
             # stress guess is the only evidence — not enough to destroy
             # it (after, example, accept kept their æ wrongly reduced)
+            continue
+        if k == 0 and seg in "æɑ" and word.endswith(
+            ("et", "ets", "eau", "eaus", "eaux")
+        ):
+            # French-final-stress loans keep the initial vowel's quality
+            # (ballet, chateau, plateau, cabaret — CMUdict AE2, not AH0)
+            continue
+        if (
+            seg == "ɑ" and ipa[b : b + 1] == "r"
+            and k == len(spans) - 1
+            and word.endswith(("ar", "ars"))
+            and not word.endswith((
+                "uitar", "uitars", "igar", "igars", "adar", "adars",
+                "azar", "azars", "atar", "atars", "anmar", "ilar",
+                "ilars", "czar", "tsar",
+            ))
+        ):
+            # unstressed final -ar is syllabic ər (dollar, cellar,
+            # calendar, oscar — CMUdict ER0); final-stress loans and
+            # names keep ɑr (guitar, cigar, radar, qatar, salazar)
+            out[a:b] = ["ə"]
             continue
         if ipa[b : b + 1] == "r":
             continue
@@ -1264,6 +1295,13 @@ def _reduce_unstressed(
         ):
             continue  # compound-final o keeps ɑ (laptop, mailbox)
         if (
+            seg == "ɑ" and k == len(spans) - 2
+            and word.endswith(("body", "bodies"))
+        ):
+            # compound -body keeps ɑ under secondary stress (everybody,
+            # somebody, anybody — CMUdict B AA2 D IY0)
+            continue
+        if (
             k == len(spans) - 1 and seg == "ɪ"
             and word.endswith(("ist", "ists", "im", "ims", "it", "its"))
         ):
@@ -1271,14 +1309,29 @@ def _reduce_unstressed(
             # AH0), unlike the -ing/-ish/-ive finals which keep ɪ
             out[a:b] = ["ə"]
             continue
+        if (
+            k == 0 and seg == "ɪ" and word.startswith(("de", "ex", "re"))
+            and len(spans) >= 3 and stress_idx >= 2 and stress_idx % 2 == 0
+        ):
+            # the de-/ex- prefix rules emit reduced ɪ unconditionally; an
+            # even-distance main stress puts secondary stress back on the
+            # prefix syllable (definition, demonstration, explanation —
+            # CMUdict EH2), so restore the full ɛ. Odd distance keeps the
+            # reduced vowel (development, determination — IH0)
+            out[a:b] = ["ɛ"]
+            continue
         if seg in reducible:
-            if k == 0 and seg in "æɑɛ" and len(spans) >= 4 and stress_idx >= 2:
-                # alternating secondary stress: a long word stressed on
-                # syllable ≥3 carries secondary stress on syllable 1, so
-                # the æ/ɑ/ɛ keeps its quality (application, afternoon,
-                # operation, education — CMUdict AE2/AA2/EH2, not AH0).
-                # Checked before the e→ɪ branch below so e-initial long
-                # words (education, economics) keep ɛ
+            if (
+                k == 0 and seg in "æɑɛ" and len(spans) >= 3
+                and stress_idx >= 2 and stress_idx % 2 == 0
+            ):
+                # alternating secondary stress: when the main stress sits
+                # an EVEN number of syllables after the first, syllable 1
+                # carries secondary stress and the æ/ɑ/ɛ keeps its quality
+                # (application, afternoon, operation — CMUdict AE2/AA2/
+                # EH2, not AH0); an odd distance leaves it in the trough
+                # (accommodation AH0). Checked before the e→ɪ branch
+                # below so e-initial long words (education) keep ɛ
                 continue
             # initial unstressed e- centralizes to ɪ, not ə (establish,
             # event, eleven — CMUdict IH0)
