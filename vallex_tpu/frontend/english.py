@@ -410,6 +410,17 @@ _LTS_RULES = [
     ("ssion", None, "s?$", "ʃən"),
     ("sion", C, "s?$", "ʃən"),
     ("uide", None, None, "aɪd"),
+    # round-21 batch: long-i families the magic-e rules can't see (the
+    # vowel's cue lives 2+ letters downstream) — guidance, isolation,
+    # license, migration — plus the stressed/Greek -ol endings
+    ("guida", None, None, "gaɪdə"),   # guidance, guidable
+    ("guideline", None, None, "gaɪdlaɪn"),
+    ("isol", "^", None, "aɪsəl"),     # isolate, isolation
+    ("icense", None, None, "aɪsəns"),  # license(d/s)
+    ("migr", "^", "a", "maɪgr"),      # migrate, migration, migrant
+    ("trol", "[^e]", "s?$", "troʊl"),  # control, patrol (petrol stays əl)
+    ("ohol", None, "s?$", "əhɔl"),    # alcohol
+    ("ocol", None, "s?$", "əkɔl"),    # protocol
     ("guar", None, "(?=d)", "gɑr"),
     ("guar", None, "(?=an)", "gɛr"),
     ("guish", None, None, "gwɪʃ"),
@@ -744,7 +755,7 @@ _LTS_RULES = [
     ("all",   None, "(e[dn]|ing|s)?$", "ɔl"),  # call, called, falling
     ("alt",   None, None, "ɔlt"),              # salt, halt, asphalt
     # long-i codas: find/kind/mind, child/wild (not build), sign/design
-    ("ind",   None, "s?$", "aɪnd"),
+    ("ind",   None, "(?:ings?|s)?$", "aɪnd"),  # find, finding; hinder/window unaffected
     ("ild",   "[^u]", "s?$", "aɪld"),
     ("ign",   "[^e]", "s?$", "aɪn"),
     # open-o before voiced/fortis codas (CMU ɔ): long, across, dog, lost
@@ -1134,6 +1145,11 @@ _STRESS_SUFFIXES = [
     ("ever", 2),  # however, whatever, whenever (clever: 2 nuclei → idx 0)
     # mined from the lexicon's own stress marks (≥88 % consistent, n≥12)
     ("sive", 2), ("onal", 3), ("ion", 2),
+    # round-5 second wave, mined the same way (smaller families, 100 %
+    # consistent in the lexicon): -ember (september, remember), -ether
+    # (together, whether), -ector (director, sector), -ica (america,
+    # africa, antarctica; jamaica-type penult stress loses 2:4)
+    ("ember", 2), ("ether", 2), ("ector", 2), ("ica", 3),
 ]
 
 _NEUTRAL_SUFFIX_RE = re.compile(
@@ -1332,6 +1348,14 @@ def _reduce_unstressed(
                 # EH2, not AH0); an odd distance leaves it in the trough
                 # (accommodation AH0). Checked before the e→ɪ branch
                 # below so e-initial long words (education) keep ɛ
+                continue
+            if (
+                k == 0 and seg == "ɛ" and word[:1] != "e"
+                and re.search(r"^[^aeiouy]+e[^aeiouy]{2}", word)
+            ):
+                # pretonic ɛ in an orthographically CLOSED first syllable
+                # keeps its quality (september, technology, technique —
+                # CMUdict EH0); open syllables centralize (together tə-)
                 continue
             # initial unstressed e- centralizes to ɪ, not ə (establish,
             # event, eleven — CMUdict IH0)
