@@ -75,6 +75,12 @@ _LTS_RULES = [
     ("cu", None, "(?=la[rt]|lati|men|mul|pie|py$|tive)", "kjə"),
     ("cu", None, "(?=te$|tes$|ted$|tor|se$|ses$|sed$)", "kju"),
     ("cu", None, "(?=r[aeiouy](?!r))", "kjʊ"),
+    ("cue", None, "s?$", "kju"),      # cue, rescue, barbecue
+    ("cu", None, "(?=tio)", "kju"),   # execution
+    ("ccu", None, "(?=mul)", "kju"),  # accumulate (cc collapse shadows cu)
+    ("cu", None, "(?=[bcd][aeiouy])", "kju"),  # cube, cuba, cucumber
+    ("fur", None, "(?=[iy])", "fjʊr"),  # fury, furious
+    ("bureau", None, None, "bjʊroʊ"),
     ("gu", None, "(?=la[rt])", "gjə"),
     ("pu", None, "(?=la[rt])", "pjə"),
     ("mu", None, "(?=la[rt]|lus)", "mjə"),
@@ -419,6 +425,15 @@ _LTS_RULES = [
     ("icense", None, None, "aɪsəns"),  # license(d/s)
     ("migr", "^", "a", "maɪgr"),      # migrate, migration, migrant
     ("trol", "[^e]", "s?$", "troʊl"),  # control, patrol (petrol stays əl)
+    # -iet(y) is two syllables (quiet, diet, society, variety); juliet/
+    # soviet keep iɛt via the lc guard
+    ("iety", None, "s?$", "aɪəti"),
+    ("iet", "[^lv]", "s?$", "aɪət"),
+    ("anxie", "^", None, "æŋzaɪə"),   # anxiety (anxious keeps ŋkʃ)
+    # yod-coalescence: word-medial tu before a vowel is ʧu (actual,
+    # situation, virtue, mutual — CMUdict CH); word-initial tu (tuesday)
+    # and tu+i (intuition) keep t
+    ("tu", ".", "(?=[aeo])", "ʧu"),
     ("ohol", None, "s?$", "əhɔl"),    # alcohol
     ("ocol", None, "s?$", "əkɔl"),    # protocol
     ("guar", None, "(?=d)", "gɑr"),
