@@ -286,18 +286,20 @@ def test_english_lts_accuracy_floor():
     """LTS quality gate, measured against the embedded lexicon as gold
     (the same CMUdict-convention IPA the checkpoint saw): phoneme error
     rate (stress-stripped Levenshtein over IPA chars) must stay under
-    13.9% and exact-match above 54%. Round-5 measured: PER 13.64%, exact
-    55.1% — both round-4 verdict targets beaten (PER ≤14, exact ≥50)
-    (17.0%/43.2% in round 4; 24.6%/30.1% in round 2). The round-5 gains
-    came from the stress-aware reduction pass (suffix-table stress
-    prediction, 92% accurate on suffix-cued words, gating which unstressed
-    vowels centralize), grapheme-origin overlays for German/French
-    loanwords, magic-e through -s/-d inflection tails, and moving the
+    9.8% and exact-match above 66%. Round-5 final: PER 9.44%, exact
+    67.4% — the round-4 verdict targets (PER ≤14, exact ≥50) beaten by
+    wide margins (17.0%/43.2% in round 4; 24.6%/30.1% in round 2). The
+    round-5 gains came from the stress-aware reduction pass (suffix-table
+    stress prediction, 92% accurate on suffix-cued words, gating which
+    unstressed vowels centralize), secondary-stress parity (even distance
+    to the main stress restores syllable-0 vowel quality: definition,
+    conversation), grapheme-origin overlays for German/French loanwords,
+    yod coalescence/insertion (actual, cube), and moving the
     doubled-consonant collapse into the rule cascade so open-vs-closed
     syllables (table/apple) stay distinguishable. The remaining error
     mass is stress position on prefix-cued words (62% predictor accuracy
-    there caps how aggressively vowels can be reduced) and genuinely
-    ambiguous 'o'/'a' letter qualities."""
+    there caps how aggressively vowels can be reduced), genuinely
+    lexical s/z voicing (phase/case), and ambiguous 'o'/'a' qualities."""
     from vallex_tpu.frontend.english import letter_to_sound
 
     lex = {}
@@ -337,8 +339,8 @@ def test_english_lts_accuracy_floor():
         exact += e == 0
     per = tot_err / tot_ph
     em = exact / n
-    assert per < 0.098, f"LTS PER regressed: {100*per:.2f}%"
-    assert em > 0.660, f"LTS exact-match regressed: {100*em:.1f}%"
+    assert per < 0.096, f"LTS PER regressed: {100*per:.2f}%"
+    assert em > 0.668, f"LTS exact-match regressed: {100*em:.1f}%"
 
 
 def test_english_loanword_origin_goldens():
